@@ -1,0 +1,214 @@
+package graft
+
+/** The declared query corpus — the t2 oracle contract from SURVEY.md §2.3.
+  *
+  * Each entry is one SQL text exercising a slice of the reference's SQL
+  * surface (balyuv/ai-etl-studio `prompts.py` / `error_query.sql` — see
+  * SURVEY.md §2.2 for the operator-by-operator evidence). Texts follow the
+  * determinism rules of SURVEY.md §2.3: total order with unique-key
+  * tie-breaker + LIMIT, DECIMAL casts before money aggregation, fixed date
+  * anchors, no nondeterministic functions.
+  *
+  * `sparkSql` runs through `spark.sql` (Catalyst); `duckSql` is the DuckDB
+  * oracle text — identical unless the two engines have no shared spelling
+  * (DATEDIFF, JSON extraction), in which case the pair is semantically
+  * equivalent and produces identical column names (the driver's comparator
+  * sorts columns by name before hashing).
+  */
+final case class DeclaredQuery(id: String, sparkSql: String, duckSqlOverride: Option[String] = None) {
+  def duckSql: String = duckSqlOverride.getOrElse(sparkSql)
+}
+
+object Corpus {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+    // Q01 — scan + projection + alias (prompts.py:40,42; db_utils.py:160-165)
+    DeclaredQuery("q01_scan_project",
+      "SELECT c_custkey AS id, c_name, c_mktsegment FROM customer ORDER BY id LIMIT 100"),
+
+    // Q02 — conjunctive WHERE (prompts.py:34,37)
+    DeclaredQuery("q02_filter",
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 1000 ORDER BY o_orderkey LIMIT 100"),
+
+    // Q03 — literal one-row projection, the reference's error channel (app.py:244,268)
+    DeclaredQuery("q03_literal",
+      "SELECT 'Schema unavailable' AS error_message LIMIT 100"),
+
+    // Q04 — canonical ranking aggregate (prompts.py:28)
+    DeclaredQuery("q04_agg_rank",
+      "SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_sales " +
+        "FROM lineitem GROUP BY l_suppkey ORDER BY total_sales DESC, l_suppkey LIMIT 100"),
+
+    // Q05 — multi-aggregate, multi-key sort (prompts.py:33,35,117) [dual].
+    // The average is exposed as exact integer cents: DuckDB's AVG(DECIMAL)
+    // returns DOUBLE and its decimal downscale TRUNCATES (vs Spark's
+    // HALF_UP), so no rounded rendering can hash-match. Both texts compute
+    // floor(sum*100/n) exactly — Spark through real AVG over DECIMAL (its
+    // scale-6 rounding error < 5e-5 cents can never cross an integer
+    // boundary, since the fractional part of sum*100/n sits at least 1/n
+    // cents from an integer), DuckDB through integer floor-division.
+    DeclaredQuery("q05_multi_agg",
+      "SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt, " +
+        "CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS avg_cents " +
+        "FROM orders GROUP BY o_custkey ORDER BY amt DESC, n DESC, o_custkey LIMIT 100",
+      Some("SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) // COUNT(*) AS avg_cents " +
+        "FROM orders GROUP BY o_custkey ORDER BY amt DESC, n DESC, o_custkey LIMIT 100")),
+
+    // Q06 — COUNT(DISTINCT), the RFM Frequency op (prompts.py:111)
+    DeclaredQuery("q06_count_distinct",
+      "SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS freq, COUNT(DISTINCT o_orderstatus) AS statuses " +
+        "FROM orders GROUP BY o_custkey ORDER BY freq DESC, o_custkey LIMIT 100"),
+
+    // Q07 — MAX over dates, the RFM Recency op (prompts.py:110)
+    DeclaredQuery("q07_max_date",
+      "SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders " +
+        "GROUP BY o_custkey ORDER BY last_order DESC, o_custkey LIMIT 100"),
+
+    // Q08 — RFM composite, the reference's flagship pattern (prompts.py:108-112)
+    DeclaredQuery("q08_rfm",
+      "SELECT o_custkey, MAX(o_orderdate) AS recency, COUNT(DISTINCT o_orderkey) AS frequency, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
+        "FROM orders GROUP BY o_custkey ORDER BY monetary DESC, o_custkey LIMIT 100"),
+
+    // Q09 — 2-way equi-join + rollup (error_query.sql:8-11, prompts.py:47)
+    DeclaredQuery("q09_join_agg",
+      "SELECT c.c_custkey, c.c_name, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_custkey, c.c_name ORDER BY total DESC, c.c_custkey LIMIT 100"),
+
+    // Q10 — 3-way dimension chain (prompts.py:46-48)
+    DeclaredQuery("q10_join3_dims",
+      "SELECT r.r_name, n.n_name, COUNT(*) AS n_cust FROM customer c " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name LIMIT 100"),
+
+    // Q11 — 4-way fact→dim chain (prompts.py:50-51)
+    DeclaredQuery("q11_join4_chain",
+      "SELECT n.n_name, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_name ORDER BY rev DESC, n.n_name LIMIT 100"),
+
+    // Q12 — UNION ALL + trailing global sort/limit, the only legal ordering
+    // position in the reference's union shape (prompts.py:15-20,60-63,93-99)
+    DeclaredQuery("q12_union_all",
+      "SELECT c_custkey AS id, 'customer' AS src FROM customer " +
+        "UNION ALL SELECT s_suppkey AS id, 'supplier' AS src FROM supplier " +
+        "ORDER BY src, id LIMIT 100"),
+
+    // Q13 — UNION distinct (prompts.py:20,38,63)
+    DeclaredQuery("q13_union_distinct",
+      "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier " +
+        "ORDER BY nk LIMIT 100"),
+
+    // Q14 — sorted+limited derived table, outer re-sort (prompts.py:62,68)
+    DeclaredQuery("q14_subquery_sort",
+      "SELECT id, amt FROM (SELECT o_orderkey AS id, CAST(o_totalprice AS DECIMAL(18,2)) AS amt " +
+        "FROM orders ORDER BY amt DESC, id LIMIT 10) t ORDER BY amt ASC, id LIMIT 100"),
+
+    // Q15 — precomputed-aggregate derived table (prompts.py:67)
+    DeclaredQuery("q15_derived_agg",
+      "SELECT store, total FROM (SELECT l_suppkey AS store, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total FROM lineitem GROUP BY l_suppkey) t " +
+        "ORDER BY total DESC, store LIMIT 100"),
+
+    // Q16 — top-3-per-group via ROW_NUMBER, the error_query.sql query done
+    // right (prompts.py:86,113-118; error_query.sql:1-15)
+    DeclaredQuery("q16_topn_window",
+      "SELECT store_id, customer_id, total_spent FROM (" +
+        "SELECT l.l_suppkey AS store_id, o.o_custkey AS customer_id, " +
+        "SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_spent, " +
+        "ROW_NUMBER() OVER (PARTITION BY l.l_suppkey " +
+        "ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) DESC, o.o_custkey) AS rn " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY l.l_suppkey, o.o_custkey) ranked WHERE rn <= 3 " +
+        "ORDER BY store_id, total_spent DESC, customer_id LIMIT 100"),
+
+    // Q17 — RANK (prompts.py:86)
+    DeclaredQuery("q17_rank",
+      "SELECT o_custkey, o_orderkey, RANK() OVER (PARTITION BY o_custkey " +
+        "ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rnk " +
+        "FROM orders ORDER BY o_custkey, rnk, o_orderkey LIMIT 100"),
+
+    // Q18 — NTILE, the RFM 1-5 scoring op (prompts.py:86,108-112)
+    DeclaredQuery("q18_ntile",
+      "SELECT o_custkey, monetary, NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score " +
+        "FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
+        "FROM orders GROUP BY o_custkey) t ORDER BY monetary DESC, o_custkey LIMIT 100"),
+
+    // Q19 — CTE, PG-branch surface (prompts.py:85 forbids on MySQL only)
+    DeclaredQuery("q19_cte",
+      "WITH cust_rev AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT c.c_name, cr.rev FROM cust_rev cr JOIN customer c ON c.c_custkey = cr.o_custkey " +
+        "ORDER BY cr.rev DESC, c.c_name LIMIT 100"),
+
+    // Q20 — percentile emulation by sort+limit, the mandated MySQL pattern
+    // (prompts.py:90). 7500 = half of sf0.01's 15,000 orders.
+    DeclaredQuery("q20_percentile_emul",
+      "SELECT MAX(v) AS approx_median FROM (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v " +
+        "FROM orders ORDER BY v, o_orderkey LIMIT 7500) t"),
+
+    // Q21 — date-part grouping (prompts.py:110,121 date columns; umbrella)
+    DeclaredQuery("q21_extract_year",
+      "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n FROM orders " +
+        "GROUP BY EXTRACT(YEAR FROM o_orderdate) ORDER BY yr LIMIT 100"),
+
+    // Q22 — DATEDIFF recency with fixed anchor [dual text] (prompts.py:110;
+    // no shared spelling: Spark DATEDIFF(end,start) vs DuckDB DATE_DIFF('day',start,end))
+    DeclaredQuery("q22_datediff",
+      "SELECT o_custkey, DATEDIFF(DATE '2026-01-01', MAX(CAST(o_orderdate AS DATE))) AS recency_days " +
+        "FROM orders GROUP BY o_custkey ORDER BY recency_days, o_custkey LIMIT 100",
+      Some("SELECT o_custkey, DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)), DATE '2026-01-01') AS recency_days " +
+        "FROM orders GROUP BY o_custkey ORDER BY recency_days, o_custkey LIMIT 100")),
+
+    // Q23 — CASE conditional (error_query.sql:7 uses MySQL IF; CASE is the
+    // cross-dialect declared form)
+    DeclaredQuery("q23_case",
+      "SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'finished' " +
+        "WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_label " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100"),
+
+    // Q26 — LIKE + string function (umbrella prompts.py:8)
+    DeclaredQuery("q26_like_upper",
+      "SELECT p_partkey, UPPER(p_type) AS t FROM part WHERE p_name LIKE '%a%' " +
+        "ORDER BY p_partkey LIMIT 100"),
+
+    // Q27 — HAVING (prompts.py:35 + umbrella)
+    DeclaredQuery("q27_having",
+      "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey " +
+        "HAVING COUNT(*) >= 2 ORDER BY n DESC, o_custkey LIMIT 100"),
+
+    // Q28 — IN-subquery → semi join (prompts.py:8,85)
+    DeclaredQuery("q28_in_subquery",
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY c_custkey LIMIT 100"),
+
+    // Q29 — NOT IN → null-aware anti join (subquery column is non-null)
+    DeclaredQuery("q29_not_in_anti",
+      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders) ORDER BY c_custkey LIMIT 100"),
+
+    // Q30 — left outer join + null-safe COUNT(col)
+    DeclaredQuery("q30_left_join",
+      "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n FROM customer c " +
+        "LEFT JOIN orders o ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_custkey ORDER BY n DESC, c.c_custkey LIMIT 100"),
+
+    // Q31 — events batch aggregate (streaming analogue, batch mode)
+    DeclaredQuery("q31_events_agg",
+      "SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total " +
+        "FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"),
+
+    // Q32 — tumbling hour bucket, batch form of the streaming window
+    DeclaredQuery("q32_time_bucket",
+      "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n FROM events " +
+        "GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type LIMIT 100")
+  )
+
+  def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap
+}

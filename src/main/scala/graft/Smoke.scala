@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** t1-style smoke entry: boots a session, runs the flagship query, and
+  * exercises the Runner path with hostile inputs (LLM prose, non-SELECT).
+  * Mirrors what the driver's smoke check does, runnable locally. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val flagship = SparkEntry.entry(spark)
+    println(s"[smoke] entry rows=${flagship.count()}")
+    flagship.show(5, truncate = false)
+
+    Tables.register(spark, "/root/testdata/sf0.001")
+    // prose-prefixed LLM output (the error_query.sql:26-46 failure shape)
+    val prose = "Here is the query you asked for:\n" +
+      "SELECT c_custkey FROM customer ORDER BY c_custkey"
+    Runner.run(spark, prose) match {
+      case Right(df) => println(s"[smoke] prose-prefixed → rows=${df.count()} (expect 100 via injected LIMIT)")
+      case Left(e)   => println(s"[smoke] prose-prefixed FAILED: ${e.message}")
+    }
+    // non-SELECT must be rejected as a value, not a throw
+    Runner.run(spark, "DROP TABLE customer") match {
+      case Right(_) => println("[smoke] DROP accepted — BUG")
+      case Left(e)  => println(s"[smoke] DROP rejected: ${e.message}")
+    }
+    // bad SQL → error-as-value (db_utils.py:180-182)
+    println(s"[smoke] bad SQL → empty=${Runner.runOrEmpty(spark, "SELECT nope FROM nowhere").isEmpty}")
+    spark.stop()
+  }
+}
