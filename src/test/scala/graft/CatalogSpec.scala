@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Q33: catalog listing + TTL cache + prompt serialization
+  * (db_utils.py:116-156, app.py:246). */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Q33: listTables returns all 10 testdata tables, sorted") {
+    Tables.register(spark, TestSpark.sf0001)
+    val cat = new Catalog(spark)
+    assert(cat.listTables().toSet == Tables.names.toSet)
+    assert(cat.listTables() == cat.listTables().sorted)
+  }
+
+  test("Q33: listColumns preserves ordinal order (FIXTURES.md)") {
+    Tables.register(spark, TestSpark.sf0001)
+    val cat = new Catalog(spark)
+    assert(cat.listColumns("customer") ==
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    assert(cat.listColumns("region") == Seq("r_regionkey", "r_name"))
+    assert(cat.listColumns("no_such_table").isEmpty)
+  }
+
+  test("TTL cache: introspection memoized until expiry (db_utils.py:116)") {
+    Tables.register(spark, TestSpark.sf0001)
+    var now = 0L
+    val cat = new Catalog(spark, ttlMillis = 300000L, clock = () => now)
+    val first = cat.schema()
+    // a view created after the snapshot is invisible until TTL expiry
+    spark.sql("SELECT 1 AS one").createOrReplaceTempView("ttl_probe")
+    now = 299999L
+    assert(cat.schema() eq first)
+    now = 300001L
+    assert(cat.schema()("ttl_probe") == Seq("one"))
+    spark.catalog.dropTempView("ttl_probe")
+    cat.invalidate()
+  }
+
+  test("prompt serialization matches app.py:246 line shape") {
+    Tables.register(spark, TestSpark.sf0001)
+    val cat = new Catalog(spark)
+    val lines = cat.promptSerialization().split("\n")
+    assert(lines.exists(_ ==
+      """TABLE "region" (columns: r_regionkey, r_name)"""))
+    assert(lines.length == cat.listTables().length)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must execute on sf0.001 and respect the corpus
+  * determinism rules (SURVEY.md §2.3). The value-level check is the DuckDB
+  * oracle (tools/oracle_check.py / the driver's t2 gate); this spec is the
+  * fast structural regression. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("ids are unique and SparkEntry exposes every corpus query") {
+    val ids = Corpus.queries.map(_.id)
+    assert(ids.distinct.length == ids.length)
+    ids.foreach(id => assert(SparkEntry.queries.contains(id), s"missing $id"))
+    ids.foreach(id => assert(SparkEntry.oracleSql.contains(id), s"no oracle for $id"))
+  }
+
+  test("dual-text queries differ only where engines share no spelling") {
+    val duals = Corpus.queries.filter(_.duckSqlOverride.isDefined).map(_.id)
+    assert(duals.toSet == Set("q05_multi_agg", "q22_datediff"))
+  }
+
+  test("every query text ends with a LIMIT or is single-row") {
+    Corpus.queries.foreach { q =>
+      val hasLimit = "(?i)\\blimit\\b".r.findFirstIn(q.sparkSql).isDefined
+      assert(hasLimit || q.id == "q20_percentile_emul" && q.sparkSql.contains("LIMIT 7500"),
+        s"${q.id} lacks a LIMIT")
+    }
+  }
+
+  Corpus.queries.foreach { q =>
+    test(s"${q.id} executes on sf0.001") {
+      Tables.register(spark, TestSpark.sf0001)
+      val df = spark.sql(q.sparkSql)
+      val n = df.count()
+      assert(n <= 100 || q.id == "q20_percentile_emul")
+      assert(df.columns.nonEmpty)
+      // q29 (NOT IN) may legitimately return 0 rows; everything else must not
+      if (q.id != "q29_not_in_anti") assert(n > 0, s"${q.id} returned 0 rows")
+    }
+  }
+}

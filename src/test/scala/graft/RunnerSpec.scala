@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-path behaviors: Q24 dup-rename, Q25 LIMIT injection,
+  * error-as-value (db_utils.py:168-182, app.py:265). */
+class RunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Q24: duplicate output columns renamed k_1, k_2 (db_utils.py:169-177)") {
+    Tables.register(spark, TestSpark.sf0001)
+    val df = Runner.runOrEmpty(spark,
+      "SELECT c.c_nationkey AS k, n.n_nationkey AS k FROM customer c " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey ORDER BY c.c_custkey LIMIT 100")
+    assert(df.columns.toSeq == Seq("k_1", "k_2"))
+    assert(df.count() == 100)
+    // both sides carry the same value (self-equality of the join key)
+    assert(df.collect().forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
+  test("three-way duplicate gets _1.._3") {
+    val df = Runner.dedupColumns(spark.sql("SELECT 1 AS x, 2 AS x, 3 AS x, 4 AS y"))
+    assert(df.columns.toSeq == Seq("x_1", "x_2", "x_3", "y"))
+  }
+
+  test("Q25: LIMIT 100 injected into no-limit text (app.py:265)") {
+    Tables.register(spark, TestSpark.sf0001)
+    val df = Runner.runOrEmpty(spark, "SELECT c_custkey FROM customer ORDER BY c_custkey")
+    assert(df.count() == 100)
+  }
+
+  test("execution failure is a value, never a throw (db_utils.py:180-182)") {
+    val res = Runner.run(spark, "SELECT nope FROM nowhere")
+    assert(res.isLeft)
+    assert(Runner.runOrEmpty(spark, "SELECT nope FROM nowhere").isEmpty)
+  }
+
+  test("non-SELECT rejected before execution") {
+    assert(Runner.run(spark, "DROP TABLE customer").isLeft)
+    assert(Runner.run(spark, "CREATE TABLE t (a INT)").isLeft)
+  }
+
+  test("literal error-row query (app.py:244,268)") {
+    val df = Runner.errorQuery(spark, "Schema unavailable")
+    val rows = df.collect()
+    assert(df.columns.toSeq == Seq("error_message"))
+    assert(rows.length == 1 && rows(0).getString(0) == "Schema unavailable")
+    // quotes in the message must not break the literal
+    assert(Runner.errorQuery(spark, "it's broken").collect()(0).getString(0) == "it's broken")
+  }
+}
