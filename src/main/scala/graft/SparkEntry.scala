@@ -1,6 +1,8 @@
 package graft
 
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,11 +49,140 @@ object SparkEntry {
     }
   )
 
+  /** Tier-E training-data-pipeline operators (SURVEY.md §2.4 + build
+    * brief): dedup, similarity search, text analysis, multimodal plumbing.
+    * DataFrame-API implementations; DuckDB oracles where SQL-expressible,
+    * rows-only otherwise (floats/engine-specific hashes never hashed). */
+  private def tierEEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON field extraction from events.props (Q34(E), dual text)
+    "q34_json_extract" -> { (spark, dir) =>
+      Tables.register(spark, dir)
+      spark.sql("SELECT event_type, SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_sum " +
+        "FROM events GROUP BY event_type ORDER BY event_type LIMIT 100")
+    },
+    // Exact-dedup stats (Q35(E)) — identical SQL both engines
+    "q35_dedup_exact" -> { (spark, dir) =>
+      Tables.register(spark, dir)
+      spark.sql("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_uniq FROM documents")
+    },
+    // Exact dedup survivors by hash — rows-only (count must equal n_uniq; unit-tested)
+    "q36_dedup_survivors" -> { (spark, dir) =>
+      TextDedup.dedupExactByHash(Tables.table(spark, dir, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id").limit(1000)
+    },
+    // Term frequencies via explode (Q37(E), dual text)
+    "q37_token_stats" -> { (spark, dir) =>
+      TextAnalysis.termFrequencies(Tables.table(spark, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("token")).limit(100)
+    },
+    // MinHash LSH near-dup pairs, Jaccard-verified — rows-only (double sim)
+    "q40_minhash_neardup" -> { (spark, dir) =>
+      TextDedup.nearDupPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
+          threshold = 0.3, shingleN = 2)
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // SimHash near-dup pairs (native codegen Expression) — rows-only
+    "q41_simhash_neardup" -> { (spark, dir) =>
+      TextDedup.simhashPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // n-gram Jaccard between consecutive docs — integer outputs, oracle-able
+    "q42_ngram_jaccard" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), array_distinct(split(col("text"), " ")).as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), array_distinct(split(col("text"), " ")).as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+          size(array_union(col("ta"), col("tb"))).cast("long").as("n_union"))
+        .orderBy("id_a").limit(100)
+    },
+    // Embedding-cosine near-dup pairs via hyperplane LSH — rows-only.
+    // τ=0.25 because the synthetic embeddings top out near cosine 0.4;
+    // real corpora use τ≈0.9 with the same operator.
+    "q43_embed_neardup" -> { (spark, dir) =>
+      Similarity.embeddingNearDupPairs(Tables.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.25, numTables = 8, bitsPerTable = 6)
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // Brute-force cosine top-k (exact ANN baseline) — rows-only
+    "q44_cosine_topk" -> { (spark, dir) =>
+      val emb = Tables.table(spark, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5)
+        .orderBy("query_id", "rank").limit(100)
+    },
+    // LSH-bucketed approximate top-k — rows-only
+    "q45_ann_lsh" -> { (spark, dir) =>
+      val emb = Tables.table(spark, dir, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5)
+        .orderBy("query_id", "rank").limit(100)
+    },
+    // Language-ID heuristic — rows-only (CASE-ladder argmax, deterministic)
+    "q46_langid" -> { (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"), col("lang"))
+        .orderBy("doc_id").limit(100)
+    },
+    // Quality metrics — all-integer, oracle-able (dual text)
+    "q47_quality" -> { (spark, dir) =>
+      TextAnalysis.qualityMetrics(Tables.table(spark, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("diversity_pct"), col("mean_token_len_tenths"))
+        .orderBy("doc_id").limit(100)
+    },
+    // Token counting (dual text)
+    "q48_token_count" -> { (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("n_tokens").desc, col("doc_id")).limit(100)
+    },
+    // Document fingerprint (min-k sketch; xxhash64 is engine-specific) — rows-only
+    "q49_fingerprint" -> { (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id").limit(100)
+    },
+    // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
+    "q50_multimodal" -> { (spark, dir) =>
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, dir))
+        .toDF()
+        .select("media_id", "media_type", "width", "height", "n_frames")
+        .orderBy("media_id").limit(100)
+    }
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    corpusEntries ++ behaviorEntries
+    corpusEntries ++ behaviorEntries ++ tierEEntries
 
   def oracleSql: Map[String, String] =
     Corpus.queries.map(q => q.id -> q.duckSql).toMap ++ Map(
-      "q25_limit_inject" -> "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100"
+      "q25_limit_inject" -> "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100",
+      "q34_json_extract" ->
+        ("SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum " +
+          "FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"),
+      "q35_dedup_exact" -> "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_uniq FROM documents",
+      "q37_token_stats" ->
+        ("SELECT token, COUNT(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+          "FROM documents) t GROUP BY token ORDER BY n DESC, token LIMIT 100"),
+      "q42_ngram_jaccard" ->
+        ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "len(list_intersect(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' ')))) AS n_common, " +
+          "len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' '))))) AS n_union " +
+          "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a LIMIT 100"),
+      "q47_quality" ->
+        ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+          "len(list_distinct(string_split(text, ' '))) AS n_distinct, " +
+          "(100 * len(list_distinct(string_split(text, ' ')))) // len(string_split(text, ' ')) AS diversity_pct, " +
+          "(10 * list_sum(list_transform(string_split(text, ' '), w -> len(w)))) // len(string_split(text, ' ')) AS mean_token_len_tenths " +
+          "FROM documents ORDER BY doc_id LIMIT 100"),
+      "q48_token_count" ->
+        ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents " +
+          "ORDER BY n_tokens DESC, doc_id LIMIT 100")
     )
 }

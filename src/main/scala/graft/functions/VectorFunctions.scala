@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` / `array<double>` columns, composed
+  * entirely from codegen'd built-ins (`zip_with` + `aggregate`) — no UDFs
+  * in the hot path, so whole-stage codegen spans survive (SURVEY.md §2.4;
+  * the `embeddings.embedding` column is list<float>[64], FIXTURES.md).
+  *
+  * Determinism: the fold is sequential over the array, so double results
+  * are bit-stable for a given element order — safe for unit assertions,
+  * never hashed cross-engine.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]; 0 when either vector is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Squared euclidean distance (cheaper than sqrt when only ranking). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Scalar reference implementation for property tests. */
+  def cosineRef(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings.embedding`: array<float>[64] — FIXTURES.md), the
+  * similarity-search tier of the build brief.
+  *
+  * Two paths:
+  *   - `bruteForceTopK` — exact cosine top-k per query. The join is a
+  *     broadcast of the (small) query set against the corpus, so the corpus
+  *     is scanned once with no shuffle of vectors; ranking shuffles only
+  *     (query_id, vec_id, sim). Correctness baseline + the right answer
+  *     whenever |queries| is small.
+  *   - `lshTopK` — sign-random-projection LSH (Charikar hyperplane LSH):
+  *     `numTables` independent tables of `bitsPerTable` seeded hyperplanes;
+  *     a vector's bucket in a table is the integer of its dot-product signs.
+  *     Candidates = bucket collisions in ANY table; exact cosine re-ranks.
+  *     At 100 TB the bucket join replaces the cartesian product — shuffle is
+  *     linear in corpus size × numTables.
+  *
+  * Hyperplanes are generated driver-side from a fixed seed and inlined as
+  * literal arrays, so signatures are pure codegen'd column math (zip_with /
+  * aggregate) — no UDF, no extra shuffle, deterministic across runs.
+  */
+object Similarity {
+
+  /** Deterministic unit-free hyperplanes: numTables × bitsPerTable × dim. */
+  def hyperplanes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Bucket id of `vec` in one table: Σ (dot(vec, plane_b) >= 0) << b. */
+  def bucketFor(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(vec, typedLit(p.toSeq)) >= 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (table, bucket) pairs for a vector across all tables, as array<long>
+    * indexed by table. */
+  def allBuckets(vec: Column, planes: Seq[Seq[Array[Double]]]): Column =
+    array(planes.map(bucketFor(vec, _)): _*)
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`.
+    * Output: (query_id, vec_id, sim, rank), rank 1..k per query. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                     k: Int): DataFrame = {
+    val joined = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+      .filter(col(queryIdCol) =!= col(idCol)) // a vector is trivially its own neighbor
+      .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"), col("sim"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k. Same output shape as bruteForceTopK;
+    * recall < 1 by construction, tunable via numTables/bitsPerTable. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, queryIdCol: String, queryVecCol: String,
+              k: Int, numTables: Int = 4, bitsPerTable: Int = 8,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
+    def withBuckets(df: DataFrame, id: String, vec: String, aId: String, aVec: String) =
+      df.select(col(id).as(aId), col(vec).as(aVec),
+          posexplode(allBuckets(col(vec), planes)).as(Seq("__table", "__bucket")))
+    val c = withBuckets(corpus, idCol, vecCol, "vec_id", "__cvec")
+    val q = withBuckets(queries, queryIdCol, queryVecCol, "query_id", "__qvec")
+    val candidates = c.join(q, Seq("__table", "__bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "__qvec", "vec_id", "__cvec")
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .withColumn("sim", cosine(col("__cvec"), col("__qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
+    * collision in any table) verified by exact cosine ≥ threshold.
+    * Output: (id_a, id_b, sim), id_a < id_b. */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, numTables: Int = 4,
+                            bitsPerTable: Int = 8, dim: Int = 64,
+                            seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      posexplode(allBuckets(col(vecCol), planes)).as(Seq("__table", "__bucket")))
+    val a = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__table", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

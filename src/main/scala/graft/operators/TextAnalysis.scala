@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline tier
+  * (build brief: language-ID, quality scoring, token counting, document
+  * fingerprinting) over the `documents` table shape. All built-ins.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count — whitespace tokenization. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra units for long words
+    * (a real tokenizer emits ~1 unit per ~4 chars beyond the first 4). */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0),
+      (acc, w) => acc + lit(1) + greatest(ceil((length(w) - 4).cast("double") / 4.0), lit(0)).cast("int"))
+
+  /** Function-word lists for the n-gram/stopword language heuristic.
+    * Real-world function words; deterministic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pas", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Language-ID heuristic: count function-word hits per language over the
+    * token set; argmax with deterministic tie-break (lexicographic language
+    * code), 'und' when nothing matches. Integer arithmetic throughout. */
+  def langIdScores(text: Column): Seq[(String, Column)] =
+    stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(array_intersect(tokens(text), typedLit(words)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in sorted order) achieving the max — deterministic
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics, all integers (hash-safe): token count, distinct-token
+    * count, lexical diversity in percent (integer division), mean token
+    * length in tenths, longest run …. Score: documents dominated by
+    * repeated tokens or extreme lengths rate low. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t))
+      .withColumn("n_distinct", size(array_distinct(t)))
+      .withColumn("diversity_pct",
+        when(size(t) === 0, lit(0L))
+          .otherwise(floor((size(array_distinct(t)) * 100) / size(t))))
+      .withColumn("mean_token_len_tenths",
+        when(size(t) === 0, lit(0L))
+          .otherwise(floor((aggregate(t, lit(0), (acc, w) => acc + length(w)) * 10) / size(t))))
+  }
+
+  /** Composite 0-100 quality score from the integer metrics. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityMetrics(df, textCol)
+      .withColumn("quality",
+        greatest(lit(0), least(lit(100),
+          col("diversity_pct")
+            - when(col("n_tokens") < 10, lit(40)).otherwise(lit(0))
+            - when(col("n_tokens") > 10000, lit(20)).otherwise(lit(0)))))
+
+  /** Document fingerprint: min-k sketch of shingle hashes (winnowing-style).
+    * Sort the distinct shingle xxhash64 values, keep the k smallest, hash
+    * the sketch to one 64-bit fingerprint. Deterministic; near-identical
+    * documents produce identical fingerprints with high probability. */
+  def fingerprint(text: Column, shingleN: Int = 3, k: Int = 8): Column = {
+    val sh = TextDedup.shingles(tokens(text), shingleN)
+    val hashes = array_sort(array_distinct(transform(sh, s => xxhash64(s))))
+    xxhash64(slice(hashes, lit(1), lit(k)))
+  }
+
+  /** Term-frequency table: (token, n) over a whole corpus — the Q37(E)
+    * generator-surface op (explode). */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators over the `documents` table shape
+  * (doc_id, text, …) — the LLM-training-pipeline tier (SURVEY.md §2.4).
+  *
+  * All column math is composed from codegen'd built-ins (split / transform /
+  * sequence / slice / xxhash64 / array_min / explode) — no UDFs — so plans
+  * stay inside whole-stage codegen and every step is a plain shuffle-
+  * analyzable Spark plan.
+  *
+  * Scale notes (100 TB, 1000 executors):
+  *   - `dedupExactByHash` shuffles an 8-byte hash + id instead of full
+  *     document text (the naive `dropDuplicates(text)` shuffles the corpus).
+  *   - MinHash banding turns the quadratic all-pairs problem into
+  *     per-bucket joins; bucket width is `bands × bucket` keyed, so the
+  *     shuffle is linear in corpus size. Skewed buckets (giant near-dup
+  *     clusters) are handled by AQE skew-join splitting; `maxBucketSize`
+  *     additionally drops degenerate buckets (e.g. the empty-document
+  *     bucket) before the self-join goes quadratic.
+  */
+object TextDedup {
+
+  /** Whitespace tokenizer (documents.text is space-separated, FIXTURES.md). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as strings: n=1 → tokens themselves. */
+  def shingles(toks: Column, n: Int): Column =
+    if (n <= 1) toks
+    else transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+
+  /** MinHash signature: `numHashes` independent permutations approximated by
+    * seeded xxhash64; element i = min over shingles of xxhash64(shingle, i).
+    * Empty shingle sets get Long.MaxValue (never collides into a band). */
+  def minhashSignature(sh: Column, numHashes: Int): Column = {
+    val hashes = (0 until numHashes).map { i =>
+      when(size(sh) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(sh, s => xxhash64(s, lit(i)))))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH band keys: signature split into `bands` bands of `rowsPerBand`,
+    * each hashed to one bucket key. Returns array<long> of length `bands`. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+
+  /** Exact dedup, hash-first: keep the lowest `idCol` per identical `textCol`.
+    * Shuffles (xxhash64, id) — not the text — then semi-joins survivors. */
+  def dedupExactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+    val keep = h.groupBy("__h").agg(min(idCol).as(idCol)).drop("__h")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact duplicate groups: (text, n) with n > 1. */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(textCol).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  /** Candidate near-duplicate pairs from MinHash LSH banding.
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * @param maxBucketSize drop buckets larger than this before the
+    *        self-join — a degenerate bucket of m docs contributes m² pairs;
+    *        legitimate near-dup clusters are far smaller than boilerplate/
+    *        empty-text pathologies. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol),
+      minhashSignature(shingles(tokens(col(textCol)), shingleN), numHashes).as("__sig"))
+    val banded = sig
+      .select(col(idCol), posexplode(bandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__key")))
+    val capped = banded
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__band", "__key")))
+      .filter(col("__sz") <= maxBucketSize)
+      .drop("__sz")
+    val a = capped.select(col("__band"), col("__key"), col(idCol).as("id_a"))
+    val b = capped.select(col("__band"), col("__key"), col(idCol).as("id_b"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two token-array columns. */
+  def jaccard(aToks: Column, bToks: Column): Column = {
+    val ad = array_distinct(aToks)
+    val bd = array_distinct(bToks)
+    val unionSz = size(array_union(ad, bd))
+    when(unionSz === 0, lit(1.0))
+      .otherwise(size(array_intersect(ad, bd)).cast("double") / unionSz.cast("double"))
+  }
+
+  /** LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
+    * Output: (id_a, id_b, jaccard). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleN: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    val sh = df.select(
+      col(idCol), array_distinct(shingles(tokens(col(textCol)), shingleN)).as("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** One-pass dedup policy over verified near-dup pairs: a document is
+    * removed if it near-matches any earlier (lower-id) document. (Full
+    * connected components would need iteration; keep-earliest is the
+    * standard single-pass policy and is deterministic.) */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double, shingleN: Int = 3): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, shingleN)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-dup: 64-bit signatures, pigeonhole-banded into 4×16-bit
+    * chunks (hamming ≤ 3 ⇒ at least one chunk identical), verified by exact
+    * hamming distance. Output: (id_a, id_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks pigeonhole only guarantees hamming <= 3")
+    graft.functions.SimHash64.register(df.sparkSession)
+    val sigs = df.select(
+      col(idCol),
+      call_function("simhash64", tokens(col(textCol))).as("__sim"))
+    // chunk c = bits [16c, 16c+16): (sim >>> 16c) & 0xFFFF
+    val chunks = sigs.select(
+      col(idCol), col("__sim"),
+      posexplode(array((0 until 4).map { c =>
+        shiftrightunsigned(col("__sim"), 16 * c).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("__chunk", "__ckey")))
+    val a = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_a"), col("__sim").as("__sim_a"))
+    val b = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_b"), col("__sim").as("__sim_b"))
+    a.join(b, Seq("__chunk", "__ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(__sim_a ^ __sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+}

@@ -1,0 +1,223 @@
+package graft
+
+import graft.functions.{SimHash64, VectorFunctions}
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tier-E operators verified against scalar Scala reference
+  * implementations (SURVEY.md §5: Q35-Q38 tier is unit/property-verified,
+  * not oracle-hashed). */
+class TierESpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------- vector functions ----------
+
+  test("cosine matches scalar reference on real embeddings") {
+    val rows = Tables.table(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val df = Tables.table(spark, TestSpark.sf0001, "embeddings").filter(col("vec_id") < 10)
+    val got = df.crossJoin(df.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .select(col("vec_id"), col("id2"),
+        VectorFunctions.cosine(col("embedding"), col("e2")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val byId = rows.toMap
+    for ((a, va) <- rows; (b, vb) <- rows) {
+      val expected = VectorFunctions.cosineRef(va, vb)
+      assert(math.abs(got((a, b)) - expected) < 1e-9, s"cosine($a,$b)")
+    }
+    // self-similarity is 1
+    rows.foreach { case (a, _) => assert(math.abs(got((a, a)) - 1.0) < 1e-9) }
+  }
+
+  test("cosine properties: symmetry, range, zero-vector") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(-1.0f, 0.5f, 0.0f)), (3L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val sims = df.crossJoin(df.select(col("id").as("id2"), col("v").as("v2")))
+      .select(col("id"), col("id2"), VectorFunctions.cosine(col("v"), col("v2")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sims.foreach { case ((a, b), s) =>
+      assert(s >= -1.0 - 1e-12 && s <= 1.0 + 1e-12)
+      assert(math.abs(s - sims((b, a))) < 1e-12, "symmetry")
+    }
+    assert(sims((3L, 1L)) == 0.0, "zero vector → 0")
+  }
+
+  // ---------- dedup ----------
+
+  test("exact dedup by hash keeps lowest id per duplicate text") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y"), (4L, "x y"), (5L, "unique doc")
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.dedupExactByHash(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+    val groups = TextDedup.exactDupGroups(df, "text").collect()
+    assert(groups.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a b c" -> 2L, "x y" -> 2L))
+  }
+
+  test("shingles produce word n-grams") {
+    val got = spark.sql("SELECT 1")
+      .select(TextDedup.shingles(typedLit(Seq("a", "b", "c", "d")), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b", "b c", "c d"))
+  }
+
+  test("jaccard column matches scalar definition") {
+    val got = spark.sql("SELECT 1").select(
+      TextDedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
+      .as[Double].head()
+    assert(math.abs(got - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("minhash near-dup finds the planted duplicate pair, not the distinct one") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextDedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5, shingleN = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val deduped = TextDedup.dedupNear(df, "doc_id", "text", threshold = 0.5, shingleN = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(deduped.toSeq == Seq(1L, 3L))
+  }
+
+  test("simhash expression matches scalar reference and codegen evaluates") {
+    val texts = Seq("spark shuffles data across executors", "a b c", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    SimHash64.register(spark)
+    val got = df.select(col("id"), call_function("simhash64", split(col("text"), " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == SimHash64.referenceOf(t.split(" ").toSeq), s"text $i")
+    }
+  }
+
+  test("simhash near-dup: hamming of near-identical docs small, distinct docs large") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 3) "CHANGED" else s"w$i").mkString(" ")
+    val far = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = TextDedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  // ---------- similarity search ----------
+
+  test("LSH top-k results are a subset-consistent approximation of brute force") {
+    val emb = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+      numTables = 8, bitsPerTable = 4)
+      .select("query_id", "vec_id", "sim").collect()
+    assert(bf.size == 25)
+    // every LSH hit's similarity must equal the exact cosine (no approximation
+    // in the scoring, only in candidate generation)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    lsh.foreach { r =>
+      val expected = VectorFunctions.cosineRef(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - expected) < 1e-9)
+    }
+  }
+
+  test("brute-force top-k ranks by exact cosine desc") {
+    val emb = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 10)
+      .orderBy("rank").select("vec_id", "sim").collect()
+    val sims = got.map(_.getDouble(1))
+    assert(sims.toSeq == sims.sorted.reverse.toSeq, "descending")
+    // cross-check the top-1 against a driver-side scan
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expectedTop = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> VectorFunctions.cosineRef(vecs(0L), v) }
+      .maxBy { case (id, s) => (s, -id) }
+    assert(got.head.getLong(0) == expectedTop._1)
+  }
+
+  // ---------- text analysis ----------
+
+  test("langId picks the language whose function words dominate") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is that"),
+      (2L, "der hund und die katze ist nicht das problem"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  test("quality metrics integer math matches hand computation") {
+    val df = Seq((1L, "a bb ccc a")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(df, "text").head()
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_distinct") == 3)
+    assert(r.getAs[Long]("diversity_pct") == 75L)  // 300/4
+    assert(r.getAs[Long]("mean_token_len_tenths") == 17L)  // 7*10/4
+  }
+
+  test("fingerprint is stable and shared by identical docs only (on sample)") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents").limit(50)
+    val fp1 = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+    val fp2 = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+    assert(fp1.map(_.toSeq).toSeq == fp2.map(_.toSeq).toSeq, "deterministic")
+    val planted = Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val fps = planted.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("subword count estimate: long words cost extra units") {
+    val got = spark.sql("SELECT 1").select(
+      TextAnalysis.subwordCountEstimate(lit("hi extraordinarily ok")).as("n"))
+      .as[Int].head()
+    // hi=1, extraordinarily(15 chars)=1+ceil(11/4)=4, ok=1 → 6
+    assert(got == 6)
+  }
+
+  // ---------- multimodal ----------
+
+  test("multimodal pipeline: decode → frame-sample → resize, deterministic") {
+    val media = Multimodal.syntheticMedia(spark, TestSpark.sf0001)
+    val feats = Multimodal.decodeFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
+    // videos sample frames; stride halves the count (±1)
+    val frames = Multimodal.sampleFrames(feats, stride = 2)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = rows.map(f => f.media_id -> f).toMap
+    counts.foreach { case (id, n) =>
+      assert(n == (byId(id).n_frames + 1) / 2, s"media $id")
+    }
+    val resized = Multimodal.resizeAll(feats, 224, 224).collect()
+    assert(resized.forall(f => f.width == 224 && f.height == 224))
+    // determinism across runs
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("q36 survivors count equals distinct-text count") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val survivors = TextDedup.dedupExactByHash(docs, "doc_id", "text").count()
+    val distinct = docs.select("text").distinct().count()
+    assert(survivors == distinct)
+  }
+}
