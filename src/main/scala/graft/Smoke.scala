@@ -34,6 +34,21 @@ object Smoke {
     }
     // bad SQL → error-as-value (db_utils.py:180-182)
     println(s"[smoke] bad SQL → empty=${Runner.runOrEmpty(spark, "SELECT nope FROM nowhere").isEmpty}")
+
+    // NL front-end with stubbed completion, end to end (app.py:283-302 loop)
+    val fe = new LlmFrontend(new Catalog(spark), "postgresql",
+      _ => "```sql\nSELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment\n```")
+    Ask(spark, fe, "customers per segment") match {
+      case Right(df) => println(s"[smoke] Ask → rows=${df.count()}")
+      case Left(e)   => println(s"[smoke] Ask FAILED: ${e.message}")
+    }
+
+    // streaming hourly window over the closed events input
+    val streamed = graft.streaming.StreamOps.runToCompletion(spark,
+      graft.streaming.StreamOps.hourlyByType(
+        graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")),
+      "smoke_stream")
+    println(s"[smoke] streaming hourly buckets=${streamed.count()}")
     spark.stop()
   }
 }

@@ -95,13 +95,19 @@ object Similarity {
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
     val bucketed = corpus.select(col(idCol), col(vecCol),
       posexplode(allBuckets(col(vecCol), planes)).as(Seq("__table", "__bucket")))
-    val a = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, Seq("__table", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
+    // Single-pass bucketing (cf. TextDedup.minhashCandidates): one shuffle,
+    // members collected per bucket, pairs by double explode — a self-join
+    // would recompute the signature projections once per side.
+    bucketed
+      .groupBy("__table", "__bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
   }
 }
