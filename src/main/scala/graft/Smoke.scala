@@ -49,6 +49,25 @@ object Smoke {
         graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")),
       "smoke_stream")
     println(s"[smoke] streaming hourly buckets=${streamed.count()}")
+
+    // engine facade: run → describe → CSV export → read it back via Sources.csv
+    val engine = Engine.wrap(spark)
+    engine.run("SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment") match {
+      case Right(df) =>
+        val p = java.nio.file.Files.createTempFile("graft_smoke", ".csv").toString
+        engine.exportCsv(df, p)
+        val back = graft.sources.Sources.csv(spark, p)
+        println(s"[smoke] engine facade → ${engine.describeResult(df)}; csv round-trip rows=${back.count()}")
+      case Left(e) => println(s"[smoke] engine facade FAILED: ${e.message}")
+    }
+
+    // salted join on a synthetic hot key equals the plain join
+    import spark.implicits._
+    val big = ((1 to 500).map(_ => (1L, "hot")) ++ (2 to 50).map(i => (i.toLong, "cold"))).toDF("k", "v")
+    val dim = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val plainN = big.join(dim, Seq("k")).count()
+    val saltedN = graft.operators.Scale.saltedJoin(big, dim, "k", 8).count()
+    println(s"[smoke] salted join rows=$saltedN plain=$plainN match=${saltedN == plainN}")
     spark.stop()
   }
 }

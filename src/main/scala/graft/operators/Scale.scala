@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out utilities: the partitioning/skew toolkit the 100 TB posture
+  * calls for (build brief: "broadcast small dims, repartition/bucketing for
+  * co-located joins, salting for skew, AQE for runtime re-plan").
+  *
+  * AQE's skew-join splitting handles most skew at runtime; explicit
+  * salting remains the tool when one key dominates so heavily that even a
+  * split partition exceeds memory, or when the skewed side feeds an
+  * aggregation (AQE does not salt aggregates).
+  */
+object Scale {
+
+  /** Deterministic per-row salt in [0, buckets): hash of the whole row —
+    * no rand(), so retries/speculative tasks agree. */
+  def rowSalt(allCols: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(allCols: _*), lit(buckets.toLong)).cast("int")
+
+  /** Skew-safe equi-join: the large (skewed) side gets a deterministic
+    * row salt; every row of the smaller side is replicated to all salt
+    * values. The join key becomes (key, salt), splitting each hot key's
+    * rows across `saltBuckets` reducers. Use when AQE's skew splitting is
+    * not enough (e.g. the hot key's single value exceeds executor memory).
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = skewed.withColumn("__salt",
+      rowSalt(skewed.columns.map(skewed(_)).toSeq, saltBuckets))
+    val replicated = other.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedBig.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase (partial → final) aggregation for skewed group keys:
+    * count/sum-style aggregates first per (key, salt), then per key.
+    * Catalyst's own partial aggregation usually suffices; this shape is
+    * for UDAF-like aggregations with expensive per-group state. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+                     saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", rowSalt(df.columns.map(df(_)).toSeq, saltBuckets))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").as("total"))
+
+  /** Write a table bucketed + sorted on the join key: downstream equi-joins
+    * and aggregations on `keys` skip the shuffle entirely (bucket pruning +
+    * sort-merge without exchange). The standard prep for fact tables that
+    * join on the same key every day. */
+  def writeBucketed(df: DataFrame, tableName: String, keys: Seq[String],
+                    numBuckets: Int): Unit = {
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+    ()
+  }
+
+  /** Co-partition two frames on the join key ahead of repeated joins —
+    * the in-session analogue of bucketing. */
+  def coPartition(a: DataFrame, b: DataFrame, key: String, partitions: Int): (DataFrame, DataFrame) =
+    (a.repartition(partitions, col(key)), b.repartition(partitions, col(key)))
+}

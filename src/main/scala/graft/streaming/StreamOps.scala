@@ -59,14 +59,47 @@ object StreamOps {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup with custom state (`flatMapGroupsWithState`):
+    * events keyed by a dedup key emit only on first sight; later
+    * occurrences are dropped. State per key is a single boolean — at scale
+    * the state store holds one entry per distinct key, and a real
+    * deployment bounds it with state TTL (timeout conf) or a key domain
+    * that rolls with time. */
+  def streamingDedup(events: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(col(keyCol).cast("string").as("k"),
+      to_json(struct(events.columns.map(col): _*)).as("payload"))
+      .as[(String, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }.toDF("k", "payload")
+  }
+
   /** Run a streaming aggregate over the (closed) input to completion via
     * the memory sink; returns the final result table. Complete mode so all
     * windows emit even though the watermark never passes the last one. */
-  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame =
+    runWithMode(spark, agg, name, "complete")
+
+  /** Append-mode runner (stateful ops like streamingDedup emit append). */
+  def runAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+    runWithMode(spark, df, name, "append")
+
+  private def runWithMode(spark: SparkSession, df: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew/partitioning utilities: salted join and salted aggregation must be
+  * result-identical to their plain forms. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on skewed data") {
+    // one hot key (90% of rows) + uniform tail
+    val big = ((1 to 900).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"w$i")))
+      .toDF("k", "payload")
+    val dim = (1 to 101).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(big, dim, "k", saltBuckets = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 1000)
+  }
+
+  test("saltedJoin preserves left-join misses") {
+    val big = Seq((1L, "a"), (2L, "b"), (99L, "miss")).toDF("k", "p")
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "n")
+    val got = Scale.saltedJoin(big, dim, "k", 4, "left")
+      .select("k", "p", "n").collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(1L, "a", "x"), Seq(2L, "b", "y"), Seq(99L, "miss", null)))
+  }
+
+  test("saltedCountSum equals plain groupBy aggregate") {
+    Tables.register(spark, TestSpark.sf0001)
+    val orders = spark.table("orders")
+    val plain = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    val salted = Scale.saltedCountSum(orders, "o_custkey", "o_totalprice", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(salted == plain)
+  }
+
+  test("coPartition makes both sides hash-partitioned on the key") {
+    val (a, b) = Scale.coPartition(
+      Seq((1L, "a")).toDF("k", "v"), Seq((1L, "b")).toDF("k", "w"), "k", 4)
+    assert(a.rdd.getNumPartitions == 4 && b.rdd.getNumPartitions == 4)
+  }
+
+  test("streaming dedup emits each key once (stateful flatMapGroupsWithState)") {
+    import graft.streaming.StreamOps
+    // duplicate-heavy stream: same user ids appear many times
+    val events = StreamOps.eventsStream(spark, TestSpark.sf0001)
+    val deduped = StreamOps.runAppend(spark,
+      StreamOps.streamingDedup(events, "user_id"), "dedup_stream")
+    val keys = deduped.select("k").collect().map(_.getString(0))
+    assert(keys.length == keys.distinct.length, "no key emitted twice")
+    val batchDistinct = Tables.table(spark, TestSpark.sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(keys.length == batchDistinct)
+  }
+}
