@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Fused-loop native cosine (graft.functions.CosineSim) for the scoring
+    * hot paths; registered lazily on the frame's session. Semantics equal
+    * VectorFunctions.cosine (tested). */
+  private def fastCosine(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.CosineSim.register(df.sparkSession)
+    call_function("cosine_sim", a, b)
+  }
+
   /** Deterministic unit-free hyperplanes: numTables × bitsPerTable × dim. */
   def hyperplanes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
     val rng = new scala.util.Random(seed)
@@ -53,7 +62,7 @@ object Similarity {
     val joined = corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
       .filter(col(queryIdCol) =!= col(idCol)) // a vector is trivially its own neighbor
-      .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("sim", fastCosine(corpus, col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
     joined
       .withColumn("rank", row_number().over(w))
@@ -79,7 +88,7 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     candidates
-      .withColumn("sim", cosine(col("__cvec"), col("__qvec")))
+      .withColumn("sim", fastCosine(corpus, col("__cvec"), col("__qvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
@@ -106,7 +115,7 @@ object Similarity {
       .select(col("a"), explode(col("__m")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        fastCosine(corpus, col("a.v"), col("b.v")).as("sim"))
       .filter(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

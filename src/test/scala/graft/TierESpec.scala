@@ -34,6 +34,21 @@ class TierESpec extends AnyFunSuite {
     rows.foreach { case (a, _) => assert(math.abs(got((a, a)) - 1.0) < 1e-9) }
   }
 
+  test("native CosineSim expression equals the built-in composition bit-for-bit") {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.table(spark, TestSpark.sf0001, "embeddings").limit(50)
+    val paired = emb.crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+    val diff = paired.select(
+      (call_function("cosine_sim", col("embedding"), col("e2")) -
+        VectorFunctions.cosine(col("embedding"), col("e2"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"max divergence $diff")
+    // zero vector → 0.0, null → null
+    val z = spark.sql("SELECT cosine_sim(array(0.0F, 0.0F), array(1.0F, 2.0F)) AS a, " +
+      "cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS b").head()
+    assert(z.getDouble(0) == 0.0 && z.isNullAt(1))
+  }
+
   test("cosine properties: symmetry, range, zero-vector") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(-1.0f, 0.5f, 0.0f)), (3L, Seq(0.0f, 0.0f, 0.0f))
