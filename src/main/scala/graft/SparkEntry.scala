@@ -144,8 +144,8 @@ object SparkEntry {
     },
     // Document fingerprint (min-k sketch; xxhash64 is engine-specific) — rows-only
     "q49_fingerprint" -> { (spark, dir) =>
-      Tables.table(spark, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val docs = Tables.table(spark, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.fingerprint(docs, col("text")).as("fp"))
         .orderBy("doc_id").limit(100)
     },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only

@@ -77,9 +77,8 @@ object TextAnalysis {
     * Sort the distinct shingle xxhash64 values, keep the k smallest, hash
     * the sketch to one 64-bit fingerprint. Deterministic; near-identical
     * documents produce identical fingerprints with high probability. */
-  def fingerprint(text: Column, shingleN: Int = 3, k: Int = 8): Column = {
-    val sh = TextDedup.shingles(tokens(text), shingleN)
-    val hashes = array_sort(array_distinct(transform(sh, s => xxhash64(s))))
+  def fingerprint(df: DataFrame, text: Column, shingleN: Int = 3, k: Int = 8): Column = {
+    val hashes = array_sort(array_distinct(TextDedup.shingleHashes(df, text, shingleN)))
     xxhash64(slice(hashes, lit(1), lit(k)))
   }
 

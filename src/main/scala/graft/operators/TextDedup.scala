@@ -46,8 +46,13 @@ object TextDedup {
     array(hashes: _*)
   }
 
-  /** One xxhash64 per shingle string — the only string-width hash pass. */
-  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+  /** N-gram hashes straight from token bytes (graft.functions.ShingleHash):
+    * no n-gram string materialization — the measured dominant cost of the
+    * signature stage. */
+  def shingleHashes(df: DataFrame, text: Column, n: Int): Column = {
+    graft.functions.ShingleHash.register(df.sparkSession)
+    call_function("shingle_hash", tokens(text), lit(n))
+  }
 
   /** (id, __sig) signature frame. The base-hash array is materialized in
     * its own projection: the signature expression references it `numHashes`
@@ -56,8 +61,7 @@ object TextDedup {
     * once per permutation (measured 64× slower at sf0.1). */
   def signatureFrame(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol),
-        shingleHashes(shingles(tokens(col(textCol)), shingleN)).as("__base"))
+    df.select(col(idCol), shingleHashes(df, col(textCol), shingleN).as("__base"))
       .select(col(idCol), minhashSignature(col("__base"), numHashes).as("__sig"))
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`,
@@ -123,8 +127,10 @@ object TextDedup {
                    threshold: Double, shingleN: Int = 3,
                    numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    // verification joins the distinct shingle-HASH sets: set arithmetic on
+    // longs, same Jaccard modulo negligible 64-bit collision probability
     val sh = df.select(
-      col(idCol), array_distinct(shingles(tokens(col(textCol)), shingleN)).as("__sh"))
+      col(idCol), array_distinct(shingleHashes(df, col(textCol), shingleN)).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))

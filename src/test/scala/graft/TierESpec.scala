@@ -84,6 +84,20 @@ class TierESpec extends AnyFunSuite {
     assert(got == Seq("a b", "b c", "c d"))
   }
 
+  test("shingle_hash expression matches scalar reference, incl. short/empty inputs") {
+    graft.functions.ShingleHash.register(spark)
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "one two"), (3L, "solo"), (4L, "")).toDF("id", "text")
+    val got = df.select(col("id"), call_function("shingle_hash", split(col("text"), " "), lit(3)).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == graft.functions.ShingleHash.referenceOf(Seq("alpha", "beta", "gamma", "delta"), 3))
+    assert(got(1L).length == 2)
+    // shorter than n → one hash of everything (clamping parity with shingles())
+    assert(got(2L) == graft.functions.ShingleHash.referenceOf(Seq("one", "two"), 3))
+    assert(got(2L).length == 1 && got(3L).length == 1)
+    // split("", " ") yields [""], so one hash of the empty token
+    assert(got(4L).length == 1)
+  }
+
   test("jaccard column matches scalar definition") {
     val got = spark.sql("SELECT 1").select(
       TextDedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
@@ -189,12 +203,12 @@ class TierESpec extends AnyFunSuite {
 
   test("fingerprint is stable and shared by identical docs only (on sample)") {
     val docs = Tables.table(spark, TestSpark.sf0001, "documents").limit(50)
-    val fp1 = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).collect()
-    val fp2 = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+    val fp1 = docs.select(col("doc_id"), TextAnalysis.fingerprint(docs, col("text")).as("fp")).collect()
+    val fp2 = docs.select(col("doc_id"), TextAnalysis.fingerprint(docs, col("text")).as("fp")).collect()
     assert(fp1.map(_.toSeq).toSeq == fp2.map(_.toSeq).toSeq, "deterministic")
     val planted = Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
-    val fps = planted.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    val fps = planted.select(TextAnalysis.fingerprint(planted, col("text"))).as[Long].collect()
     assert(fps(0) == fps(1))
   }
 
