@@ -148,6 +148,25 @@ object SparkEntry {
       docs.select(col("doc_id"), TextAnalysis.fingerprint(docs, col("text")).as("fp"))
         .orderBy("doc_id").limit(100)
     },
+    // Structured Streaming tumbling window run to completion on the closed
+    // input — hash-checked against the DuckDB BATCH oracle (Q38(E):
+    // streaming output = batch answer on closed input)
+    "q51_stream_hourly" -> { (spark, dir) =>
+      graft.streaming.StreamOps.runToCompletion(spark,
+        graft.streaming.StreamOps.hourlyByType(
+          graft.streaming.StreamOps.eventsStream(spark, dir)),
+        s"q51_mem_${math.abs(dir.hashCode)}")
+        .orderBy("h", "event_type").limit(100)
+    },
+    // Approximate aggregates — the sketch-based scale path for exact
+    // RFM-style rollups (HLL++ inside Spark; values engine-specific →
+    // rows-only; accuracy bounds unit-tested)
+    "q52_approx_distinct" -> { (spark, dir) =>
+      Tables.register(spark, dir)
+      spark.sql("SELECT o_custkey, APPROX_COUNT_DISTINCT(o_orderkey) AS approx_orders, " +
+        "APPROX_PERCENTILE(o_totalprice, 0.5) AS approx_median_price " +
+        "FROM orders GROUP BY o_custkey ORDER BY approx_orders DESC, o_custkey LIMIT 100")
+    },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
     "q50_multimodal" -> { (spark, dir) =>
       Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, dir))
@@ -183,6 +202,12 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id LIMIT 100"),
       "q48_token_count" ->
         ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents " +
-          "ORDER BY n_tokens DESC, doc_id LIMIT 100")
+          "ORDER BY n_tokens DESC, doc_id LIMIT 100"),
+      // the streaming result must equal the batch answer — DuckDB computes
+      // the batch answer directly
+      "q51_stream_hourly" ->
+        ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
+          "SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events " +
+          "GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type LIMIT 100")
     )
 }

@@ -243,6 +243,25 @@ class TierESpec extends AnyFunSuite {
     assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
 
+  test("approximate aggregates land within documented error of exact") {
+    Tables.register(spark, TestSpark.sf0001)
+    val rows = spark.sql(
+      "SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS exact_n, " +
+        "APPROX_COUNT_DISTINCT(o_orderkey, 0.01) AS approx_n FROM orders GROUP BY o_custkey")
+      .collect()
+    // rsd 0.01 keeps small cardinalities in the exact sparse regime
+    // (default 0.05 measured off-by-2 on a cardinality of 8)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= exact * 0.05 + 1, s"cust ${r.get(0)}: $approx vs $exact")
+    }
+    val med = spark.sql(
+      "SELECT APPROX_PERCENTILE(o_totalprice, 0.5) AS m FROM orders").head().getDouble(0)
+    val exactMed = spark.sql(
+      "SELECT PERCENTILE(o_totalprice, 0.5) AS m FROM orders").head().getDouble(0)
+    assert(math.abs(med - exactMed) / exactMed < 0.05)
+  }
+
   test("q36 survivors count equals distinct-text count") {
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")
     val survivors = TextDedup.dedupExactByHash(docs, "doc_id", "text").count()
