@@ -20,6 +20,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.register(spark, sfDir) // catalog work outside the per-query timers
+    // one untimed action: JVM/codegen/scheduler warmup is session init,
+    // not query cost — without it the alphabetically-first query pays it
+    spark.sql("SELECT COUNT(*) FROM region").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

@@ -68,6 +68,16 @@ object Smoke {
     val plainN = big.join(dim, Seq("k")).count()
     val saltedN = graft.operators.Scale.saltedJoin(big, dim, "k", 8).count()
     println(s"[smoke] salted join rows=$saltedN plain=$plainN match=${saltedN == plainN}")
+
+    // partitioned sink round-trip with partition pruning
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_smoke_part").toString
+    graft.sources.Sinks.writePartitionedParquet(docs, outDir, Seq("lang"))
+    val back = graft.sources.Sources.parquet(spark, outDir)
+    val en = back.filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    println(s"[smoke] partitioned sink: total=${back.count()} en-partition=$en dirs=" +
+      new java.io.File(outDir).listFiles().count(f => f.isDirectory && f.getName.startsWith("lang=")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
     spark.stop()
   }
 }
