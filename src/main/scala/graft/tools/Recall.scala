@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN quality/speed tradeoff: recall@k of lshTopK against bruteForceTopK
+  * across LSH parameter settings (dev tool backing BASELINE.md). */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.table(spark, dir, "embeddings")
+    val nQ = 50
+    val k = 10
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t0 = System.nanoTime()
+    val bf = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k))
+    val bfSec = (System.nanoTime() - t0) / 1e9
+    println(f"[recall] corpus=${emb.count()} queries=$nQ k=$k bruteforce=$bfSec%.2f s")
+    for ((tables, bits) <- Seq((4, 8), (8, 8), (8, 6), (16, 6), (16, 4))) {
+      val t1 = System.nanoTime()
+      val got = pairs(Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k,
+        numTables = tables, bitsPerTable = bits))
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = got.intersect(bf).size.toDouble / bf.size
+      println(f"[recall] L=$tables%2d bits=$bits: recall@$k=${recall}%.3f time=$sec%.2f s")
+    }
+    spark.stop()
+  }
+}

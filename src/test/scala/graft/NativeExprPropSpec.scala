@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{CosineSim, ShingleHash, SimHash64, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the native Catalyst expressions: the distributed
+  * evaluation (incl. codegen) must agree with the scalar references on
+  * arbitrary inputs. */
+class NativeExprPropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("a", "b", "über", "東京", ""))))
+
+  test("shingle_hash agrees with scalar reference on arbitrary tokens") {
+    ShingleHash.register(spark)
+    check(forAll(tokenGen, Gen.choose(1, 4)) { (toks, n) =>
+      val got = Seq(Tuple1(toks)).toDF("t")
+        .select(call_function("shingle_hash", col("t"), lit(n)).as("h"))
+        .as[Seq[Long]].head()
+      got == ShingleHash.referenceOf(toks, n)
+    }, "shingle_hash")
+  }
+
+  test("simhash64 agrees with scalar reference on arbitrary tokens") {
+    SimHash64.register(spark)
+    check(forAll(tokenGen) { toks =>
+      val got = Seq(Tuple1(toks)).toDF("t")
+        .select(call_function("simhash64", col("t")).as("h"))
+        .as[Long].head()
+      got == SimHash64.referenceOf(toks)
+    }, "simhash64")
+  }
+
+  test("cosine_sim agrees with scalar reference on arbitrary float vectors") {
+    CosineSim.register(spark)
+    val vecGen = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(2 * n, Gen.choose(-5.0f, 5.0f)).map(l => (l.take(n), l.drop(n))))
+    check(forAll(vecGen) { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(call_function("cosine_sim", col("a"), col("b")).as("s"))
+        .as[Double].head()
+      val expected = VectorFunctions.cosineRef(a, b)
+      math.abs(got - expected) < 1e-9
+    }, "cosine_sim")
+  }
+}
