@@ -65,4 +65,29 @@ object Scale {
     * the in-session analogue of bucketing. */
   def coPartition(a: DataFrame, b: DataFrame, key: String, partitions: Int): (DataFrame, DataFrame) =
     (a.repartition(partitions, col(key)), b.repartition(partitions, col(key)))
+
+  /** Scale-safe NTILE: `NTILE(n) OVER (ORDER BY x)` forces every row into
+    * ONE partition (Spark warns exactly this). For billions of rows the
+    * distributed equivalent is: compute the n-1 quantile boundaries once
+    * (approx_percentile — a tiny aggregate), broadcast them, and bucket
+    * each row with a scan-local comparison. Bucket numbering matches
+    * NTILE's ascending convention up to boundary ties/approximation —
+    * exact NTILE also splits equal values across buckets by position,
+    * which no value-based method can reproduce. */
+  def ntileByQuantiles(df: DataFrame, valueCol: String, n: Int,
+                       outCol: String = "ntile", accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until n).map(_.toDouble / n)
+    val boundaries = df.select(
+      percentile_approx(col(valueCol), typedLit(probs), lit(accuracy)).as("b"))
+      .head().getSeq[Any](0).map {
+        case d: java.lang.Double => d.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+      }
+    val bucket = boundaries.zipWithIndex.foldRight(lit(n): Column) {
+      case ((b, i), acc) => when(col(valueCol).cast("double") <= b, lit(i + 1)).otherwise(acc)
+    }
+    df.withColumn(outCol, bucket)
+  }
 }

@@ -48,6 +48,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.rdd.getNumPartitions == 4 && b.rdd.getNumPartitions == 4)
   }
 
+  test("ntileByQuantiles approximates exact NTILE within boundary tolerance") {
+    Tables.register(spark, TestSpark.sf0001)
+    val monetary = spark.sql(
+      "SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
+        "FROM orders GROUP BY o_custkey")
+    val exact = spark.sql(
+      "SELECT o_custkey, NTILE(4) OVER (ORDER BY monetary, o_custkey) AS nt FROM " +
+        "(SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
+        "FROM orders GROUP BY o_custkey) t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val approx = Scale.ntileByQuantiles(monetary, "monetary", 4, "nt")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(approx.values.toSet == Set(1, 2, 3, 4), "all buckets populated")
+    // bucket assignment may differ by at most one at quantile boundaries
+    // (.toSeq matters: Map.keys is a Set and Set.map would dedup the drifts)
+    val drift = exact.keys.toSeq.map(k => math.abs(exact(k) - approx(k)))
+    assert(drift.max <= 1, s"max drift ${drift.max}")
+    assert(drift.count(_ == 0).toDouble / exact.size > 0.9, "≥90% exact agreement")
+  }
+
   test("streaming dedup emits each key once (stateful flatMapGroupsWithState)") {
     import graft.streaming.StreamOps
     // duplicate-heavy stream: same user ids appear many times
