@@ -28,15 +28,20 @@ object Sources {
     }
   }
 
+  /** URL-generic single-partition JDBC read (also the test seam: an
+    * embedded Derby URL exercises the identical code path as a remote
+    * PostgreSQL/MySQL one). */
+  def jdbcByUrl(spark: SparkSession, url: String, table: String,
+                options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    options.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
   /** Single-partition JDBC table read (the reference's exact shape —
     * correct for dimension-sized tables only). */
   def jdbcTable(spark: SparkSession, cfg: DbConfig, table: String): DataFrame =
-    spark.read.format("jdbc")
-      .option("url", cfg.jdbcUrl)
-      .option("dbtable", table)
-      .option("user", cfg.user)
-      .option("password", cfg.password)
-      .load()
+    jdbcByUrl(spark, cfg.jdbcUrl, table,
+      Map("user" -> cfg.user, "password" -> cfg.password))
 
   /** Parallel JDBC read split on a numeric column — the scale path. */
   def jdbcPartitioned(spark: SparkSession, cfg: DbConfig, table: String,
