@@ -124,6 +124,14 @@ object SparkEntry {
           "qid", "qvec", k = 5, numTables = 16, bitsPerTable = 4)
         .orderBy("query_id", "rank").limit(100)
     },
+    // IVF coarse-quantizer ANN (the nprobe/nlist alternative to LSH) — rows-only
+    "q53_ann_ivf" -> { (spark, dir) =>
+      val emb = Tables.table(spark, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank").limit(100)
+    },
     // Language-ID heuristic — rows-only (CASE-ladder argmax, deterministic)
     "q46_langid" -> { (spark, dir) =>
       Tables.table(spark, dir, "documents")

@@ -94,6 +94,50 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer
+    * alternative to hyperplane LSH. `nlist` centroids are chosen as a
+    * deterministic sample of the corpus (k-means would refine them; the
+    * sampled quantizer keeps the operator dependency-free and is the
+    * standard bootstrap), every vector is assigned to its nearest
+    * centroid, and a query probes only the `nprobe` nearest lists.
+    * Shuffle is one pass of (list_id, vector); the query side broadcasts.
+    * Recall/latency tune via nlist (partition granularity) and nprobe. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, queryIdCol: String, queryVecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.CosineSim.register(spark)
+    // deterministic coarse quantizer: the nlist lowest-id vectors stand in
+    // for centroids (testdata ids are uniform; real deployments feed
+    // k-means output here — the plan shape is identical)
+    val centroids = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centroidArr = typedLit(centroids.map(_._2.toSeq).toSeq)
+    def nearestLists(vec: Column, n: Int): Column = {
+      // rank centroids by cosine to vec; take the n best list ids
+      val sims = array((0 until centroids.length).map { i =>
+        struct(call_function("cosine_sim", vec, element_at(centroidArr, i + 1)).as("s"),
+          lit(i).as("list"))
+      }: _*)
+      slice(transform(array_sort(sims, (a, b) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)),
+        x => x.getField("list")), 1, n)
+    }
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+      element_at(nearestLists(col(vecCol), 1), 1).as("__list"))
+    val probed = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"),
+      explode(nearestLists(col(queryVecCol), nprobe)).as("__list"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probed), Seq("__list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", call_function("cosine_sim", col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
     * collision in any table) verified by exact cosine ≥ threshold.
     * Output: (id_a, id_b, sim), id_a < id_b. */

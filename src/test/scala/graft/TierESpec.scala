@@ -162,6 +162,33 @@ class TierESpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: exact scores, recall grows with nprobe") {
+    val emb = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+        nlist = 16, nprobe = nprobe)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val r2 = recallAt(2)
+    val rAll = recallAt(16)
+    assert(rAll >= r2, s"recall must not shrink with more probes ($r2 -> $rAll)")
+    // probing every list = exhaustive search = recall 1
+    assert(rAll == 1.0, s"full probe recall $rAll")
+    // scores are exact cosines
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5, 16, 4)
+      .collect().foreach { r =>
+        val expected = VectorFunctions.cosineRef(vecs(r.getLong(0)), vecs(r.getLong(1)))
+        assert(math.abs(r.getDouble(2) - expected) < 1e-9)
+      }
+  }
+
   test("brute-force top-k ranks by exact cosine desc") {
     val emb = Tables.table(spark, TestSpark.sf0001, "embeddings")
     val queries = emb.filter(col("vec_id") === 0)
