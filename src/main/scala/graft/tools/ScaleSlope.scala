@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.Tables
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Fixed-cost vs marginal-cost measurement: run the canonical aggregate
   * (q04 shape) on 1× and 8× lineitem and report the slope. Dev tool backing
@@ -33,7 +34,25 @@ object ScaleSlope {
     time("warmup 1x", q("lineitem"))
     val t1 = (1 to 3).map(i => time(s"1x run$i", q("lineitem"))).min
     val t8 = (1 to 3).map(i => time(s"8x run$i", q("lineitem8"))).min
-    println(f"[slope] best 1x=$t1%.3f s, best 8x=$t8%.3f s, marginal per extra 7x data = ${(t8 - t1) / 7}%.4f s/sf0.1")
+    println(f"[slope] sql agg: best 1x=$t1%.3f s, best 8x=$t8%.3f s, marginal per extra 7x data = ${(t8 - t1) / 7}%.4f s/sf0.1")
+
+    // tier-E slope: MinHash signature+banding (the scan-linear stage) on 1x/8x documents
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.TextDedup
+    val docs = spark.table("documents")
+    val docs8 = (0 until 8).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+    def sigTime(name: String, df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      TextDedup.signatureFrame(df, "doc_id", "text", 2, 64)
+        .select(expr("bit_xor(xxhash64(__sig))")).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[slope] $name: $dt%.3f s"); dt
+    }
+    sigTime("minhash warmup", docs)
+    val s1 = (1 to 2).map(i => sigTime(s"minhash 1x run$i", docs)).min
+    val s8 = (1 to 2).map(i => sigTime(s"minhash 8x run$i", docs8)).min
+    println(f"[slope] minhash signatures: 1x(5k docs)=$s1%.3f s, 8x(40k)=$s8%.3f s, marginal = ${(s8 - s1) / 7}%.4f s per 5k docs")
     spark.stop()
   }
 }
