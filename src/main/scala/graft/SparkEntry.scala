@@ -132,6 +132,17 @@ object SparkEntry {
           "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
         .orderBy("query_id", "rank").limit(100)
     },
+    // Bucketed time-range join (scale-safe form of the non-equi join Spark
+    // would execute as BNL) — oracle-checked against DuckDB's IEJoin.
+    // Timestamps truncated to seconds in both texts: events.ts is ns in
+    // parquet and µs in Spark, so sub-second precision cannot hash-match.
+    "q54_range_join" -> { (spark, dir) =>
+      val ev = Tables.table(spark, dir, "events")
+        .select(col("event_id"), date_trunc("second", col("ts")).as("ts"))
+      graft.operators.TimeJoins.rangeJoin(ev, ev, "ts", "ts", 120L)
+        .select(col("l_event_id"), col("r_event_id"))
+        .orderBy("l_event_id", "r_event_id").limit(100)
+    },
     // Language-ID heuristic — rows-only (CASE-ladder argmax, deterministic)
     "q46_langid" -> { (spark, dir) =>
       Tables.table(spark, dir, "documents")
@@ -218,6 +229,11 @@ object SparkEntry {
       "q51_stream_hourly" ->
         ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
           "SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events " +
-          "GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type LIMIT 100")
+          "GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type LIMIT 100"),
+      "q54_range_join" ->
+        ("SELECT a.event_id AS l_event_id, b.event_id AS r_event_id FROM events a JOIN events b " +
+          "ON date_trunc('second', b.ts) >= date_trunc('second', a.ts) " +
+          "AND date_trunc('second', b.ts) <= date_trunc('second', a.ts) + INTERVAL 120 SECOND " +
+          "ORDER BY l_event_id, r_event_id LIMIT 100")
     )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range and as-of joins on time columns — operators Spark's planner
+  * executes as broadcast-nested-loop/cartesian when written naively
+  * (`a.ts BETWEEN b.ts AND b.ts + tol` is a non-equi condition). The
+  * scale-safe form used here follows the standard bucketization technique:
+  * quantize time into `tolerance`-wide buckets, turn the range predicate
+  * into an equi-join on bucket ids (each probe row also joins the adjacent
+  * bucket), and apply the exact predicate as a post-filter. Shuffle is
+  * linear in input size and AQE handles bucket skew — no cartesian
+  * product at any scale.
+  */
+object TimeJoins {
+
+  private def bucketOf(ts: Column, toleranceSec: Long): Column =
+    floor(unix_timestamp(ts) / toleranceSec).cast("long")
+
+  /** Pairs (left, right) with rightTs ∈ [leftTs, leftTs + tolerance].
+    * Column names of both inputs are preserved with the given prefixes. */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftTs: String, rightTs: String, toleranceSec: Long,
+                leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+    val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, leftPrefix + c))
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
+    val lc = col(leftPrefix + leftTs)
+    val rc = col(rightPrefix + rightTs)
+    // a right row in [leftTs, leftTs+tol] lives in the left row's bucket or
+    // the next one — explode the PROBE side to both keys, build side stays 1×
+    val lB = l.withColumn("__b", explode(array(bucketOf(lc, toleranceSec), bucketOf(lc, toleranceSec) + 1)))
+    val rB = r.withColumn("__b", bucketOf(rc, toleranceSec))
+    lB.join(rB, Seq("__b"))
+      .filter(rc >= lc && rc <= lc + expr(s"INTERVAL $toleranceSec SECOND"))
+      .drop("__b")
+  }
+
+  /** As-of join: for each left row, the LATEST right row with
+    * rightTs ∈ [leftTs - tolerance, leftTs] per join key. The canonical
+    * time-series enrichment (trade → most recent quote). Rows with no
+    * right match within tolerance are dropped (inner as-of). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, toleranceSec: Long,
+               leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+    val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, leftPrefix + c))
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
+    val lc = col(leftPrefix + leftTs)
+    val rc = col(rightPrefix + rightTs)
+    val lB = l.withColumn("__b", explode(array(bucketOf(lc, toleranceSec) - 1, bucketOf(lc, toleranceSec))))
+    val rB = r.withColumn("__b", bucketOf(rc, toleranceSec))
+    val candidates = lB
+      .join(rB, col(leftPrefix + key) === col(rightPrefix + key) && lB("__b") === rB("__b"))
+      .filter(rc <= lc && rc >= lc - expr(s"INTERVAL $toleranceSec SECOND"))
+    // keep the latest right row per left row
+    val leftCols = l.columns.map(col)
+    candidates
+      .groupBy(leftCols: _*)
+      .agg(max_by(struct(r.columns.map(col): _*), rc).as("__best"))
+      .select(leftCols :+ col("__best.*"): _*)
+  }
+}
