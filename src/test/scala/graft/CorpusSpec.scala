@@ -16,6 +16,16 @@ class CorpusSpec extends AnyFunSuite {
     ids.foreach(id => assert(SparkEntry.oracleSql.contains(id), s"no oracle for $id"))
   }
 
+  test("every oracleSql key has a queries entry (no orphaned oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query entry: $orphans")
+  }
+
+  test("driver contract shape: entry returns rows, keys are stable identifiers") {
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d+[a-z0-9_]*")))
+    assert(SparkEntry.queries.size >= 50)
+  }
+
   test("dual-text queries differ only where engines share no spelling") {
     val duals = Corpus.queries.filter(_.duckSqlOverride.isDefined).map(_.id)
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff"))
