@@ -35,10 +35,15 @@ object Corpus {
     DeclaredQuery("q03_literal",
       "SELECT 'Schema unavailable' AS error_message LIMIT 100"),
 
-    // Q04 — canonical ranking aggregate (prompts.py:28)
+    // Q04 — canonical ranking aggregate (prompts.py:28). Money is summed
+    // over DECIMAL(18,2) for exactness, then EXPOSED AS BIGINT CENTS:
+    // the driver's comparator renders the DuckDB oracle through pandas,
+    // which floats DECIMAL/HUGEINT ("123.40" → "123.4") while Spark's
+    // parquet decimals stay exact — so no hashed output may carry a
+    // DECIMAL or HUGEINT type. BIGINT is rendered identically everywhere.
     DeclaredQuery("q04_agg_rank",
-      "SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_sales " +
-        "FROM lineitem GROUP BY l_suppkey ORDER BY total_sales DESC, l_suppkey LIMIT 100"),
+      "SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_sales_cents " +
+        "FROM lineitem GROUP BY l_suppkey ORDER BY total_sales_cents DESC, l_suppkey LIMIT 100"),
 
     // Q05 — multi-aggregate, multi-key sort (prompts.py:33,35,117) [dual].
     // The average is exposed as exact integer cents: DuckDB's AVG(DECIMAL)
@@ -49,12 +54,12 @@ object Corpus {
     // boundary, since the fractional part of sum*100/n sits at least 1/n
     // cents from an integer), DuckDB through integer floor-division.
     DeclaredQuery("q05_multi_agg",
-      "SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt, " +
+      "SELECT o_custkey, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS amt_cents, " +
         "CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS avg_cents " +
-        "FROM orders GROUP BY o_custkey ORDER BY amt DESC, n DESC, o_custkey LIMIT 100",
-      Some("SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt, " +
+        "FROM orders GROUP BY o_custkey ORDER BY amt_cents DESC, n DESC, o_custkey LIMIT 100",
+      Some("SELECT o_custkey, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS amt_cents, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) // COUNT(*) AS avg_cents " +
-        "FROM orders GROUP BY o_custkey ORDER BY amt DESC, n DESC, o_custkey LIMIT 100")),
+        "FROM orders GROUP BY o_custkey ORDER BY amt_cents DESC, n DESC, o_custkey LIMIT 100")),
 
     // Q06 — COUNT(DISTINCT), the RFM Frequency op (prompts.py:111)
     DeclaredQuery("q06_count_distinct",
@@ -69,14 +74,14 @@ object Corpus {
     // Q08 — RFM composite, the reference's flagship pattern (prompts.py:108-112)
     DeclaredQuery("q08_rfm",
       "SELECT o_custkey, MAX(o_orderdate) AS recency, COUNT(DISTINCT o_orderkey) AS frequency, " +
-        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
-        "FROM orders GROUP BY o_custkey ORDER BY monetary DESC, o_custkey LIMIT 100"),
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents " +
+        "FROM orders GROUP BY o_custkey ORDER BY monetary_cents DESC, o_custkey LIMIT 100"),
 
     // Q09 — 2-way equi-join + rollup (error_query.sql:8-11, prompts.py:47)
     DeclaredQuery("q09_join_agg",
-      "SELECT c.c_custkey, c.c_name, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total " +
+      "SELECT c.c_custkey, c.c_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "GROUP BY c.c_custkey, c.c_name ORDER BY total DESC, c.c_custkey LIMIT 100"),
+        "GROUP BY c.c_custkey, c.c_name ORDER BY total_cents DESC, c.c_custkey LIMIT 100"),
 
     // Q10 — 3-way dimension chain (prompts.py:46-48)
     DeclaredQuery("q10_join3_dims",
@@ -87,11 +92,11 @@ object Corpus {
 
     // Q11 — 4-way fact→dim chain (prompts.py:50-51)
     DeclaredQuery("q11_join4_chain",
-      "SELECT n.n_name, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev FROM lineitem l " +
+      "SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents FROM lineitem l " +
         "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
         "JOIN customer c ON o.o_custkey = c.c_custkey " +
         "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
-        "GROUP BY n.n_name ORDER BY rev DESC, n.n_name LIMIT 100"),
+        "GROUP BY n.n_name ORDER BY rev_cents DESC, n.n_name LIMIT 100"),
 
     // Q12 — UNION ALL + trailing global sort/limit, the only legal ordering
     // position in the reference's union shape (prompts.py:15-20,60-63,93-99)
@@ -107,26 +112,28 @@ object Corpus {
 
     // Q14 — sorted+limited derived table, outer re-sort (prompts.py:62,68)
     DeclaredQuery("q14_subquery_sort",
-      "SELECT id, amt FROM (SELECT o_orderkey AS id, CAST(o_totalprice AS DECIMAL(18,2)) AS amt " +
-        "FROM orders ORDER BY amt DESC, id LIMIT 10) t ORDER BY amt ASC, id LIMIT 100"),
+      "SELECT id, amt_cents FROM (SELECT o_orderkey AS id, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt_cents " +
+        "FROM orders ORDER BY amt_cents DESC, id LIMIT 10) t ORDER BY amt_cents ASC, id LIMIT 100"),
 
     // Q15 — precomputed-aggregate derived table (prompts.py:67)
     DeclaredQuery("q15_derived_agg",
-      "SELECT store, total FROM (SELECT l_suppkey AS store, " +
-        "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total FROM lineitem GROUP BY l_suppkey) t " +
-        "ORDER BY total DESC, store LIMIT 100"),
+      "SELECT store, total_cents FROM (SELECT l_suppkey AS store, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents " +
+        "FROM lineitem GROUP BY l_suppkey) t " +
+        "ORDER BY total_cents DESC, store LIMIT 100"),
 
     // Q16 — top-3-per-group via ROW_NUMBER, the error_query.sql query done
     // right (prompts.py:86,113-118; error_query.sql:1-15)
     DeclaredQuery("q16_topn_window",
-      "SELECT store_id, customer_id, total_spent FROM (" +
+      "SELECT store_id, customer_id, total_spent_cents FROM (" +
         "SELECT l.l_suppkey AS store_id, o.o_custkey AS customer_id, " +
-        "SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_spent, " +
+        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_spent_cents, " +
         "ROW_NUMBER() OVER (PARTITION BY l.l_suppkey " +
         "ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) DESC, o.o_custkey) AS rn " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
         "GROUP BY l.l_suppkey, o.o_custkey) ranked WHERE rn <= 3 " +
-        "ORDER BY store_id, total_spent DESC, customer_id LIMIT 100"),
+        "ORDER BY store_id, total_spent_cents DESC, customer_id LIMIT 100"),
 
     // Q17 — RANK (prompts.py:86)
     DeclaredQuery("q17_rank",
@@ -136,22 +143,23 @@ object Corpus {
 
     // Q18 — NTILE, the RFM 1-5 scoring op (prompts.py:86,108-112)
     DeclaredQuery("q18_ntile",
-      "SELECT o_custkey, monetary, NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score " +
-        "FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
-        "FROM orders GROUP BY o_custkey) t ORDER BY monetary DESC, o_custkey LIMIT 100"),
+      "SELECT o_custkey, monetary_cents, CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_score " +
+        "FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents " +
+        "FROM orders GROUP BY o_custkey) t ORDER BY monetary_cents DESC, o_custkey LIMIT 100"),
 
     // Q19 — CTE, PG-branch surface (prompts.py:85 forbids on MySQL only)
     DeclaredQuery("q19_cte",
-      "WITH cust_rev AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+      "WITH cust_rev AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents " +
         "FROM orders GROUP BY o_custkey) " +
-        "SELECT c.c_name, cr.rev FROM cust_rev cr JOIN customer c ON c.c_custkey = cr.o_custkey " +
-        "ORDER BY cr.rev DESC, c.c_name LIMIT 100"),
+        "SELECT c.c_name, cr.rev_cents FROM cust_rev cr JOIN customer c ON c.c_custkey = cr.o_custkey " +
+        "ORDER BY cr.rev_cents DESC, c.c_name LIMIT 100"),
 
     // Q20 — percentile emulation by sort+limit, the mandated MySQL pattern
     // (prompts.py:90). 7500 = half of sf0.01's 15,000 orders.
     DeclaredQuery("q20_percentile_emul",
-      "SELECT MAX(v) AS approx_median FROM (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v " +
-        "FROM orders ORDER BY v, o_orderkey LIMIT 7500) t"),
+      "SELECT MAX(v_cents) AS approx_median_cents FROM (SELECT " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents " +
+        "FROM orders ORDER BY v_cents, o_orderkey LIMIT 7500) t"),
 
     // Q21 — date-part grouping (prompts.py:110,121 date columns; umbrella)
     DeclaredQuery("q21_extract_year",
@@ -201,7 +209,7 @@ object Corpus {
 
     // Q31 — events batch aggregate (streaming analogue, batch mode)
     DeclaredQuery("q31_events_agg",
-      "SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total " +
+      "SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents " +
         "FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"),
 
     // Q32 — tumbling hour bucket, batch form of the streaming window

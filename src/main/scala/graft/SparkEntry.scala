@@ -177,6 +177,10 @@ object SparkEntry {
         graft.streaming.StreamOps.hourlyByType(
           graft.streaming.StreamOps.eventsStream(spark, dir)),
         s"q51_mem_${math.abs(dir.hashCode)}")
+        // BIGINT cents: hashed outputs must never carry DECIMAL (the
+        // driver's oracle path floats decimals; see Corpus Q04 note)
+        .select(col("h"), col("event_type"), col("n"),
+          (col("total") * 100).cast("long").as("total_cents"))
         .orderBy("h", "event_type").limit(100)
     },
     // Approximate aggregates — the sketch-based scale path for exact
@@ -203,8 +207,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Corpus.queries.map(q => q.id -> q.duckSql).toMap ++ Map(
       "q25_limit_inject" -> "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100",
+      // CAST the SUM: DuckDB SUM(BIGINT) is HUGEINT, which its pandas
+      // path renders as float ("99111.0") — BIGINT renders like Spark's.
       "q34_json_extract" ->
-        ("SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum " +
+        ("SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum " +
           "FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"),
       "q35_dedup_exact" -> "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_uniq FROM documents",
       "q37_token_stats" ->
@@ -215,11 +221,13 @@ object SparkEntry {
           "len(list_intersect(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' ')))) AS n_common, " +
           "len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' '))))) AS n_union " +
           "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a LIMIT 100"),
+      // list_sum returns HUGEINT → DuckDB's pandas path floats it; CAST
+      // every derived metric to BIGINT so both engines render identically.
       "q47_quality" ->
         ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
           "len(list_distinct(string_split(text, ' '))) AS n_distinct, " +
-          "(100 * len(list_distinct(string_split(text, ' ')))) // len(string_split(text, ' ')) AS diversity_pct, " +
-          "(10 * list_sum(list_transform(string_split(text, ' '), w -> len(w)))) // len(string_split(text, ' ')) AS mean_token_len_tenths " +
+          "CAST((100 * len(list_distinct(string_split(text, ' ')))) // len(string_split(text, ' ')) AS BIGINT) AS diversity_pct, " +
+          "CAST((10 * list_sum(list_transform(string_split(text, ' '), w -> len(w)))) // len(string_split(text, ' ')) AS BIGINT) AS mean_token_len_tenths " +
           "FROM documents ORDER BY doc_id LIMIT 100"),
       "q48_token_count" ->
         ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents " +
@@ -228,7 +236,7 @@ object SparkEntry {
       // the batch answer directly
       "q51_stream_hourly" ->
         ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
-          "SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents FROM events " +
           "GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type LIMIT 100"),
       "q54_range_join" ->
         ("SELECT a.event_id AS l_event_id, b.event_id AS r_event_id FROM events a JOIN events b " +

@@ -3,32 +3,24 @@
 
 Usage: python3 tools/oracle_check.py <sfdir> <verify_out_dir>
 
-Reads each <name>/ parquet dump written by graft.Verify, runs the
-matching SQL from oracle_sql.json in DuckDB over the same testdata
-parquet, and compares: column names (sorted), row count, and cell
-values (canonical string form, columns sorted by name, rows in result
-order). Prints PASS/FAIL per query.
+Round-1 lesson (CORRECTNESS_r01.json): the driver reads the SPARK dump
+via pyarrow→pandas (parquet decimals stay exact `Decimal('123.40')`)
+but materializes the ORACLE via duckdb's pandas path, which converts
+DECIMAL and HUGEINT to float64 ("123.4", "99111.0"), then compares the
+cells as strings (int32-vs-int64 passed, trailing-zero decimals
+failed). This mimic reproduces those exact read paths so a local pass
+predicts a driver pass. The engine-side rule that follows: hashed
+outputs must never carry DECIMAL or HUGEINT types — money is exposed
+as BIGINT cents (see Corpus.scala Q04 note).
 """
-import sys, os, json, glob, decimal, datetime
+import sys, os, json, glob
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-
-def canon(v):
-    if v is None:
-        return ""
-    if isinstance(v, float):
-        # repr roundtrip; driver likely similar. Flag floats loudly elsewhere.
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+RISKY = ("float", "object")  # dtypes whose string render can drift
 
 
 def main(sfdir, outdir):
@@ -43,38 +35,44 @@ def main(sfdir, outdir):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(os.path.join(d, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
         if not files:
             print(f"SKIP {name}: no parquet dump")
             continue
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        gcols, grows = got.columns, got.fetchall()
+        # driver path A: spark dump via pyarrow → pandas
+        sdf = pq.read_table(files).to_pandas()
         if name not in oracle:
-            print(f"ROWS-ONLY {name}: {len(grows)} rows, cols={gcols}")
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}")
             continue
-        exp = con.sql(oracle[name])
-        ecols, erows = exp.columns, exp.fetchall()
+        # driver path B: oracle via duckdb → pandas (.df(): DECIMAL/HUGEINT → float64)
+        odf = con.sql(oracle[name]).df()
         ok = True
         msgs = []
-        if sorted(gcols) != sorted(ecols):
+        if sorted(sdf.columns) != sorted(odf.columns):
             ok = False
-            msgs.append(f"cols {sorted(gcols)} != {sorted(ecols)}")
-        if len(grows) != len(erows):
+            msgs.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if len(sdf) != len(odf):
             ok = False
-            msgs.append(f"rowcount {len(grows)} != {len(erows)}")
+            msgs.append(f"rowcount {len(sdf)} != {len(odf)}")
         if ok:
-            gidx = [gcols.index(c) for c in sorted(gcols)]
-            eidx = [ecols.index(c) for c in sorted(ecols)]
-            for i, (gr, er) in enumerate(zip(grows, erows)):
-                gs = [canon(gr[j]) for j in gidx]
-                es = [canon(er[j]) for j in eidx]
+            scols = sorted(sdf.columns)
+            warn_dtypes = []
+            for c in scols:
+                sd, od = str(sdf[c].dtype), str(odf[c].dtype)
+                if sd != od and (any(r in sd for r in RISKY) or any(r in od for r in RISKY)):
+                    warn_dtypes.append(f"{c}: spark={sd} oracle={od}")
+            if warn_dtypes:
+                print(f"WARN {name}: risky dtype mismatch — {'; '.join(warn_dtypes)}")
+            for i in range(len(sdf)):
+                gs = [str(sdf[c].iloc[i]) for c in scols]
+                es = [str(odf[c].iloc[i]) for c in scols]
                 if gs != es:
                     ok = False
                     msgs.append(f"row {i}: {gs} != {es}")
                     break
         if ok:
             n_pass += 1
-            print(f"PASS {name} ({len(grows)} rows)")
+            print(f"PASS {name} ({len(sdf)} rows)")
         else:
             n_fail += 1
             print(f"FAIL {name}: {'; '.join(msgs)}")
