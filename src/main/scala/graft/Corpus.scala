@@ -215,7 +215,91 @@ object Corpus {
     // Q32 — tumbling hour bucket, batch form of the streaming window
     DeclaredQuery("q32_time_bucket",
       "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n FROM events " +
-        "GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type LIMIT 100")
+        "GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type LIMIT 100"),
+
+    // ---- Round-2 surface extensions (SURVEY §2.2 rows the reference
+    // lacks but any engine replacing it should cover; each maps to an
+    // "absent" S-row now implemented). Same determinism rules apply. ----
+
+    // Q55 — ROLLUP subtotals (S25). COALESCE labels the subtotal rows:
+    // NULL strings render as None (pyarrow) vs NaN (DuckDB pandas), so
+    // hashed outputs avoid NULLs entirely.
+    DeclaredQuery("q55_rollup",
+      "SELECT COALESCE(r.r_name, '(all)') AS region, COALESCE(n.n_name, '(all)') AS nation, " +
+        "COUNT(*) AS n FROM customer c " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY region, nation LIMIT 100"),
+
+    // Q56 — OFFSET pagination (S38); Spark grammar orders LIMIT before OFFSET
+    DeclaredQuery("q56_offset",
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 20"),
+
+    // Q57 — INTERSECT (S42, distinct set semantics)
+    DeclaredQuery("q57_intersect",
+      "SELECT nk FROM (SELECT c_nationkey AS nk FROM customer " +
+        "INTERSECT SELECT s_nationkey FROM supplier) t ORDER BY nk LIMIT 100"),
+
+    // Q58 — EXCEPT (S42); parity filter keeps the result non-empty
+    DeclaredQuery("q58_except",
+      "SELECT pk FROM (SELECT p_partkey AS pk FROM part " +
+        "EXCEPT SELECT p_partkey FROM part WHERE p_partkey % 2 = 0) t ORDER BY pk LIMIT 100"),
+
+    // Q59 — correlated scalar subquery (S46); Catalyst decorrelates to an
+    // aggregate + left outer join, no per-row re-execution
+    DeclaredQuery("q59_corr_scalar",
+      "SELECT c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders " +
+        "FROM customer c ORDER BY n_orders DESC, c_custkey LIMIT 100"),
+
+    // Q60 — math / regex / array functions (S54) [dual: array membership
+    // spells array_contains(split()) in Spark, list_contains(string_split())
+    // in DuckDB; regexp_extract is a shared spelling]
+    DeclaredQuery("q60_math_regex",
+      "SELECT p_partkey, p_partkey % 7 AS m7, ABS(p_partkey - 500) AS dist, " +
+        "LENGTH(p_name) AS name_len, regexp_extract(p_name, '([a-z]+)', 1) AS first_word, " +
+        "array_contains(split(p_name, ' '), 'green') AS has_green " +
+        "FROM part ORDER BY p_partkey LIMIT 100",
+      Some("SELECT p_partkey, p_partkey % 7 AS m7, ABS(p_partkey - 500) AS dist, " +
+        "LENGTH(p_name) AS name_len, regexp_extract(p_name, '([a-z]+)', 1) AS first_word, " +
+        "list_contains(string_split(p_name, ' '), 'green') AS has_green " +
+        "FROM part ORDER BY p_partkey LIMIT 100")),
+
+    // Q61 — PIVOT to one column per status (S54 umbrella) [dual: Spark has
+    // a true PIVOT clause (COALESCE fills combos PIVOT leaves NULL);
+    // DuckDB oracle uses FILTER conditional aggregation]
+    DeclaredQuery("q61_pivot",
+      "SELECT yr, COALESCE(n_f, 0) AS n_f, COALESCE(n_o, 0) AS n_o, COALESCE(n_p, 0) AS n_p " +
+        "FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, o_orderstatus FROM orders) " +
+        "PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p)) " +
+        "ORDER BY yr LIMIT 100",
+      Some("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, " +
+        "COUNT(*) FILTER (o_orderstatus = 'F') AS n_f, " +
+        "COUNT(*) FILTER (o_orderstatus = 'O') AS n_o, " +
+        "COUNT(*) FILTER (o_orderstatus = 'P') AS n_p " +
+        "FROM orders GROUP BY 1 ORDER BY yr LIMIT 100")),
+
+    // Q62 — LAG/LEAD offset windows (S30 umbrella); COALESCE keeps the
+    // edge rows integer-typed (NULL ints float to NaN in pandas)
+    DeclaredQuery("q62_lag_lead",
+      "SELECT o_custkey, o_orderkey, " +
+        "COALESCE(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), -1) AS prev_ok, " +
+        "COALESCE(LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), -1) AS next_ok " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100"),
+
+    // Q63 — running total with an explicit ROWS frame (S30 umbrella);
+    // cents in, CAST out (DuckDB windowed SUM(BIGINT) is HUGEINT)
+    DeclaredQuery("q63_running_sum",
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) " +
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100"),
+
+    // Q64 — correlated EXISTS → semi join (S46/S14)
+    DeclaredQuery("q64_exists",
+      "SELECT c_custkey FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') " +
+        "ORDER BY c_custkey LIMIT 100")
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap

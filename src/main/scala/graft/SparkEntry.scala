@@ -213,6 +213,11 @@ object SparkEntry {
         ("SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum " +
           "FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"),
       "q35_dedup_exact" -> "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_uniq FROM documents",
+      // promoted round 2: dedupExactByHash keeps MIN(doc_id) per distinct
+      // text (modulo xxhash64 collisions, negligible at any tested SF)
+      "q36_dedup_survivors" ->
+        ("SELECT doc_id FROM (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) t " +
+          "ORDER BY doc_id LIMIT 1000"),
       "q37_token_stats" ->
         ("SELECT token, COUNT(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
           "FROM documents) t GROUP BY token ORDER BY n DESC, token LIMIT 100"),

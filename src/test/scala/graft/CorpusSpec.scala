@@ -28,7 +28,8 @@ class CorpusSpec extends AnyFunSuite {
 
   test("dual-text queries differ only where engines share no spelling") {
     val duals = Corpus.queries.filter(_.duckSqlOverride.isDefined).map(_.id)
-    assert(duals.toSet == Set("q05_multi_agg", "q22_datediff"))
+    // q60: array membership spelling; q61: Spark PIVOT vs DuckDB FILTER
+    assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex", "q61_pivot"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
