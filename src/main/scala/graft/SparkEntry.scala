@@ -183,6 +183,17 @@ object SparkEntry {
           (col("total") * 100).cast("long").as("total_cents"))
         .orderBy("h", "event_type").limit(100)
     },
+    // Stream-stream interval join (attribution: purchases within 30 min of
+    // a click, same user) run to completion on the closed input —
+    // hash-checked against the DuckDB batch join (same contract as q51)
+    "q65_stream_join" -> { (spark, dir) =>
+      graft.streaming.StreamOps.runAppend(spark,
+        graft.streaming.StreamOps.attributionPairs(
+          graft.streaming.StreamOps.eventsStream(spark, dir),
+          "click", "purchase", withinSeconds = 1800L),
+        s"q65_mem_${math.abs(dir.hashCode)}")
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // Approximate aggregates — the sketch-based scale path for exact
     // RFM-style rollups (HLL++ inside Spark; values engine-specific →
     // rows-only; accuracy bounds unit-tested)
@@ -243,6 +254,14 @@ object SparkEntry {
         ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
           "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents FROM events " +
           "GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type LIMIT 100"),
+      "q65_stream_join" ->
+        ("SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id " +
+          "FROM events a JOIN events b ON a.user_id = b.user_id " +
+          "AND date_trunc('second', b.ts) >= date_trunc('second', a.ts) " +
+          "AND date_trunc('second', b.ts) <= date_trunc('second', a.ts) + INTERVAL 1800 SECOND " +
+          "AND a.event_id < b.event_id " +
+          "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
+          "ORDER BY id_a, id_b LIMIT 100"),
       "q54_range_join" ->
         ("SELECT a.event_id AS l_event_id, b.event_id AS r_event_id FROM events a JOIN events b " +
           "ON date_trunc('second', b.ts) >= date_trunc('second', a.ts) " +

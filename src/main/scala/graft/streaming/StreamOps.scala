@@ -84,6 +84,48 @@ object StreamOps {
       }.toDF("k", "payload")
   }
 
+  /** Stream-stream interval join (attribution shape): for every `leftType`
+    * event, the `rightType` events by the same user within `withinSeconds`
+    * after it. Both sides carry watermarks and the join condition bounds
+    * event time on both ends, so Spark can expire join state — at 100 TB
+    * the state store holds only `withinSeconds + watermark` worth of
+    * events per side, independent of stream length.
+    *
+    * Timestamps are compared at second granularity (`date_trunc`) because
+    * the events parquet is TIMESTAMP(NANOS) truncated to µs on read —
+    * sub-second precision could never hash-match a ns-exact oracle.
+    * Output is append-mode eligible (both watermarks bound the result). */
+  def attributionPairs(events: DataFrame, leftType: String, rightType: String,
+                       withinSeconds: Long): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("id_a"), col("user_id").as("u_a"),
+        date_trunc("second", col("ts")).as("ts_a"))
+      .withWatermark("ts_a", "10 minutes")
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("id_b"), col("user_id").as("u_b"),
+        date_trunc("second", col("ts")).as("ts_b"))
+      .withWatermark("ts_b", "10 minutes")
+    l.join(r, col("u_a") === col("u_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $withinSeconds SECONDS") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("u_a").as("user_id"))
+  }
+
+  /** Streaming parquet sink with checkpointing — the durable-output path
+    * (memory sink is test-only). Append mode; returns after all available
+    * input is processed. At scale the checkpoint directory lives on
+    * shared storage and the query restarts from it exactly-once. */
+  def sinkParquet(df: DataFrame, outPath: String, checkpointPath: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run a streaming aggregate over the (closed) input to completion via
     * the memory sink; returns the final result table. Complete mode so all
     * windows emit even though the watermark never passes the last one. */

@@ -36,6 +36,43 @@ class StreamOpsSpec extends AnyFunSuite {
     q32.foreach { case (k, n) => assert(streamed(k) == n, s"bucket $k") }
   }
 
+  test("stream-stream attribution join equals the batch join on closed input") {
+    val streamed = StreamOps.runAppend(spark,
+      StreamOps.attributionPairs(
+        StreamOps.eventsStream(spark, TestSpark.sf0001), "click", "purchase", 1800L),
+      "stream_attrib")
+      .orderBy("id_a", "id_b").collect()
+
+    val ev = Tables.table(spark, TestSpark.sf0001, "events")
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("id_a"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_a"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id_b"), col("user_id").as("u_b"),
+        date_trunc("second", col("ts")).as("ts_b"))
+    val batch = a.join(b, col("user_id") === col("u_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 1800 SECONDS") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "user_id")
+      .orderBy("id_a", "id_b").collect()
+
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s2, b2) => assert(s2 == b2) }
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming parquet sink with checkpoint round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    StreamOps.sinkParquet(
+      StreamOps.attributionPairs(
+        StreamOps.eventsStream(spark, TestSpark.sf0001), "click", "purchase", 1800L),
+      s"$tmp/out", s"$tmp/ckpt")
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.columns.sorted.toSeq == Seq("id_a", "id_b", "user_id"))
+    assert(back.count() > 0)
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val events = Seq(
