@@ -203,6 +203,36 @@ object SparkEntry {
         "APPROX_PERCENTILE(o_totalprice, 0.5) AS approx_median_price " +
         "FROM orders GROUP BY o_custkey ORDER BY approx_orders DESC, o_custkey LIMIT 100")
     },
+    // Text normalization (lower/strip/collapse) over the punctuation-rich
+    // props JSON — shared regex subset, dual text only for DuckDB's 'g' flag
+    "q66_normalize" -> { (spark, dir) =>
+      Tables.table(spark, dir, "events")
+        .select(col("event_id"), TextAnalysis.normalize(col("props")).as("norm"))
+        .orderBy("event_id").limit(100)
+    },
+    // PII redaction: synthetic email woven in from user_id so the redactor
+    // has real work on every row
+    "q67_redact" -> { (spark, dir) =>
+      Tables.table(spark, dir, "events")
+        .select(col("event_id"),
+          TextAnalysis.redactPii(
+            concat(lit("user"), col("user_id").cast("string"), lit("@example.com "), col("props")))
+            .as("red"))
+        .orderBy("event_id").limit(100)
+    },
+    // Benchmark-contamination scores vs a deterministic pseudo-benchmark
+    // (every 97th document) — integer outputs, oracle-checked
+    "q68_contamination" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      TextDedup.contaminationScores(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+        .orderBy("doc_id").limit(100)
+    },
+    // Deterministic hash train/test split — split sizes per label.
+    // xxhash64 is engine-specific → rows-only; determinism unit-tested.
+    "q69_hash_split" -> { (spark, dir) =>
+      graft.operators.Scale.hashSplit(Tables.table(spark, dir, "documents"), "doc_id", 80)
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split").limit(100)
+    },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
     "q50_multimodal" -> { (spark, dir) =>
       Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, dir))
@@ -254,6 +284,23 @@ object SparkEntry {
         ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
           "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents FROM events " +
           "GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type LIMIT 100"),
+      // dual texts: DuckDB regexp_replace is first-match without 'g'
+      "q66_normalize" ->
+        ("SELECT event_id, trim(regexp_replace(regexp_replace(lower(props), " +
+          "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm " +
+          "FROM events ORDER BY event_id LIMIT 100"),
+      "q67_redact" ->
+        ("SELECT event_id, regexp_replace(regexp_replace(" +
+          "concat('user', CAST(user_id AS VARCHAR), '@example.com ', props), " +
+          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+', '<EMAIL>', 'g'), " +
+          "'[0-9]{7,}', '<NUM>', 'g') AS red " +
+          "FROM events ORDER BY event_id LIMIT 100"),
+      "q68_contamination" ->
+        ("SELECT c.doc_id, CAST(MAX(len(list_intersect(" +
+          "list_distinct(string_split(c.text, ' ')), " +
+          "list_distinct(string_split(b.text, ' '))))) AS BIGINT) AS max_overlap " +
+          "FROM documents c, (SELECT text FROM documents WHERE doc_id % 97 = 0) b " +
+          "GROUP BY c.doc_id ORDER BY doc_id LIMIT 100"),
       "q65_stream_join" ->
         ("SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id " +
           "FROM events a JOIN events b ON a.user_id = b.user_id " +

@@ -90,4 +90,31 @@ object Scale {
     }
     df.withColumn(outCol, bucket)
   }
+
+  /** Deterministic train/test split by key hash: the same key lands in the
+    * same split on every run, every machine, every scale factor — the only
+    * split discipline that survives re-runs over a growing 100 TB corpus
+    * (random sampling re-deals on each execution). pmod keeps negative
+    * hashes in range. */
+  def hashSplit(df: DataFrame, keyCol: String, trainPct: Int,
+                outCol: String = "split"): DataFrame =
+    df.withColumn(outCol,
+      when(pmod(xxhash64(col(keyCol)), lit(100)) < trainPct, lit("train"))
+        .otherwise(lit("test")))
+
+  /** Weighted corpus mixture for training-data composition: each source is
+    * Bernoulli-sampled at its weight and unioned. Seeded → reproducible;
+    * sampling happens at the scan (no shuffle); weights > 1.0 are not
+    * supported (use explode-based duplication for upsampling). */
+  def weightedMix(sources: Seq[(DataFrame, Double)], seed: Long): DataFrame = {
+    require(sources.nonEmpty && sources.forall(_._2 <= 1.0))
+    sources.map { case (df, w) => df.sample(withReplacement = false, w, seed) }
+      .reduce(_ unionByName _)
+  }
+
+  /** Stratified sample with per-stratum fractions (e.g. per-language
+    * quotas in a multilingual corpus). Seeded `sampleBy` — one scan. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
 }

@@ -22,6 +22,23 @@ object TextAnalysis {
       lit(0),
       (acc, w) => acc + lit(1) + greatest(ceil((length(w) - 4).cast("double") / 4.0), lit(0)).cast("int"))
 
+  /** Canonical text normalization for dedup/fingerprint pipelines:
+    * lowercase, strip non-alphanumerics, collapse runs of spaces, trim.
+    * Pure codegen'd built-ins — no UDF in the 100 TB hot path. Patterns
+    * avoid backslash classes so the same spelling runs in DuckDB
+    * (which needs the 'g' flag — regexp_replace there is first-match
+    * by default; Spark's is always global). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** PII redaction: emails → <EMAIL>, long digit runs (phone/account
+    * numbers) → <NUM>. Regex subset chosen to mean the same thing in
+    * Java regex (Spark) and RE2 (DuckDB). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Function-word lists for the n-gram/stopword language heuristic.
     * Real-world function words; deterministic. */
   val stopwords: Map[String, Seq[String]] = Map(

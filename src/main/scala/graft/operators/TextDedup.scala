@@ -121,6 +121,21 @@ object TextDedup {
       .otherwise(size(array_intersect(ad, bd)).cast("double") / unionSz.cast("double"))
   }
 
+  /** Benchmark-contamination scores: for every corpus document, the
+    * maximum distinct-token overlap with any benchmark document.
+    * Training pipelines run this before release to prove eval sets did
+    * not leak into training data. The benchmark side is small by
+    * definition → broadcast; the corpus side streams through in one
+    * pass, no shuffle of corpus text. Integer outputs (hash-safe). */
+  def contaminationScores(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), array_distinct(tokens(col(textCol))).as("__ct"))
+    val b = bench.select(array_distinct(tokens(col(textCol))).as("__bt"))
+    c.crossJoin(broadcast(b))
+      .groupBy(idCol)
+      .agg(max(size(array_intersect(col("__ct"), col("__bt")))).cast("long").as("max_overlap"))
+  }
+
   /** LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
     * Output: (id_a, id_b, jaccard). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,

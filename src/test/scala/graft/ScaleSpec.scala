@@ -80,4 +80,41 @@ class ScaleSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(keys.length == batchDistinct)
   }
+
+  test("hashSplit is deterministic, disjoint, and near the requested ratio") {
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+    val s1 = Scale.hashSplit(docs, "doc_id", 80)
+    val s2 = Scale.hashSplit(docs, "doc_id", 80)
+    val c1 = s1.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c2 = s2.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 == c2, "same split on every run")
+    val total = c1.values.sum.toDouble
+    assert(math.abs(c1("train") / total - 0.8) < 0.05, s"ratio ${c1("train") / total}")
+    // a key never appears in both splits
+    val overlap = s1.filter(col("split") === "train").select("doc_id")
+      .intersect(s1.filter(col("split") === "test").select("doc_id")).count()
+    assert(overlap == 0)
+  }
+
+  test("weightedMix respects weights and is reproducible") {
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+    val n = docs.count().toDouble
+    val mixA = Scale.weightedMix(Seq((docs, 0.5), (docs, 0.1)), seed = 7L)
+    val mixB = Scale.weightedMix(Seq((docs, 0.5), (docs, 0.1)), seed = 7L)
+    assert(mixA.count() == mixB.count(), "seeded sampling reproduces")
+    assert(math.abs(mixA.count() / n - 0.6) < 0.1, s"weight sum off: ${mixA.count() / n}")
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+    val fracs = Map("en" -> 0.5, "de" -> 0.1)
+    val sampled = Scale.stratifiedSample(docs, "lang", fracs, seed = 7L)
+    val base = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sampled.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(fracs.keySet), "unlisted strata drop to zero")
+    fracs.foreach { case (k, f) =>
+      val ratio = got.getOrElse(k, 0L).toDouble / base(k)
+      assert(math.abs(ratio - f) < 0.15, s"$k ratio $ratio vs $f")
+    }
+  }
 }

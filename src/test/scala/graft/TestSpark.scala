@@ -15,4 +15,5 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 }

@@ -295,4 +295,26 @@ class TierESpec extends AnyFunSuite {
     val distinct = docs.select("text").distinct().count()
     assert(survivors == distinct)
   }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val df = spark.range(1).select(
+      TextAnalysis.normalize(lit("  Hello, WORLD!!  it's  42%  done ")).as("n"))
+    assert(df.head().getString(0) == "hello world its 42 done")
+  }
+
+  test("redactPii masks emails and long digit runs, leaves short numbers") {
+    val df = spark.range(1).select(
+      TextAnalysis.redactPii(lit("mail a.b+c@x-y.org or call 55512345678 ext 42")).as("r"))
+    assert(df.head().getString(0) == "mail <EMAIL> or call <NUM> ext 42")
+  }
+
+  test("contaminationScores finds the planted benchmark overlap") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
+      (3L, "alpha beta unrelated words")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val scores = TextDedup.contaminationScores(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
+  }
 }
