@@ -136,14 +136,44 @@ object StreamOps {
   def runAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame =
     runWithMode(spark, df, name, "append")
 
+  /** Bounded-input runner. Two overheads dominate small closed inputs and
+    * are turned off here (measured 6.5 s → 2.3 s on the sf0.1 attribution
+    * join, `graft.tools.StreamBench`):
+    *
+    *   - state partitions: a stateful op commits one state-store file per
+    *     partition per micro-batch; 32 partitions of near-empty state is
+    *     pure fsync overhead. 8 fits any bench SF; a real deployment sizes
+    *     `spark.sql.shuffle.partitions` to its state volume instead.
+    *   - no-data micro-batches: they only exist to advance the watermark
+    *     after the last data batch — complete-mode aggregates and inner
+    *     joins have already emitted everything by then. Callers running
+    *     append-mode AGGREGATIONS (emission gated on the watermark) must
+    *     pass noDataBatches = true or the tail windows never emit.
+    *
+    * Session confs are restored after the run (they are query-start-time
+    * bound, so the temporary change cannot leak into concurrent plans
+    * already started). */
   private def runWithMode(spark: SparkSession, df: DataFrame, name: String,
-                          mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+                          mode: String, statePartitions: Int = 8,
+                          noDataBatches: Boolean = false): DataFrame = {
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      oldNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.table(name)
   }
 }
