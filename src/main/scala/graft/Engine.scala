@@ -58,6 +58,7 @@ object Engine {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-engine")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
