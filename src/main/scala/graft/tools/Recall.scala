@@ -35,6 +35,16 @@ object Recall {
       val recall = got.intersect(bf).size.toDouble / bf.size
       println(f"[recall] L=$tables%2d bits=$bits: recall@$k=${recall}%.3f time=$sec%.2f s")
     }
+    // IVF: recall governed by nprobe/nlist (fraction of inverted lists
+    // scanned); nprobe == nlist degenerates to exact brute force
+    for ((nlist, nprobe) <- Seq((16, 2), (16, 4), (16, 8), (16, 16), (64, 8))) {
+      val t1 = System.nanoTime()
+      val got = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k,
+        nlist = nlist, nprobe = nprobe))
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = got.intersect(bf).size.toDouble / bf.size
+      println(f"[recall] ivf nlist=$nlist%2d nprobe=$nprobe%2d: recall@$k=${recall}%.3f time=$sec%.2f s")
+    }
     spark.stop()
   }
 }
