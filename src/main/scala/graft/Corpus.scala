@@ -231,6 +231,21 @@ object Corpus {
         "JOIN region r ON n.n_regionkey = r.r_regionkey " +
         "GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY region, nation LIMIT 100"),
 
+    // Q70 — CUBE: all grouping combinations (S25)
+    DeclaredQuery("q70_cube",
+      "SELECT COALESCE(o_orderstatus, '(all)') AS status, COALESCE(o_orderpriority, '(all)') AS prio, " +
+        "COUNT(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY status, prio LIMIT 100"),
+
+    // Q71 — explicit GROUPING SETS (S25): two independent rollup axes in
+    // one scan, the multi-report shape CUBE over-produces for
+    DeclaredQuery("q71_grouping_sets",
+      "SELECT COALESCE(o_orderstatus, '(all)') AS status, " +
+        "COALESCE(CAST(EXTRACT(YEAR FROM o_orderdate) AS STRING), '(all)') AS yr, " +
+        "COUNT(*) AS n FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (EXTRACT(YEAR FROM o_orderdate))) " +
+        "ORDER BY status, yr LIMIT 100"),
+
     // Q56 — OFFSET pagination (S38); Spark grammar orders LIMIT before OFFSET
     DeclaredQuery("q56_offset",
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 20"),

@@ -84,6 +84,17 @@ object StreamOps {
       }.toDF("k", "payload")
   }
 
+  /** Built-in bounded-state streaming dedup: Spark's
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes, so state is O(keys-per-watermark-window) instead of
+    * O(all keys ever) — the right default at 100 TB/day. Contrast with
+    * `streamingDedup` (flatMapGroupsWithState), which demonstrates custom
+    * unbounded state for exactly-once-per-key-ever semantics. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-stream interval join (attribution shape): for every `leftType`
     * event, the `rightType` events by the same user within `withinSeconds`
     * after it. Both sides carry watermarks and the join condition bounds

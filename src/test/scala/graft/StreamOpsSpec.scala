@@ -73,6 +73,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(back.count() > 0)
   }
 
+  test("dropDuplicatesWithinWatermark emits each key at most once per window") {
+    val deduped = StreamOps.runAppend(spark,
+      StreamOps.dedupWithinWatermark(
+        StreamOps.eventsStream(spark, TestSpark.sf0001), Seq("event_id")),
+      "dedup_wm")
+    // event_id is unique in the testdata, so bounded-state dedup must be
+    // a no-op pass-through: same cardinality as the batch table
+    val n = deduped.count()
+    val batch = Tables.table(spark, TestSpark.sf0001, "events").count()
+    assert(n == batch, s"$n != $batch")
+    // and a planted duplicate stream collapses: duplicate every event_id
+    val dupStream = StreamOps.eventsStream(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"))
+      .unionByName(StreamOps.eventsStream(spark, TestSpark.sf0001)
+        .select(col("event_id"), col("ts")))
+    val collapsed = StreamOps.runAppend(spark,
+      StreamOps.dedupWithinWatermark(dupStream, Seq("event_id")), "dedup_wm2")
+      .count()
+    assert(collapsed == batch, s"$collapsed != $batch")
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val events = Seq(
