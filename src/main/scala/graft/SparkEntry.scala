@@ -143,7 +143,22 @@ object SparkEntry {
         .select(col("l_event_id"), col("r_event_id"))
         .orderBy("l_event_id", "r_event_id").limit(100)
     },
-    // Language-ID heuristic — rows-only (CASE-ladder argmax, deterministic)
+    // As-of join: latest 'view' by the same user within 1 h of each
+    // 'click' (trade→quote shape) — oracle-checked against DuckDB's
+    // native ASOF JOIN + tolerance filter. Only the matched timestamp is
+    // projected: equal-timestamp ties then collapse identically in both
+    // engines. Second truncation as in q54 (ns parquet vs µs Spark).
+    "q72_asof" -> { (spark, dir) =>
+      val ev = Tables.table(spark, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      graft.operators.TimeJoins.asofJoin(clicks, views, "user_id", "ts", "ts", 3600L)
+        .select(col("l_event_id"), col("r_ts"))
+        .orderBy("l_event_id").limit(100)
+    },
+    // Language-ID heuristic — oracle (CASE-ladder argmax, deterministic)
     "q46_langid" -> { (spark, dir) =>
       Tables.table(spark, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"), col("lang"))
@@ -284,6 +299,15 @@ object SparkEntry {
         ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
           "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents FROM events " +
           "GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type LIMIT 100"),
+      "q72_asof" ->
+        ("WITH clicks AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts " +
+          "FROM events WHERE event_type = 'click'), " +
+          "views AS (SELECT user_id, date_trunc('second', ts) AS ts " +
+          "FROM events WHERE event_type = 'view') " +
+          "SELECT a.event_id AS l_event_id, b.ts AS r_ts " +
+          "FROM clicks a ASOF JOIN views b ON a.user_id = b.user_id AND b.ts <= a.ts " +
+          "WHERE a.ts - b.ts <= INTERVAL 3600 SECOND " +
+          "ORDER BY l_event_id LIMIT 100"),
       // promoted round 2: the langId CASE-ladder argmax is deterministic
       // integer arithmetic — expressible in DuckDB (same stopword lists,
       // same lexicographic-first tie-break, 'und' when nothing matches)
