@@ -28,6 +28,10 @@ final class Engine private (val spark: SparkSession) {
   /** Reference-compatible failure shape: empty DataFrame on error. */
   def runOrEmpty(sql: String): DataFrame = Runner.runOrEmpty(spark, sql)
 
+  /** Trusted well-formed SQL (no LLM sanitizer — the sanitizer's
+    * bug-compatible leading-SELECT slice mangles CTEs). */
+  def runSql(sql: String): Either[EngineError, DataFrame] = Runner.runSql(spark, sql)
+
   /** Row count + empty detection (app.py:296-299, P7). */
   def describeResult(df: DataFrame): String = {
     val n = df.count()

@@ -41,6 +41,19 @@ object Runner {
       catch { case e: Exception => Left(EngineError(e.getMessage, Some(e))) }
   }
 
+  /** Trusted-SQL path: read-only gate + execution + dup-rename, WITHOUT
+    * the LLM-output sanitizer. The sanitizer's leading-SELECT slice is
+    * bug-compatible with the reference (app.py:261-263) and mangles CTEs
+    * — `WITH x AS (SELECT …) SELECT …` slices to the inner SELECT — so
+    * programmatic callers with well-formed SQL must use this entry point;
+    * `run` is for raw LLM output only. */
+  def runSql(spark: SparkSession, sql: String): Either[EngineError, DataFrame] =
+    if (!Sanitizer.isReadOnly(sql))
+      Left(EngineError(s"rejected non-SELECT statement: ${sql.take(80)}"))
+    else
+      try Right(dedupColumns(spark.sql(sql)))
+      catch { case e: Exception => Left(EngineError(e.getMessage, Some(e))) }
+
   /** Error-as-value compatibility shim: failures become an empty DataFrame,
     * matching db_utils.py:182 exactly. The richer Either API above is the
     * primary surface. */

@@ -48,4 +48,19 @@ class RunnerSpec extends AnyFunSuite {
     // quotes in the message must not break the literal
     assert(Runner.errorQuery(spark, "it's broken").collect()(0).getString(0) == "it's broken")
   }
+
+  test("sanitize path mangles CTEs exactly like the reference (bug-compat, app.py:261-263)") {
+    Tables.register(spark, TestSpark.sf0001)
+    val cte = "WITH x AS (SELECT c_custkey FROM customer) SELECT * FROM x ORDER BY c_custkey LIMIT 5"
+    // the leading-SELECT slice cuts into the CTE body → broken SQL → error-as-value
+    assert(Sanitizer.extract(cte).startsWith("SELECT c_custkey FROM customer)"))
+    assert(Runner.run(spark, cte).isLeft, "LLM path reproduces the reference's CTE mangle")
+    // the trusted path executes it correctly
+    val ok = Runner.runSql(spark, cte)
+    assert(ok.isRight && ok.toOption.get.count() == 5)
+  }
+
+  test("runSql still gates non-SELECT statements") {
+    assert(Runner.runSql(spark, "DROP TABLE customer").isLeft)
+  }
 }
