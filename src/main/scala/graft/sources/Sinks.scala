@@ -33,4 +33,18 @@ object Sinks {
     df.write.mode("overwrite").option("header", "true").csv(path)
     ()
   }
+
+  /** Layout-sorted parquet for data skipping: range-partition then sort
+    * within partitions on the filter columns, so each row group's min/max
+    * statistics cover a narrow value range and a selective reader skips
+    * most of the file without touching it. The standard layout move for
+    * append-once/read-many 100 TB corpora; `repartitionByRange` keeps the
+    * sort global across files (file N's range precedes file N+1's). */
+  def writeSortedParquet(df: DataFrame, path: String, sortCols: Seq[String],
+                         targetFiles: Int): Unit = {
+    df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    ()
+  }
 }

@@ -41,4 +41,26 @@ class SinksSpec extends AnyFunSuite {
     assert(Sources.csv(spark, dir).count() == 25)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("sorted parquet layout: files cover disjoint ascending ranges") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    Sinks.writeSortedParquet(docs, s"$tmp/docs", Seq("doc_id"), targetFiles = 4)
+    val files = new java.io.File(s"$tmp/docs").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 2, "range partitioning produced multiple files")
+    // per-file [min,max] ranges must not overlap — that is what lets a
+    // selective reader skip whole files/row groups via footer stats
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("doc_id"), max("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // round-trip completeness
+    assert(spark.read.parquet(s"$tmp/docs").count() == docs.count())
+  }
 }
