@@ -51,4 +51,25 @@ class CorpusSpec extends AnyFunSuite {
       if (q.id != "q29_not_in_anti") assert(n > 0, s"${q.id} returned 0 rows")
     }
   }
+
+  test("no oracle-gated query emits DECIMAL or floating-point columns") {
+    // The driver's comparator renders the DuckDB oracle through pandas,
+    // which floats DECIMAL/HUGEINT ("123.40" → "123.4") while the Spark
+    // parquet dump stays exact — so a DECIMAL/float column in a hashed
+    // output is a guaranteed future hash mismatch (round-1 lesson,
+    // CORRECTNESS_r01.json: 13 queries failed on exactly this).
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    Tables.register(spark, TestSpark.sf0001)
+    val gated = SparkEntry.oracleSql.keySet
+    SparkEntry.queries.filter(kv => gated.contains(kv._1)).foreach { case (name, fn) =>
+      val schema = fn(spark, TestSpark.sf0001).schema  // analysis only for batch entries
+      schema.fields.foreach { f =>
+        val bad = f.dataType match {
+          case _: DecimalType | DoubleType | FloatType => true
+          case _ => false
+        }
+        assert(!bad, s"$name.${f.name} is ${f.dataType} — hashed outputs must be int/string/date/timestamp")
+      }
+    }
+  }
 }
