@@ -71,5 +71,11 @@ class CorpusSpec extends AnyFunSuite {
         assert(!bad, s"$name.${f.name} is ${f.dataType} — hashed outputs must be int/string/date/timestamp")
       }
     }
+    // the streaming entries (q51/q65) execute eagerly and leave their
+    // memory-sink temp views behind — drop them so CatalogSpec's exact
+    // table-set assertion is order-independent
+    spark.catalog.listTables().collect()
+      .filter(_.name.matches("q\\d+_mem_\\d+"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
   }
 }
