@@ -31,14 +31,27 @@ object Runner {
     }
   }
 
+  /** Two-stage read-only gate: the reference's textual SELECT/WITH check
+    * (prefix, bug-compat reject message) AND a parse-based structural check —
+    * `WITH … INSERT OVERWRITE DIRECTORY …` passes the prefix but is a write
+    * (Spark grammar accepts CTEs before DML), so the statement must also
+    * parse to a pure relation with no Insert/Command node anywhere in it. */
+  private def readOnlyGate(spark: SparkSession, sql: String): Option[EngineError] =
+    if (!Sanitizer.isReadOnly(sql))
+      Some(EngineError(s"rejected non-SELECT statement: ${sql.take(80)}"))
+    else
+      Sanitizer.writeNode(spark, sql).map(node =>
+        EngineError(s"rejected write/command statement ($node): ${sql.take(80)}"))
+
   /** Execute raw (possibly LLM-produced) text against the registered views. */
   def run(spark: SparkSession, raw: String): Either[EngineError, DataFrame] = {
     val sql = Sanitizer.sanitize(raw)
-    if (!Sanitizer.isReadOnly(sql))
-      Left(EngineError(s"rejected non-SELECT statement: ${sql.take(80)}"))
-    else
-      try Right(dedupColumns(spark.sql(sql)))
-      catch { case e: Exception => Left(EngineError(e.getMessage, Some(e))) }
+    readOnlyGate(spark, sql) match {
+      case Some(err) => Left(err)
+      case None =>
+        try Right(dedupColumns(spark.sql(sql)))
+        catch { case e: Exception => Left(EngineError(e.getMessage, Some(e))) }
+    }
   }
 
   /** Trusted-SQL path: read-only gate + execution + dup-rename, WITHOUT
@@ -48,11 +61,12 @@ object Runner {
     * programmatic callers with well-formed SQL must use this entry point;
     * `run` is for raw LLM output only. */
   def runSql(spark: SparkSession, sql: String): Either[EngineError, DataFrame] =
-    if (!Sanitizer.isReadOnly(sql))
-      Left(EngineError(s"rejected non-SELECT statement: ${sql.take(80)}"))
-    else
-      try Right(dedupColumns(spark.sql(sql)))
-      catch { case e: Exception => Left(EngineError(e.getMessage, Some(e))) }
+    readOnlyGate(spark, sql) match {
+      case Some(err) => Left(err)
+      case None =>
+        try Right(dedupColumns(spark.sql(sql)))
+        catch { case e: Exception => Left(EngineError(e.getMessage, Some(e))) }
+    }
 
   /** Error-as-value compatibility shim: failures become an empty DataFrame,
     * matching db_utils.py:182 exactly. The richer Either API above is the

@@ -44,11 +44,39 @@ object Sanitizer {
   /** Full pipeline, the form `Runner.run` consumes. */
   def sanitize(raw: String): String = injectLimit(extract(raw))
 
-  /** Read-only gate: the deployment grants SELECT only
+  /** Read-only gate, textual half: the deployment grants SELECT only
     * (.config/README.md:56,65-66; prompts.py:8). CTEs (`WITH`) are part of
-    * the PostgreSQL-branch surface (SURVEY.md S44) and remain read-only. */
+    * the PostgreSQL-branch surface (SURVEY.md S44) and remain read-only.
+    *
+    * This prefix check alone is NOT sufficient — Spark's grammar accepts
+    * `WITH … INSERT OVERWRITE DIRECTORY …`, which starts with `with` but
+    * writes to disk. Callers with a SparkSession must ALSO pass the
+    * parse-based [[writeNode]] gate; `Runner` does both. */
   def isReadOnly(sql: String): Boolean = {
     val t = sql.trim.toLowerCase
     t.startsWith("select") || t.startsWith("with")
+  }
+
+  /** Read-only gate, structural half: parse the statement (no analysis, no
+    * execution) and report the first node that could write state or run a
+    * command — `InsertIntoStatement` (INSERT INTO/OVERWRITE, including
+    * CTE-prefixed forms), `InsertIntoDir` (INSERT OVERWRITE DIRECTORY),
+    * any `Command` (DDL, SET, CACHE, EXPLAIN, …), or any `ParsedStatement`
+    * (unresolved DDL). Returns None when the plan is a pure relation.
+    *
+    * Unparseable text also returns None: it cannot write, and letting
+    * execution surface the parse error preserves the reference's
+    * error-as-value behavior (db_utils.py:180-182) for malformed SELECTs. */
+  def writeNode(spark: org.apache.spark.sql.SparkSession, sql: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, ParsedStatement}
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return None }
+    plan.collectFirst {
+      case n: InsertIntoStatement => n.nodeName
+      case n: InsertIntoDir       => n.nodeName
+      case n: Command             => n.nodeName
+      case n: ParsedStatement     => n.nodeName
+    }
   }
 }

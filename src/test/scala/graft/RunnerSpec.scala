@@ -63,4 +63,60 @@ class RunnerSpec extends AnyFunSuite {
   test("runSql still gates non-SELECT statements") {
     assert(Runner.runSql(spark, "DROP TABLE customer").isLeft)
   }
+
+  // --- parse-based read-only gate (round-2 VERDICT confirmed defect) ---
+  // Spark's grammar accepts CTEs before DML, so `WITH … INSERT …` passes the
+  // textual SELECT/WITH prefix check; the structural gate must catch it.
+
+  private def assertRejectedNoWrite(res: Either[EngineError, _], dir: java.io.File): Unit = {
+    assert(res.isLeft, "write statement must be rejected")
+    assert(res.left.exists(_.message.startsWith("rejected")),
+      s"must be rejected by the gate, not fail in execution: $res")
+    assert(!dir.exists(), s"gate must reject BEFORE execution — $dir was written")
+  }
+
+  test("WITH … INSERT OVERWRITE DIRECTORY is rejected by runSql and writes nothing") {
+    val dir = new java.io.File("/tmp/graft_gate_spec_dir")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val sql = "WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY " +
+      s"'${dir.getAbsolutePath}' USING parquet SELECT * FROM x"
+    assert(Sanitizer.isReadOnly(sql), "prefix check alone is fooled — that's the defect")
+    assertRejectedNoWrite(Runner.runSql(spark, sql), dir)
+  }
+
+  test("WITH … INSERT INTO is rejected by runSql") {
+    Tables.register(spark, TestSpark.sf0001)
+    val sql = "WITH x AS (SELECT 1 AS a) INSERT INTO nation SELECT * FROM x"
+    val res = Runner.runSql(spark, sql)
+    assert(res.isLeft && res.left.exists(_.message.startsWith("rejected")))
+  }
+
+  test("WITH … INSERT OVERWRITE DIRECTORY is rejected by the LLM-text run path too") {
+    val dir = new java.io.File("/tmp/graft_gate_spec_dir2")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    // No `select`/`limit` token anywhere, so the sanitizer passes the text
+    // through intact (slice and injection both key on those tokens) apart
+    // from appending LIMIT 100 — the write statement reaches the gate whole.
+    val raw = "WITH x AS (TABLE nation) INSERT OVERWRITE DIRECTORY " +
+      s"'${dir.getAbsolutePath}' USING parquet TABLE x"
+    Tables.register(spark, TestSpark.sf0001)
+    val res = Runner.run(spark, raw)
+    assert(res.isLeft, "write statement must not succeed through run")
+    assert(!dir.exists(), s"no file may be written: $dir")
+  }
+
+  test("writeNode: pure relations pass, writes and commands are named") {
+    assert(Sanitizer.writeNode(spark, "SELECT 1").isEmpty)
+    assert(Sanitizer.writeNode(spark, "WITH x AS (SELECT 1 AS a) SELECT * FROM x").isEmpty)
+    assert(Sanitizer.writeNode(spark, "SELECT * FROM nation ORDER BY n_nationkey LIMIT 5").isEmpty)
+    assert(Sanitizer.writeNode(spark, "INSERT INTO t SELECT 1").isDefined)
+    assert(Sanitizer.writeNode(spark,
+      "WITH x AS (SELECT 1) INSERT OVERWRITE DIRECTORY '/tmp/z' USING parquet SELECT * FROM x").isDefined)
+    assert(Sanitizer.writeNode(spark, "CREATE TABLE t (a INT)").isDefined)
+    assert(Sanitizer.writeNode(spark, "DROP TABLE t").isDefined)
+    assert(Sanitizer.writeNode(spark, "SET spark.sql.shuffle.partitions=1").isDefined)
+    assert(Sanitizer.writeNode(spark, "CACHE TABLE nation").isDefined)
+    // unparseable text is not a write; execution surfaces the parse error
+    assert(Sanitizer.writeNode(spark, "SELECT FROM WHERE garbage (((").isEmpty)
+  }
 }
