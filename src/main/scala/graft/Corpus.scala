@@ -141,7 +141,12 @@ object Corpus {
         "ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rnk " +
         "FROM orders ORDER BY o_custkey, rnk, o_orderkey LIMIT 100"),
 
-    // Q18 — NTILE, the RFM 1-5 scoring op (prompts.py:86,108-112)
+    // Q18 — NTILE, the RFM 1-5 scoring op (prompts.py:86,108-112).
+    // SMALL-RESULT-ONLY: an unpartitioned NTILE window moves every row
+    // through one task — the declared form for dimension-sized inputs
+    // (customers). The scale path for the same scoring is q73_ntile_dist
+    // (Scale.ntileExact: range-partitioned two-pass, no global window),
+    // oracle-checked against this very semantics.
     DeclaredQuery("q18_ntile",
       "SELECT o_custkey, monetary_cents, CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_score " +
         "FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents " +

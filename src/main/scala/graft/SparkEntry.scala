@@ -243,10 +243,28 @@ object SparkEntry {
         .orderBy("doc_id").limit(100)
     },
     // Deterministic hash train/test split — split sizes per label.
-    // xxhash64 is engine-specific → rows-only; determinism unit-tested.
+    // Promoted to the oracle (round-3 verdict item 4): the md5 method is
+    // dual-spellable (DuckDB parses '0x'||hex in a CAST), so the exact
+    // per-split counts hash-check cross-engine. xxhash64 stays the
+    // production default (no string conversion); same operator, same plan.
     "q69_hash_split" -> { (spark, dir) =>
-      graft.operators.Scale.hashSplit(Tables.table(spark, dir, "documents"), "doc_id", 80)
+      graft.operators.Scale.hashSplit(Tables.table(spark, dir, "documents"), "doc_id", 80,
+          method = "md5")
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split").limit(100)
+    },
+    // Scale-safe NTILE (round-3 verdict item 1): the RFM M-score computed
+    // by Scale.ntileExact — range-partition + two passes, NO
+    // single-partition window anywhere in the plan — hash-checked against
+    // DuckDB's true NTILE over the same total order. q18 keeps the window
+    // spelling as the declared small-result-only form (see Corpus note).
+    "q73_ntile_dist" -> { (spark, dir) =>
+      val orders = Tables.table(spark, dir, "orders")
+      val monetary = orders.groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("monetary_cents"))
+      graft.operators.Scale.ntileExact(monetary,
+          Seq(col("monetary_cents").desc, col("o_custkey")), 4, "m_score")
+        .select(col("o_custkey"), col("monetary_cents"), col("m_score"))
+        .orderBy(col("monetary_cents").desc, col("o_custkey")).limit(100)
     },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
     "q50_multimodal" -> { (spark, dir) =>
@@ -356,6 +374,23 @@ object SparkEntry {
         ("SELECT a.event_id AS l_event_id, b.event_id AS r_event_id FROM events a JOIN events b " +
           "ON date_trunc('second', b.ts) >= date_trunc('second', a.ts) " +
           "AND date_trunc('second', b.ts) <= date_trunc('second', a.ts) + INTERVAL 120 SECOND " +
-          "ORDER BY l_event_id, r_event_id LIMIT 100")
+          "ORDER BY l_event_id, r_event_id LIMIT 100"),
+      // promoted round 4: md5-prefix split is engine-portable — DuckDB
+      // parses '0x'-prefixed hex in a CAST, Spark spells the same integer
+      // via conv(substr(md5(key),1,8),16,10)
+      "q69_hash_split" ->
+        ("SELECT split, COUNT(*) AS n FROM (SELECT CASE WHEN " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 " +
+          "THEN 'train' ELSE 'test' END AS split FROM documents) t " +
+          "GROUP BY split ORDER BY split LIMIT 100"),
+      // new round 4: DuckDB's window NTILE is the oracle for the
+      // distributed two-pass form (identical positional semantics over the
+      // same unique total order)
+      "q73_ntile_dist" ->
+        ("SELECT o_custkey, monetary_cents, " +
+          "CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_score " +
+          "FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents " +
+          "FROM orders GROUP BY o_custkey) t " +
+          "ORDER BY monetary_cents DESC, o_custkey LIMIT 100")
     )
 }

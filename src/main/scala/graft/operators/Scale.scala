@@ -91,16 +91,63 @@ object Scale {
     df.withColumn(outCol, bucket)
   }
 
+  /** Exact distributed NTILE over a TOTAL order (give `orderCols` a unique
+    * tie-breaker — with ties the bucket split is positional, exactly as in
+    * the window form). No single-partition window: range-repartition +
+    * local sort lays the data out globally ordered; pass 1 collects ONE
+    * row-count per partition (P longs of metadata, not data — the same
+    * contract as zipWithIndex); pass 2 turns partition offset + local
+    * position into the global index and computes the bucket arithmetically
+    * (first N mod n buckets take one extra row, the window function's
+    * convention). Two jobs, but the shuffle output of the first is reused
+    * by the second (same RDD lineage), so the sort runs once. */
+  def ntileExact(df: DataFrame, orderCols: Seq[Column], n: Int,
+                 outCol: String = "ntile", partitions: Int = 0): DataFrame = {
+    require(n >= 1, s"ntileExact: n must be >= 1, got $n")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(p, orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val q = total / n
+    val r = total % n
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var idx = offsets(i)
+      it.map { row =>
+        // rows [0, r*(q+1)) fill the first r buckets of size q+1; the rest
+        // fill buckets of size q (q == 0 ⇒ total < n ⇒ first branch only)
+        val b = if (idx < r * (q + 1)) idx / (q + 1) + 1
+                else r + (idx - r * (q + 1)) / q + 1
+        idx += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ b)
+      }
+    }
+    spark.createDataFrame(out, sorted.schema.add(outCol,
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** Deterministic train/test split by key hash: the same key lands in the
     * same split on every run, every machine, every scale factor — the only
     * split discipline that survives re-runs over a growing 100 TB corpus
     * (random sampling re-deals on each execution). pmod keeps negative
-    * hashes in range. */
+    * hashes in range.
+    *
+    * `method`: "xxhash64" (default — fastest, engine-specific values) or
+    * "md5" (first 8 hex chars of the key's md5 as an unsigned 32-bit int —
+    * slower but portable: any engine with md5 computes the identical
+    * split, which is what puts q69 under the cross-engine oracle). */
   def hashSplit(df: DataFrame, keyCol: String, trainPct: Int,
-                outCol: String = "split"): DataFrame =
+                outCol: String = "split", method: String = "xxhash64"): DataFrame = {
+    val h = method match {
+      case "md5" => conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+      case _     => xxhash64(col(keyCol))
+    }
     df.withColumn(outCol,
-      when(pmod(xxhash64(col(keyCol)), lit(100)) < trainPct, lit("train"))
-        .otherwise(lit("test")))
+      when(pmod(h, lit(100)) < trainPct, lit("train")).otherwise(lit("test")))
+  }
 
   /** Weighted corpus mixture for training-data composition: each source is
     * Bernoulli-sampled at its weight and unioned. Seeded → reproducible;

@@ -43,20 +43,28 @@ object TimeJoins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, toleranceSec: Long,
                leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
-    val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, leftPrefix + c))
+    val l0 = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, leftPrefix + c))
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
+    // surrogate row id: the dedup/re-attach key. Deterministic here because
+    // both uses of `l` below recompute the same scan with the same
+    // partitioning; the aggregation result never depends on id VALUES,
+    // only on their uniqueness per row.
+    val l = l0.withColumn("__lid", monotonically_increasing_id())
     val lc = col(leftPrefix + leftTs)
     val rc = col(rightPrefix + rightTs)
-    val lB = l.withColumn("__b", explode(array(bucketOf(lc, toleranceSec) - 1, bucketOf(lc, toleranceSec))))
+    // probe narrowed to (id, key, ts): the candidate shuffle carries a
+    // 3-column row instead of the full left row (wide-row shuffle was the
+    // round-3 verdict's item 7); the full row re-attaches by id at the end
+    val probe = l.select(col("__lid"), col(leftPrefix + key), lc)
+      .withColumn("__b", explode(array(bucketOf(lc, toleranceSec) - 1, bucketOf(lc, toleranceSec))))
     val rB = r.withColumn("__b", bucketOf(rc, toleranceSec))
-    val candidates = lB
-      .join(rB, col(leftPrefix + key) === col(rightPrefix + key) && lB("__b") === rB("__b"))
+    val best = probe
+      .join(rB, col(leftPrefix + key) === col(rightPrefix + key) && probe("__b") === rB("__b"))
       .filter(rc <= lc && rc >= lc - expr(s"INTERVAL $toleranceSec SECOND"))
-    // keep the latest right row per left row
-    val leftCols = l.columns.map(col)
-    candidates
-      .groupBy(leftCols: _*)
+      // latest right row per left row, grouped by the narrow unique key
+      .groupBy(col("__lid"))
       .agg(max_by(struct(r.columns.map(col): _*), rc).as("__best"))
-      .select(leftCols :+ col("__best.*"): _*)
+    l.join(best, "__lid")
+      .select(l0.columns.map(col) :+ col("__best.*"): _*)
   }
 }

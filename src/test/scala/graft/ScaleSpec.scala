@@ -68,6 +68,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(drift.count(_ == 0).toDouble / exact.size > 0.9, "≥90% exact agreement")
   }
 
+  test("ntileExact equals window NTILE on a unique total order, with no Window node") {
+    Tables.register(spark, TestSpark.sf0001)
+    val monetary = spark.sql(
+      "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary " +
+        "FROM orders GROUP BY o_custkey")
+    val exact = spark.sql(
+      "SELECT o_custkey, NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS nt FROM " +
+        "(SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary " +
+        "FROM orders GROUP BY o_custkey) t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val dist = Scale.ntileExact(monetary,
+      Seq(col("monetary").desc, col("o_custkey")), 4, "nt", partitions = 7)
+    assert(dist.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap == exact)
+    // the scale property: the scoring plan carries no Window operator at all
+    assert(!dist.queryExecution.executedPlan.toString.contains("Window"),
+      "ntileExact must not plan a window")
+  }
+
+  test("ntileExact edge cases: fewer rows than buckets, uneven division") {
+    val tiny = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("v", "id")
+    // N=3 < n=5: buckets 1..3, one row each (window NTILE convention)
+    val few = Scale.ntileExact(tiny, Seq(col("v"), col("id")), 5, "nt", partitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(few == Map(10L -> 1L, 20L -> 2L, 30L -> 3L))
+    // N=10, n=4: sizes 3,3,2,2
+    val ten = (1L to 10L).map(i => (i, i)).toDF("v", "id")
+    val sizes = Scale.ntileExact(ten, Seq(col("v"), col("id")), 4, "nt", partitions = 3)
+      .groupBy("nt").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("streaming dedup emits each key once (stateful flatMapGroupsWithState)") {
     import graft.streaming.StreamOps
     // duplicate-heavy stream: same user ids appear many times
@@ -94,6 +125,27 @@ class ScaleSpec extends AnyFunSuite {
     val overlap = s1.filter(col("split") === "train").select("doc_id")
       .intersect(s1.filter(col("split") === "test").select("doc_id")).count()
     assert(overlap == 0)
+  }
+
+  test("hashSplit md5 method matches the portable md5-prefix definition") {
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+    val m = Scale.hashSplit(docs, "doc_id", 80, method = "md5")
+    // the split column must equal the hand-computed md5-prefix rule
+    val mismatch = m.withColumn("__expect",
+      when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(100)) < 80, lit("train")).otherwise(lit("test")))
+      .filter(col("split") =!= col("__expect")).count()
+    assert(mismatch == 0)
+    // same invariants as the xxhash64 default: deterministic, ~ratio
+    val c = m.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = c.values.sum.toDouble
+    assert(math.abs(c("train") / total - 0.8) < 0.05, s"ratio ${c("train") / total}")
+    // JVM-side cross-check on one key: first 8 md5 hex chars as unsigned int
+    val d42 = java.security.MessageDigest.getInstance("MD5").digest("42".getBytes("UTF-8"))
+    val hex = d42.map("%02x".format(_)).mkString.substring(0, 8)
+    val expect42 = if (java.lang.Long.parseLong(hex, 16) % 100 < 80) "train" else "test"
+    val got42 = m.filter(col("doc_id") === 42L).select("split").head().getString(0)
+    assert(got42 == expect42)
   }
 
   test("weightedMix respects weights and is reproducible") {
