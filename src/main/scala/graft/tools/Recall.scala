@@ -37,7 +37,9 @@ object Recall {
     }
     // IVF: recall governed by nprobe/nlist (fraction of inverted lists
     // scanned); nprobe == nlist degenerates to exact brute force
-    for ((nlist, nprobe) <- Seq((16, 2), (16, 4), (16, 8), (16, 16), (64, 8))) {
+    // 256/32 exercises the realistic-nlist regime: with the broadcast-join
+    // quantizer the plan size is nlist-independent (round-4 fix)
+    for ((nlist, nprobe) <- Seq((16, 2), (16, 4), (16, 8), (16, 16), (64, 8), (256, 32))) {
       val t1 = System.nanoTime()
       val got = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k,
         nlist = nlist, nprobe = nprobe))

@@ -46,4 +46,28 @@ class CatalogSpec extends AnyFunSuite {
       """TABLE "region" (columns: r_regionkey, r_name)"""))
     assert(lines.length == cat.listTables().length)
   }
+
+  test("S11: joinPath finds shortest FK chains and respects table presence") {
+    Tables.register(spark, TestSpark.sf0001)
+    val cat = new Catalog(spark)
+    // direct edge
+    assert(cat.joinPath("orders", "customer") ==
+      Seq(FkEdge("orders", "o_custkey", "customer", "c_custkey")))
+    // two hops, both directions give the same chain
+    assert(cat.joinPath("lineitem", "customer") == Seq(
+      FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      FkEdge("orders", "o_custkey", "customer", "c_custkey")))
+    assert(cat.joinPath("customer", "lineitem") == cat.joinPath("lineitem", "customer").reverse)
+    // lineitem→nation: shortest is via supplier (2 hops), not orders→customer (3)
+    assert(cat.joinPath("lineitem", "nation") == Seq(
+      FkEdge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      FkEdge("supplier", "s_nationkey", "nation", "n_nationkey")))
+    // no path to FK-less fact tables; self-path empty
+    assert(cat.joinPath("documents", "customer").isEmpty)
+    assert(cat.joinPath("orders", "orders").isEmpty)
+    // an edge naming an absent table is filtered out of fkEdges
+    val withGhost = new Catalog(spark,
+      fks = Catalog.defaultFks :+ FkEdge("ghost", "g_id", "customer", "c_custkey"))
+    assert(!withGhost.fkEdges.exists(_.fromTable == "ghost"))
+  }
 }

@@ -119,4 +119,59 @@ class RunnerSpec extends AnyFunSuite {
     // unparseable text is not a write; execution surfaces the parse error
     assert(Sanitizer.writeNode(spark, "SELECT FROM WHERE garbage (((").isEmpty)
   }
+
+  test("gate table: every Spark 4 write-capable statement shape is rejected, nothing executes") {
+    // The growth-proof enumeration (round-3 verdict item 10): one entry per
+    // write/command statement family Spark 4's grammar accepts. Each must
+    // be stopped by the two-stage gate — prefix check OR parsed writeNode —
+    // on the trusted runSql path (statements reach it unmangled), leaving
+    // no table, view, or directory behind. A future parser upgrade that
+    // reopens any family turns this red.
+    Tables.register(spark, TestSpark.sf0001)
+    val dirA = new java.io.File("/tmp/graft_gate_table_a")
+    val dirB = new java.io.File("/tmp/graft_gate_table_b")
+    Seq(dirA, dirB).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    val writeStatements = Seq(
+      "INSERT INTO customer VALUES (1)",
+      "INSERT OVERWRITE TABLE customer SELECT * FROM customer",
+      s"INSERT OVERWRITE DIRECTORY '${dirA.getAbsolutePath}' USING parquet SELECT 1 AS x",
+      "WITH t AS (SELECT 1 AS x) INSERT INTO customer SELECT * FROM t",
+      s"WITH t AS (SELECT 1 AS x) INSERT OVERWRITE DIRECTORY '${dirB.getAbsolutePath}' USING parquet SELECT * FROM t",
+      "CREATE TABLE gate_ctas AS SELECT 1 AS x",
+      "CREATE OR REPLACE TABLE gate_rtas AS SELECT 1 AS x",
+      "REPLACE TABLE gate_rtas2 AS SELECT 1 AS x",
+      "CREATE TABLE gate_ddl (a INT)",
+      "CREATE VIEW gate_v AS SELECT 1 AS x",
+      "CREATE OR REPLACE TEMPORARY VIEW gate_tv AS SELECT 1 AS x",
+      "ALTER TABLE customer RENAME TO customer2",
+      "DROP TABLE customer",
+      "DROP VIEW customer",
+      "TRUNCATE TABLE customer",
+      "CACHE TABLE gate_cached AS SELECT 1 AS x",
+      "UNCACHE TABLE customer",
+      "SET spark.sql.shuffle.partitions=1",
+      "RESET",
+      "ANALYZE TABLE customer COMPUTE STATISTICS",
+      "REFRESH TABLE customer",
+      "MERGE INTO customer USING orders ON 1=1 WHEN MATCHED THEN DELETE",
+      "UPDATE customer SET c_name = 'x' WHERE c_custkey = 1",
+      "DELETE FROM customer WHERE c_custkey = 1",
+      "LOAD DATA INPATH '/tmp/nope' INTO TABLE customer",
+      "EXPLAIN SELECT 1",
+      "DESCRIBE TABLE customer",
+      "SHOW TABLES")
+    writeStatements.foreach { s =>
+      // structural property: prefix check or writeNode must flag it
+      assert(!Sanitizer.isReadOnly(s) || Sanitizer.writeNode(spark, s).isDefined,
+        s"gate misses: $s")
+      // behavioral property: the trusted path returns Left, pre-execution
+      assert(Runner.runSql(spark, s).isLeft, s"runSql executed: $s")
+    }
+    assert(!dirA.exists() && !dirB.exists(), "no directory may be written")
+    val names = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(Seq("gate_ctas", "gate_rtas", "gate_rtas2", "gate_ddl", "gate_v", "gate_tv")
+      .forall(!names.contains(_)), "no table or view may be created")
+    // and the registered views survive (nothing dropped/renamed/truncated)
+    assert(spark.table("customer").count() > 0)
+  }
 }
