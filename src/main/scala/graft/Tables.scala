@@ -19,13 +19,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registered = scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+  // session → directory its views are CURRENTLY bound to. The memo key
+  // must be the session alone, not (session, dir): temp views are one
+  // per-session namespace, so registering dir B after dir A rebinds every
+  // view, and a later register(A) memoized on (session, A) would no-op and
+  // silently leave the views at B — callers mixing scale factors then read
+  // the wrong data (bit the test suite: a batch-vs-stream equivalence
+  // check read events from another SF's view). Tracking the bound dir
+  // makes every dir switch re-register, and same-dir calls stay free.
+  // DataFrames already handed out stay correct either way: spark.table
+  // resolves the view at creation time.
+  private val registered = scala.collection.concurrent.TrieMap.empty[Int, String]
 
   /** Register every table under `dir` as a temp view named after the file. */
   def register(spark: SparkSession, dir: String): Unit = {
-    val key = (System.identityHashCode(spark), dir)
-    if (!registered.contains(key)) synchronized {
-      if (!registered.contains(key)) {
+    val key = System.identityHashCode(spark)
+    if (!registered.get(key).contains(dir)) synchronized {
+      if (!registered.get(key).contains(dir)) {
         // `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4
         // refuses outright; read nanos as long and truncate to µs (FIXTURES.md
         // documents this as immaterial for the declared hour-granularity ops).
@@ -41,7 +51,7 @@ object Tables {
             df.createOrReplaceTempView(t)
           }
         }
-        registered.put(key, true)
+        registered.put(key, dir)
       }
     }
   }

@@ -164,9 +164,17 @@ object StreamOps {
     * Session confs are restored after the run (they are query-start-time
     * bound, so the temporary change cannot leak into concurrent plans
     * already started). */
+  /** The bounded runner mutates SESSION-GLOBAL conf (state partitions,
+    * no-data micro-batches) around the run and restores it after. Two
+    * concurrent bounded runs on the same session would race those settings
+    * (observed: parallel test suites left a stream on the wrong partition
+    * count) — serialize them. Real deployments run one streaming query
+    * per session and never hit the lock. */
+  private val boundedRunLock = new Object
+
   private def runWithMode(spark: SparkSession, df: DataFrame, name: String,
                           mode: String, statePartitions: Int = 8,
-                          noDataBatches: Boolean = false): DataFrame = {
+                          noDataBatches: Boolean = false): DataFrame = boundedRunLock.synchronized {
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     val oldNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)

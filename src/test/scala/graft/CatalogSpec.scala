@@ -47,6 +47,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(lines.length == cat.listTables().length)
   }
 
+  test("Tables.register rebinds views when the directory changes") {
+    // regression: the memo used to be per (session, dir), so registering
+    // dir B then calling register(A) again no-op'd and left every view at
+    // B — a batch/stream equivalence test then read events from the wrong
+    // scale factor. The memo now tracks the BOUND dir per session.
+    val a = Tables.table(spark, TestSpark.sf0001, "orders").count()
+    val b = Tables.table(spark, TestSpark.sf01, "orders").count()
+    assert(a != b, "scale factors must differ for this test to mean anything")
+    assert(Tables.table(spark, TestSpark.sf0001, "orders").count() == a)
+    assert(Tables.table(spark, TestSpark.sf01, "orders").count() == b)
+    // leave the shared session back on the small SF for suites that follow
+    Tables.register(spark, TestSpark.sf0001)
+  }
+
   test("S11: joinPath finds shortest FK chains and respects table presence") {
     Tables.register(spark, TestSpark.sf0001)
     val cat = new Catalog(spark)

@@ -63,4 +63,29 @@ class SinksSpec extends AnyFunSuite {
     // round-trip completeness
     assert(spark.read.parquet(s"$tmp/docs").count() == docs.count())
   }
+
+  test("manifest-pruned read: selective range touches fewer files, same answer") {
+    import graft.sources.SkipStats
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+    Sinks.writeSortedParquet(docs, s"$tmp/docs", Seq("doc_id"), targetFiles = 8)
+    // narrow range: ~one file's worth of ids out of 8 range-partitioned
+    // files (2 if the range straddles a sampled boundary)
+    val (pruned, stats) = Sinks.readRangeSkipping(spark, s"$tmp/docs", "doc_id",
+      lo = BigDecimal(100), hi = BigDecimal(140))
+    assert(stats.filesTotal == 8 && stats.filesRead <= 2 && stats.filesRead >= 1,
+      s"expected <=2 of 8 files, got $stats")
+    val expect = docs.filter(col("doc_id").between(100, 140))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+    // a range outside the data reads zero files and returns zero rows
+    val (empty, noneStats) = Sinks.readRangeSkipping(spark, s"$tmp/docs", "doc_id",
+      lo = BigDecimal(10000000), hi = BigDecimal(20000000))
+    assert(noneStats.filesRead == 0 && empty.count() == 0)
+    // full range reads everything — pruning never loses data
+    val (all, allStats) = Sinks.readRangeSkipping(spark, s"$tmp/docs", "doc_id",
+      lo = BigDecimal(0), hi = BigDecimal(10000000))
+    assert(allStats.filesRead == 8 && all.count() == docs.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
