@@ -266,6 +266,23 @@ object SparkEntry {
         .select(col("o_custkey"), col("monetary_cents"), col("m_score"))
         .orderBy(col("monetary_cents").desc, col("o_custkey")).limit(100)
     },
+    // Transitive near-dup clustering (round 4): connected components over
+    // a verified pair graph — hash-min + pointer-jumping label
+    // propagation, O(log diameter) rounds. The declared pair graph is the
+    // SQL-expressible consecutive-id jaccard ≥ 0.9 (integer
+    // cross-multiplied, so both engines derive the identical edge set);
+    // the oracle computes the same components with a recursive CTE. The
+    // sf0.01 graph has chains up to length 4, so transitivity is real.
+    "q74_neardup_clusters" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), array_distinct(split(col("text"), " ")).as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), array_distinct(split(col("text"), " ")).as("tb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+        .filter(size(array_intersect(col("ta"), col("tb"))) * 10 >=
+          size(array_union(col("ta"), col("tb"))) * 9)
+        .select("id_a", "id_b")
+      TextDedup.nearDupClusters(pairs).orderBy("doc_id").limit(100)
+    },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
     "q50_multimodal" -> { (spark, dir) =>
       Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, dir))
@@ -383,6 +400,23 @@ object SparkEntry {
           "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 " +
           "THEN 'train' ELSE 'test' END AS split FROM documents) t " +
           "GROUP BY split ORDER BY split LIMIT 100"),
+      // new round 4: the recursive-CTE transitive closure is the oracle
+      // for the distributed connected-components operator (same integer
+      // jaccard edge set, min-id labels)
+      "q74_neardup_clusters" ->
+        ("WITH RECURSIVE pairs AS (" +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+          "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+          "WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' ')))) * 10 >= " +
+          "len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' '))))) * 9" +
+          "), edges AS (" +
+          "SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs" +
+          "), reach(id, lbl) AS (" +
+          "SELECT src, src FROM edges " +
+          "UNION " +
+          "SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst" +
+          ") SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach " +
+          "GROUP BY id ORDER BY doc_id LIMIT 100"),
       // new round 4: DuckDB's window NTILE is the oracle for the
       // distributed two-pass form (identical positional semantics over the
       // same unique total order)

@@ -165,6 +165,73 @@ object TextDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected edge list — the transitive
+    * closure `dedupNear`'s single-pass policy deliberately skips. Labels
+    * every vertex with the MINIMUM vertex id reachable from it.
+    *
+    * Algorithm: hash-min label propagation with POINTER JUMPING — each
+    * round first takes the min label over self+neighbors, then replaces
+    * every label by its label's label (path halving), so convergence is
+    * O(log diameter) rounds, not O(diameter): a 1M-document near-dup chain
+    * converges in ~20 rounds instead of 1M. Each round is two equi-joins
+    * + an aggregate (plain shuffles, AQE-splittable); lineage is cut per
+    * round with an eager localCheckpoint so the plan does not grow with
+    * the iteration count (at deployment scale use a checkpoint dir on
+    * shared storage instead). Converged when no label changes. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // min label over the neighborhood, then combined with the vertex's
+      // own label via join+least (a union of a frame with its own
+      // derivation trips Catalyst's constraint rewriting)
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("cluster").as("__nc"))
+        .groupBy("id").agg(min("__nc").as("__nc"))
+      val step1 = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(least(col("cluster"), col("__nc")), col("cluster")).as("cluster"))
+      val jumped = step1.as("a")
+        .join(step1.select(col("id").as("__cid"), col("cluster").as("__cparent")),
+          col("a.cluster") === col("__cid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("__cparent"), col("a.cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = jumped.join(labels.withColumnRenamed("cluster", "__old"), "id")
+        .filter(col("cluster") =!= col("__old")).count()
+      labels = jumped
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster labels for near-duplicate groups: connected components over a
+    * verified pair list (id_a, id_b). Output (doc_id, cluster) covers only
+    * documents that appear in at least one pair; cluster = min doc id of
+    * the group. */
+  def nearDupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster"))
+
+  /** Transitive dedup policy: one survivor (the min id) per near-dup
+    * CLUSTER — the group semantics `dedupNear`'s keep-earliest pass
+    * approximates. A −B −C chains collapse to A even when A and C never
+    * pair directly. */
+  def dedupNearTransitive(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, shingleN: Int = 3): DataFrame = {
+    val labels = nearDupClusters(nearDupPairs(df, idCol, textCol, threshold, shingleN))
+    val losers = labels.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup: 64-bit signatures, pigeonhole-banded into 4×16-bit
     * chunks (hamming ≤ 3 ⇒ at least one chunk identical), verified by exact
     * hamming distance. Output: (id_a, id_b, hamming). */

@@ -317,4 +317,40 @@ class TierESpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scores == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
   }
+
+  test("connectedComponents matches a scalar union-find on a planted graph") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12 + bridge 12-13, pair 20-21;
+    // vertex 30 has a self-contained pair with 31
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L), (20L, 21L), (31L, 30L)).toDF("src", "dst")
+    val got = TextDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scalar reference: union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (12L, 13L), (20L, 21L), (31L, 30L)).foreach { case (a, b) => parent(find(a)) = find(b) }
+    val groups = parent.keys.groupBy(find).flatMap { case (_, vs) =>
+      val m = vs.min; vs.map(_ -> m) }
+    assert(got == groups)
+    // min-id labeling: the chain 1-2-3-4 all label 1 even though 1 and 4
+    // never share an edge — the transitivity dedupNear cannot see
+    assert(got(4L) == 1L && got(13L) == 10L)
+  }
+
+  test("dedupNearTransitive keeps exactly one survivor per near-dup cluster") {
+    import spark.implicits._
+    // A≈B≈C chain (B bridges A and C), D distinct
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha beta gamma delta theta eta"),
+      (4L, "totally different words here nothing shared")).toDF("doc_id", "text")
+    val kept = TextDedup.dedupNearTransitive(docs, "doc_id", "text",
+      threshold = 0.3, shingleN = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+  }
 }
