@@ -110,14 +110,53 @@ object Similarity {
     * lowest centroid id, matching the former stable-sort behavior.
     * Shuffle is one pass of (vec_id, vector, list); the query side
     * broadcasts. Recall/latency tune via nlist and nprobe. */
+  /** Distributed Lloyd (k-means) refinement for the IVF coarse quantizer.
+    * Seeds from the deterministic lowest-id sample, then `iters` rounds of
+    * assign (broadcast join + max_by — the same nlist-independent shape as
+    * ivfTopK's list assignment) and re-center (per-dimension mean via
+    * posexplode + avg, rebuilt with a sorted collect_list of `dim` floats
+    * per centroid — `dim` rows per list, metadata-sized). A centroid keeps
+    * its seed's id as a stable list label; a list that empties simply
+    * disappears (k shrinks, never crashes). Each round is two shuffles of
+    * (vec, list) / (list, dim, mean) — linear in corpus size. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    var centroids = corpus.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+      .orderBy("__cid").limit(k)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(centroids))
+        .groupBy("__vid")
+        .agg(first(col("__v")).as("__v"),
+          max_by(col("__cid"),
+            struct(call_function("cosine_sim", col("__v"), col("__cvec")).as("s"),
+              (-col("__cid")).as("tb"))).as("__list"))
+      centroids = assigned
+        .select(col("__list"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("__list", "__dim").agg(avg("__x").as("__m"))
+        .groupBy("__list")
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          x => x.getField("__m").cast("float")).as("__cvec"))
+        .select(col("__list").as("__cid"), col("__cvec"))
+    }
+    centroids
+  }
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.CosineSim.register(spark)
-    val centroids = broadcast(
-      corpus.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
-        .orderBy("__cid").limit(nlist))
+    // refineIters = 0 keeps the deterministic id-sample quantizer (cheap,
+    // reproducible — the declared q53 form); > 0 runs Lloyd refinement for
+    // real clustered corpora, same downstream plan either way
+    val base =
+      if (refineIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, refineIters)
+      else corpus.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+        .orderBy("__cid").limit(nlist)
+    val centroids = broadcast(base)
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
       .crossJoin(centroids)
       .groupBy("vec_id")

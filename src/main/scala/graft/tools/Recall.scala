@@ -47,6 +47,16 @@ object Recall {
       val recall = got.intersect(bf).size.toDouble / bf.size
       println(f"[recall] ivf nlist=$nlist%2d nprobe=$nprobe%2d: recall@$k=${recall}%.3f time=$sec%.2f s")
     }
+    // Lloyd-refined quantizer vs the id-sample baseline at the same
+    // nlist/nprobe — measures what a real k-means quantizer buys
+    for ((nlist, nprobe, iters) <- Seq((64, 8, 2), (256, 32, 2))) {
+      val t1 = System.nanoTime()
+      val got = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k,
+        nlist = nlist, nprobe = nprobe, refineIters = iters))
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = got.intersect(bf).size.toDouble / bf.size
+      println(f"[recall] ivf-kmeans nlist=$nlist%3d nprobe=$nprobe%2d iters=$iters: recall@$k=${recall}%.3f time=$sec%.2f s")
+    }
     spark.stop()
   }
 }

@@ -318,6 +318,37 @@ class TierESpec extends AnyFunSuite {
     assert(scores == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("kmeansCentroids recovers planted cluster directions; refined IVF stays exact") {
+    import spark.implicits._
+    // three well-separated direction clusters in 4-D; ids 0,1,2 seed one
+    // centroid per cluster, so Lloyd refinement must converge to purity 1
+    val rng = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + rng.nextFloat() * 0.05f)
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f); val c = Array(0f, 0f, 1f, 1f)
+    val vecs = (0 until 30).map { i =>
+      val base = i % 3 match { case 0 => a; case 1 => b; case _ => c }
+      (i.toLong, jitter(base).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = graft.operators.Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(centroids.length == 3)
+    // each refined centroid points along exactly one planted direction
+    def argmax(v: Array[Float]) = v.zipWithIndex.maxBy { case (x, i) => (x, -i) }._2
+    val dirs = centroids.map { case (_, v) => argmax(v.take(3)) }.toSet
+    assert(dirs == Set(0, 1, 2), s"each planted direction recovered: ${dirs}")
+    // refined IVF returns exact cosine scores, full recall at nprobe = nlist
+    val queries = df.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val refined = graft.operators.Similarity.ivfTopK(df, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nlist = 3, nprobe = 3, refineIters = 2)
+    val brute = graft.operators.Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+    def pairs(x: org.apache.spark.sql.DataFrame) =
+      x.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(refined) == pairs(brute), "full-probe refined IVF equals brute force")
+  }
+
   test("connectedComponents matches a scalar union-find on a planted graph") {
     import spark.implicits._
     // chain 1-2-3-4, triangle 10-11-12 + bridge 12-13, pair 20-21;
