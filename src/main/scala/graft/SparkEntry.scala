@@ -283,6 +283,17 @@ object SparkEntry {
         .select("id_a", "id_b")
       TextDedup.nearDupClusters(pairs).orderBy("doc_id").limit(100)
     },
+    // Greedy sequence packing (round 4): shard-parallel first-fit into
+    // 512-token packs — oracle-checked against a DuckDB recursive CTE
+    // replaying the identical sequential rule per shard.
+    "q75_seq_pack" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Scale.packSequences(d, "doc_id", "n_tokens",
+          budgetTokens = 512L, nShards = 4)
+        .select(col("id").as("doc_id"), col("shard"), col("pack"))
+        .orderBy("doc_id").limit(100)
+    },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
     "q50_multimodal" -> { (spark, dir) =>
       Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, dir))
@@ -400,6 +411,21 @@ object SparkEntry {
           "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 " +
           "THEN 'train' ELSE 'test' END AS split FROM documents) t " +
           "GROUP BY split ORDER BY split LIMIT 100"),
+      // new round 4: linear recursion replays the per-shard greedy packing
+      // rule row by row — same shard, order, budget and overflow policy
+      "q75_seq_pack" ->
+        ("WITH RECURSIVE docs AS (" +
+          "SELECT doc_id % 4 AS shard, doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+          "ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn FROM documents" +
+          "), packed(shard, rn, doc_id, n_tokens, acc, pack) AS (" +
+          "SELECT shard, rn, doc_id, n_tokens, n_tokens, 0 FROM docs WHERE rn = 1 " +
+          "UNION ALL " +
+          "SELECT d.shard, d.rn, d.doc_id, d.n_tokens, " +
+          "CASE WHEN p.acc + d.n_tokens > 512 THEN d.n_tokens ELSE p.acc + d.n_tokens END, " +
+          "CASE WHEN p.acc + d.n_tokens > 512 THEN p.pack + 1 ELSE p.pack END " +
+          "FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1" +
+          ") SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack " +
+          "FROM packed ORDER BY doc_id LIMIT 100"),
       // new round 4: the recursive-CTE transitive closure is the oracle
       // for the distributed connected-components operator (same integer
       // jaccard edge set, min-id labels)

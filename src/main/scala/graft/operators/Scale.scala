@@ -149,6 +149,44 @@ object Scale {
       when(pmod(h, lit(100)) < trainPct, lit("train")).otherwise(lit("test")))
   }
 
+  /** Greedy sequence packing for training-batch construction: shard
+    * documents deterministically (id mod nShards), order by id within a
+    * shard, and fill packs first-fit-sequential up to `budgetTokens`
+    * (an oversized document takes a pack of its own). Packing within a
+    * shard is inherently sequential — each decision depends on the
+    * running fill — so the parallelism unit is the shard: shards pack
+    * independently in one mapPartitions pass over shard-partitioned,
+    * shard-sorted rows; at 100 TB you pick nShards ≈ cores available and
+    * every shard streams once. Output: (id, shard, pack), pack numbering
+    * restarting per shard. Deterministic: same ids → same packs on every
+    * run and engine (the q75 oracle replays the identical rule as a
+    * recursive CTE). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budgetTokens: Long, nShards: Int): DataFrame = {
+    require(nShards >= 1 && budgetTokens >= 1)
+    val spark = df.sparkSession
+    val prepared = df
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("n"))
+      .withColumn("__shard", pmod(col("id"), lit(nShards.toLong)))
+      .repartition(math.min(nShards, spark.sessionState.conf.numShufflePartitions), col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("id"))
+    val out = prepared.rdd.mapPartitions { it =>
+      // a partition holds whole shards back to back; reset at shard change
+      var shard = Long.MinValue; var acc = 0L; var pack = 0L
+      it.map { r =>
+        val id = r.getLong(0); val n = r.getLong(1); val s = r.getLong(2)
+        if (s != shard) { shard = s; acc = n; pack = 0L }
+        else if (acc + n > budgetTokens) { acc = n; pack += 1 }
+        else acc += n
+        org.apache.spark.sql.Row(id, s, pack)
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pack", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Weighted corpus mixture for training-data composition: each source is
     * Bernoulli-sampled at its weight and unioned. Seeded → reproducible;
     * sampling happens at the scan (no shuffle); weights > 1.0 are not

@@ -148,6 +148,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(got42 == expect42)
   }
 
+  test("packSequences: budget respected, every doc packed once, deterministic") {
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = Scale.packSequences(docs, "doc_id", "n_tokens", budgetTokens = 512L, nShards = 4)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every document appears exactly once
+    assert(rows.map(_._1).distinct.length == docs.count())
+    // no pack exceeds the budget unless it is a single oversized document
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(t => (t._2, t._3)).foreach { case (k, members) =>
+      val fill = members.map(m => toks(m._1)).sum
+      assert(fill <= 512L || members.length == 1, s"pack $k over budget: $fill")
+    }
+    // deterministic across runs
+    val again = Scale.packSequences(docs, "doc_id", "n_tokens", 512L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // hand case: one shard, docs of 300/300/600/100 tokens, budget 512
+    // → packs [300], [300], [600 oversized alone], [100]? No: greedy keeps
+    // filling — 300, then 300 overflows → new pack; 600 overflows → own
+    // pack; 100 overflows 600's pack → new pack
+    import spark.implicits._
+    val tiny = Seq((0L, 300L), (1L, 300L), (2L, 600L), (3L, 100L)).toDF("doc_id", "n")
+    val got = Scale.packSequences(tiny, "doc_id", "n", 512L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("weightedMix respects weights and is reproducible") {
     val docs = Tables.table(spark, TestSpark.sf01, "documents")
     val n = docs.count().toDouble
