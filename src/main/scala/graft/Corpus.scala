@@ -319,7 +319,24 @@ object Corpus {
     DeclaredQuery("q64_exists",
       "SELECT c_custkey FROM customer c WHERE EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') " +
-        "ORDER BY c_custkey LIMIT 100")
+        "ORDER BY c_custkey LIMIT 100"),
+
+    // Q76 — batch sessionization (round-4 extension): gap-based sessions
+    // (30-minute inactivity closes a session) via lag + running sum, the
+    // batch twin of streaming/StreamOps.userSessions. Per-user windows
+    // only — no global window, scales with user cardinality. Second
+    // truncation as in q54 (ns parquet vs µs Spark). Shared text: both
+    // engines spell date_trunc/lag/interval/windowed SUM identically.
+    DeclaredQuery("q76_sessionize",
+      "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, MIN(ts2) AS session_start " +
+        "FROM (SELECT user_id, ts2, event_id, " +
+        "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts2, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+        "FROM (SELECT user_id, event_id, date_trunc('second', ts) AS ts2, " +
+        "CASE WHEN lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) IS NULL " +
+        "OR date_trunc('second', ts) > lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events) t1) t2 " +
+        "GROUP BY user_id, session_id ORDER BY user_id, session_id LIMIT 100")
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap
