@@ -78,6 +78,35 @@ object Smoke {
     println(s"[smoke] partitioned sink: total=${back.count()} en-partition=$en dirs=" +
       new java.io.File(outDir).listFiles().count(f => f.isDirectory && f.getName.startsWith("lang=")))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+
+    // OpenAI-shaped client against a canned transport (zero network):
+    // request wire shape → fenced-SQL response → sanitize → execute
+    val canned: LlmClient.Transport = (_, _, _) =>
+      """{"choices":[{"message":{"role":"assistant","content":"```sql\nSELECT r_name FROM region ORDER BY r_name\n```"}}]}"""
+    val client = new LlmClient("http://offline.test/v1", "smoke-model", "sk-smoke", transport = canned)
+    Ask(spark, LlmFrontend.withClient(new Catalog(spark), "postgresql", client), "list regions") match {
+      case Right(df) => println(s"[smoke] llm client fixture → rows=${df.count()}")
+      case Left(e)   => println(s"[smoke] llm client fixture FAILED: ${e.message}")
+    }
+
+    // credential store round-trip (both tiers) in a temp home
+    val store = new graft.sources.CredentialStore(
+      java.nio.file.Files.createTempDirectory("graft_smoke_home"),
+      java.nio.file.Files.createTempDirectory("graft_smoke_cfg"))
+    val cfg = Map("db_type" -> "postgresql", "host" -> "h", "port" -> "5432",
+      "user" -> "u", "password" -> "pw", "database" -> "d")
+    store.saveCredentials(cfg); store.saveTestDbCredentials(cfg)
+    println(s"[smoke] credentials: personal=${store.loadCredentials() == cfg} " +
+      s"encrypted=${store.loadTestDbCredentials().contains(cfg)} " +
+      s"jdbcUrl=${store.loadDbConfig().map(_.jdbcUrl).getOrElse("NONE")}")
+
+    // manifest-pruned range read off the sorted sink
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft_smoke_sorted").toString + "/docs"
+    graft.sources.Sinks.writeSortedParquet(docs, sortedDir, Seq("doc_id"), targetFiles = 4)
+    val (pruned, stats) = graft.sources.Sinks.readRangeSkipping(spark, sortedDir, "doc_id",
+      BigDecimal(0), BigDecimal(20))
+    println(s"[smoke] skipping read: filesRead=${stats.filesRead}/${stats.filesTotal} rows=${pruned.count()}")
+
     spark.stop()
   }
 }
