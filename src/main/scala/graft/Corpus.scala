@@ -336,7 +336,41 @@ object Corpus {
         "CASE WHEN lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) IS NULL " +
         "OR date_trunc('second', ts) > lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) + INTERVAL 30 MINUTE " +
         "THEN 1 ELSE 0 END AS new_sess FROM events) t1) t2 " +
-        "GROUP BY user_id, session_id ORDER BY user_id, session_id LIMIT 100")
+        "GROUP BY user_id, session_id ORDER BY user_id, session_id LIMIT 100"),
+
+    // Q77 — ordered funnel (round-4 extension): users reaching
+    // view → later click → later purchase, each stage strictly after the
+    // previous user's stage time. Per-user aggregates + equi-joins only —
+    // no window, no cross join; shared text. Second truncation as in q54.
+    DeclaredQuery("q77_funnel",
+      "WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts2 FROM events), " +
+        "v AS (SELECT user_id, MIN(ts2) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(e.ts2) AS t2 FROM e JOIN v ON e.user_id = v.user_id AND e.ts2 > v.t1 " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, MIN(e.ts2) AS t3 FROM e JOIN c ON e.user_id = c.user_id AND e.ts2 > c.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT (SELECT COUNT(*) FROM v) AS n_view, (SELECT COUNT(*) FROM c) AS n_view_click, " +
+        "(SELECT COUNT(*) FROM p) AS n_full_funnel LIMIT 100"),
+
+    // Q78 — weekly retention cohorts (round-4 extension) [dual text:
+    // Spark DATEDIFF(end, start) vs DuckDB date_diff('day', start, end)].
+    // cohort = week of a user's first active day; offset = whole weeks
+    // since it. All joins per-user, aggregates distinct-count.
+    DeclaredQuery("q78_retention",
+      "WITH f AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events) " +
+        "SELECT CAST(CAST(date_trunc('week', f.d0) AS DATE) AS STRING) AS cohort_week, " +
+        "CAST(FLOOR(DATEDIFF(a.d, f.d0) / 7) AS BIGINT) AS week_offset, " +
+        "COUNT(DISTINCT a.user_id) AS n_active " +
+        "FROM a JOIN f ON a.user_id = f.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset LIMIT 100",
+      Some("WITH f AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events) " +
+        "SELECT CAST(CAST(date_trunc('week', f.d0) AS DATE) AS VARCHAR) AS cohort_week, " +
+        "CAST(FLOOR(date_diff('day', f.d0, a.d) / 7) AS BIGINT) AS week_offset, " +
+        "COUNT(DISTINCT a.user_id) AS n_active " +
+        "FROM a JOIN f ON a.user_id = f.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset LIMIT 100"))
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap
