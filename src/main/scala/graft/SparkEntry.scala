@@ -154,7 +154,8 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
-      graft.operators.TimeJoins.asofJoin(clicks, views, "user_id", "ts", "ts", 3600L)
+      graft.operators.TimeJoins.asofJoin(clicks, views, "user_id", "ts", "ts", 3600L,
+          leftUniqueKey = Some("event_id"))
         .select(col("l_event_id"), col("r_ts"))
         .orderBy("l_event_id").limit(100)
     },

@@ -39,17 +39,26 @@ object TimeJoins {
   /** As-of join: for each left row, the LATEST right row with
     * rightTs ∈ [leftTs - tolerance, leftTs] per join key. The canonical
     * time-series enrichment (trade → most recent quote). Rows with no
-    * right match within tolerance are dropped (inner as-of). */
+    * right match within tolerance are dropped (inner as-of).
+    *
+    * @param leftUniqueKey a column of `left` that uniquely identifies each
+    *        row (pre-rename name). Real as-of inputs virtually always have
+    *        one (event id, trade id); pass it and the probe/re-attach key
+    *        is that stable column. Only when absent does the operator
+    *        synthesize `monotonically_increasing_id()` — marked
+    *        nondeterministic by Spark, so a lost-executor recompute
+    *        interleaved with AQE could in principle re-id rows between the
+    *        probe and the re-attach subtrees. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, toleranceSec: Long,
-               leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+               leftPrefix: String = "l_", rightPrefix: String = "r_",
+               leftUniqueKey: Option[String] = None): DataFrame = {
     val l0 = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, leftPrefix + c))
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
-    // surrogate row id: the dedup/re-attach key. Deterministic here because
-    // both uses of `l` below recompute the same scan with the same
-    // partitioning; the aggregation result never depends on id VALUES,
-    // only on their uniqueness per row.
-    val l = l0.withColumn("__lid", monotonically_increasing_id())
+    val l = leftUniqueKey match {
+      case Some(k) => l0.withColumn("__lid", col(leftPrefix + k))
+      case None    => l0.withColumn("__lid", monotonically_increasing_id())
+    }
     val lc = col(leftPrefix + leftTs)
     val rc = col(rightPrefix + rightTs)
     // probe narrowed to (id, key, ts): the candidate shuffle carries a

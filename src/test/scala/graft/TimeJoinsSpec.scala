@@ -67,4 +67,21 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(bucketed == naive)
     assert(naive.nonEmpty)
   }
+
+  test("asofJoin with leftUniqueKey matches the synthesized-id path and drops monotonically_increasing_id from the plan") {
+    val ev = Tables.table(spark, TestSpark.sf0001, "events").limit(400)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+    val keyed = TimeJoins.asofJoin(clicks, views, "user_id", "ts", "ts", 3600L,
+      leftUniqueKey = Some("event_id"))
+    val synth = TimeJoins.asofJoin(clicks, views, "user_id", "ts", "ts", 3600L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_event_id"), col("r_event_id")).as[(Long, Long)].collect().toMap
+    assert(pairs(keyed) == pairs(synth))
+    assert(pairs(keyed).nonEmpty)
+    val plan = keyed.queryExecution.analyzed.toString
+    assert(!plan.contains("monotonically_increasing_id"),
+      "unique-key path must not synthesize a nondeterministic row id")
+    assert(synth.queryExecution.analyzed.toString.contains("monotonically_increasing_id"))
+  }
 }
