@@ -180,6 +180,75 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Fixed-point quantization: floor(x · 10^4) per component, BIGINT.
+    * float→double widening is exact and floor is rounding-mode-free, so
+    * Spark and any IEEE-double SQL engine derive the IDENTICAL integer
+    * vector from the same parquet floats — what makes similarity scores
+    * hash-comparable cross-engine (float cosine never is: summation order
+    * and ulp drift differ). For unit-norm embeddings the integer dot
+    * product is a monotone stand-in for cosine up to quantization error. */
+  def quantize(vec: Column, scale: Int = 10000): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Integer dot product of two quantized vectors. |x_i| ≤ scale ⇒ each
+    * term ≤ scale², 64 dims ≈ 6.4e9 ≪ Long.Max — no ANSI overflow. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact top-k by quantized integer dot product — the hash-checkable
+    * twin of `bruteForceTopK` (float cosine stays the production scorer;
+    * this is the cross-engine-verifiable form, and the shape is identical:
+    * broadcast query set, one corpus scan, narrow rank shuffle).
+    * Output: (query_id, vec_id, score BIGINT, rank). */
+  def bruteForceTopKInt(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                        k: Int, scale: Int = 10000): DataFrame = {
+    val c = corpus.select(col(idCol), quantize(col(vecCol), scale).as("__cq"))
+    val q = queries.select(col(queryIdCol), quantize(col(queryVecCol), scale).as("__qq"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol))
+    c.crossJoin(broadcast(q))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .withColumn("score", intDot(col("__cq"), col("__qq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"), col("score"), col("rank"))
+  }
+
+  /** IVF top-k with quantized integer scoring end to end (assignment,
+    * probe, and final rank all on BIGINT dot products) — the
+    * hash-checkable twin of `ivfTopK`, replicable exactly in any SQL
+    * engine. Same nlist-independent plan: centroids are a broadcast
+    * frame, assignment a broadcast join + max_by. */
+  def ivfTopKInt(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                 k: Int, nlist: Int = 16, nprobe: Int = 4,
+                 scale: Int = 10000): DataFrame = {
+    val cq = corpus.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(vecCol), scale).as("__v"))
+    val centroids = broadcast(cq.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("__cid"), col("__v").as("__cvec")))
+    val assigned = cq.crossJoin(centroids)
+      .groupBy("vec_id")
+      .agg(first(col("__v")).as("__v"),
+        max_by(col("__cid"),
+          struct(intDot(col("__v"), col("__cvec")).as("s"), (-col("__cid")).as("tb"))).as("__list"))
+    val pw = Window.partitionBy("query_id").orderBy(col("__s").desc, col("__cid"))
+    val probed = queries.select(col(queryIdCol).cast("long").as("query_id"),
+        quantize(col(queryVecCol), scale).as("__qv"))
+      .crossJoin(centroids)
+      .withColumn("__s", intDot(col("__qv"), col("__cvec")))
+      .withColumn("__r", row_number().over(pw))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cid").as("__list"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(probed), Seq("__list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", intDot(col("__v"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
     * collision in any table) verified by exact cosine ≥ threshold.
     * Output: (id_a, id_b, sim), id_a < id_b. */

@@ -189,6 +189,46 @@ class TierESpec extends AnyFunSuite {
       }
   }
 
+  test("integer-quantized top-k twins match an exact scalar reference (q44/q53 oracle path)") {
+    val emb = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    // brute-force twin: top-5 by (score desc, id asc) per query
+    val expectBf = (0L until 5L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (q, id, dot(vecs(q), v)) }
+        .sortBy { case (_, id, s) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((qq, id, s), i) => (qq, id, s, i + 1) }
+    }.toSet
+    val gotBf = Similarity.bruteForceTopKInt(emb, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(gotBf == expectBf)
+    // IVF twin: centroids = 16 lowest ids; assignment/probe/rank all by
+    // integer dot, ties to the lower centroid / vector id
+    val cents = vecs.toSeq.sortBy(_._1).take(16)
+    def bestList(v: Array[Long]): Long =
+      cents.map { case (cid, cv) => (cid, dot(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.head._1
+    val assigned = vecs.map { case (id, v) => id -> bestList(v) }
+    val expectIvf = (0L until 5L).flatMap { q =>
+      val probes = cents.map { case (cid, cv) => (cid, dot(vecs(q), cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1).toSet
+      vecs.toSeq.filter { case (id, _) => id != q && probes.contains(assigned(id)) }
+        .map { case (id, v) => (q, id, dot(vecs(q), v)) }
+        .sortBy { case (_, id, s) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((qq, id, s), i) => (qq, id, s, i + 1) }
+    }.toSet
+    val gotIvf = Similarity.ivfTopKInt(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+        nlist = 16, nprobe = 4)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(gotIvf == expectIvf)
+  }
+
   test("brute-force top-k ranks by exact cosine desc") {
     val emb = Tables.table(spark, TestSpark.sf0001, "embeddings")
     val queries = emb.filter(col("vec_id") === 0)
