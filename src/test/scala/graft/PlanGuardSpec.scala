@@ -38,4 +38,40 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  // q18 is the documented SMALL-RESULT-ONLY global NTILE (annotated in
+  // Corpus.scala; its scale twin q73 runs with no Window node at all) —
+  // the only declared query allowed to shuffle everything to one
+  // partition under a window
+  private val globalWindowAllowed = Set("q18_ntile")
+
+  test("no single-partition exchange under a Window outside the q18 allowlist") {
+    val dir = TestSpark.sf0001
+    def offendingWindows(planText: String): Boolean = {
+      val lines = planText.linesIterator.toVector
+      def prefixLen(l: String) = l.indexWhere(c => c.isLetter)
+      lines.zipWithIndex.exists { case (line, i) =>
+        val p = prefixLen(line)
+        p >= 0 && line.substring(p).startsWith("Window") && {
+          // scan the window's subtree: following lines with a deeper prefix
+          lines.drop(i + 1)
+            .takeWhile(l => prefixLen(l) < 0 || prefixLen(l) > p)
+            .exists(_.contains("Exchange SinglePartition"))
+        }
+      }
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (id, build) =>
+      if (eager(id) || globalWindowAllowed(id)) None
+      else {
+        val plan = build(spark, dir).queryExecution.executedPlan.toString
+        if (offendingWindows(plan)) Some(id) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global (single-partition) window in: ${offenders.mkString(", ")} — " +
+        "partition the window or add an annotated scale twin like q73")
+    // the guard must actually detect the shape it forbids: q18 trips it
+    val q18 = SparkEntry.queries("q18_ntile")(spark, dir).queryExecution.executedPlan.toString
+    assert(offendingWindows(q18), "guard self-check: q18's global NTILE should match")
+  }
 }
