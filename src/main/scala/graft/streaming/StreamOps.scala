@@ -149,11 +149,14 @@ object StreamOps {
 
   /** Bounded-input runner. Two overheads dominate small closed inputs and
     * are turned off here (measured 6.5 s → 2.3 s on the sf0.1 attribution
-    * join, `graft.tools.StreamBench`):
+    * join, `graft.tools.StreamBench`; round 5: 4 partitions → 1.6 s — a
+    * stream-stream join commits FOUR state stores per partition per
+    * micro-batch, so addBatch scales with the partition count: 3.6 s at
+    * 32, 1.0 s at 8, 0.88 s at 4 on the same 200k-row closed input):
     *
     *   - state partitions: a stateful op commits one state-store file per
     *     partition per micro-batch; 32 partitions of near-empty state is
-    *     pure fsync overhead. 8 fits any bench SF; a real deployment sizes
+    *     pure fsync overhead. 4 fits any bench SF; a real deployment sizes
     *     `spark.sql.shuffle.partitions` to its state volume instead.
     *   - no-data micro-batches: they only exist to advance the watermark
     *     after the last data batch — complete-mode aggregates and inner
@@ -173,7 +176,7 @@ object StreamOps {
   private val boundedRunLock = new Object
 
   private def runWithMode(spark: SparkSession, df: DataFrame, name: String,
-                          mode: String, statePartitions: Int = 8,
+                          mode: String, statePartitions: Int = 4,
                           noDataBatches: Boolean = false): DataFrame = boundedRunLock.synchronized {
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     val oldNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")

@@ -21,10 +21,19 @@ object StreamBench {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData)
       val t0 = System.nanoTime()
-      val n = StreamOps.runAppend(spark,
-        StreamOps.attributionPairs(StreamOps.eventsStream(spark, dir),
-          "click", "purchase", 1800L), s"sb_$tag").count()
-      println(f"[streambench] $tag parts=$parts noData=$noData rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val df = StreamOps.attributionPairs(StreamOps.eventsStream(spark, dir),
+        "click", "purchase", 1800L)
+      val q = df.writeStream.format("memory").queryName(s"sb_$tag").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val n = spark.table(s"sb_$tag").count()
+      val prog = q.recentProgress.map { p =>
+        val d = p.durationMs
+        s"batch=${p.batchId} rows=${p.numInputRows} trigger=${d.get("triggerExecution")}ms " +
+          s"addBatch=${d.get("addBatch")}ms getBatch=${d.get("getBatch")}ms " +
+          s"planning=${d.get("queryPlanning")}ms wal=${d.get("walCommit")}ms " +
+          s"state=${d.get("commitOffsets")}ms latestOffset=${d.get("latestOffset")}ms"
+      }.mkString(" | ")
+      println(f"[streambench] $tag parts=$parts noData=$noData rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s :: $prog")
     }
     run("warm", 32, true) // warmup (session + codegen)
     run("p32_nd", 32, true)
