@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Files-read accounting for the manifest-pruned read path. */
@@ -48,13 +48,56 @@ object Sinks {
     df.repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
-    writeSkippingManifest(df.sparkSession, path, sortCols.head)
+    writeSkippingManifest(df.sparkSession, path, sortCols)
+  }
+
+  /** Bit-interleaved Z-value: each column is quantized to `bits` bits
+    * against its fixed [min,max] domain, then the bit planes are
+    * interleaved (column i contributes bit b to position b·ncols+i). Rows
+    * close in z-value are close in EVERY indexed dimension, which is what
+    * lets one linear sort give file-level skipping on all of them at once
+    * — the multi-dimensional layout Iceberg/Delta call Z-ordering. Pure
+    * codegen'd column math (cast/round/shift/and), no UDF. */
+  def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+             bits: Int = 16): Column = {
+    require(cols.size * bits <= 62, s"z-value needs ${cols.size * bits} bits; must fit a signed long")
+    val maxQ = (1L << bits) - 1
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      val range = math.max(maxs(i) - mins(i), java.lang.Double.MIN_NORMAL)
+      val scaled = (c.cast("double") - mins(i)) / range * maxQ
+      least(greatest(round(scaled).cast("long"), lit(0L)), lit(maxQ))
+    }
+    val terms = for { b <- 0 until bits; i <- qs.indices }
+      yield shiftleft(shiftrightunsigned(qs(i), b).bitwiseAND(lit(1L)), b * qs.size + i)
+    terms.reduce(_ + _) // bit positions are disjoint, so + is the OR
+  }
+
+  /** Z-ordered parquet layout: range-partition + sort on the interleaved
+    * z-value of `zCols`, so a selective filter on ANY indexed column
+    * prunes files — the layout a single-column sort cannot give (its
+    * secondary columns scatter across every file). Column domains come
+    * from one metadata-only min/max aggregate over the input. The z column
+    * itself is dropped before writing; the manifest records per-file
+    * min/max of every indexed column. */
+  def writeZOrderedParquet(df: DataFrame, path: String, zCols: Seq[String],
+                           targetFiles: Int, bits: Int = 16): Unit = {
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val mins = zCols.indices.map(i => row.getDouble(2 * i))
+    val maxs = zCols.indices.map(i => row.getDouble(2 * i + 1))
+    df.withColumn("__z", zValue(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    writeSkippingManifest(df.sparkSession, path, zCols)
   }
 
   private val ManifestName = "_graft_manifest.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Per-file min/max manifest over `column` — the file-level analogue of
+  /** Per-file min/max manifest over `columns` — the file-level analogue of
     * parquet's row-group statistics, and the same planning discipline a
     * table format (Iceberg/Delta) applies: collect file stats ONCE at
     * write time so selective readers prune whole files from the listing
@@ -62,17 +105,24 @@ object Sinks {
     * collect is one row per FILE (metadata-sized, not data). The
     * underscore-prefixed name keeps Spark's parquet reader from treating
     * the manifest as data. */
-  def writeSkippingManifest(spark: SparkSession, path: String, column: String): Unit = {
+  def writeSkippingManifest(spark: SparkSession, path: String, columns: Seq[String]): Unit = {
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"__lo_$c"), max(col(c)).cast("string").as(s"__hi_$c")))
     val perFile = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(column)).cast("string").as("lo"), max(col(column)).cast("string").as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     val root = mapper.createObjectNode()
-    root.put("column", column)
+    val colsNode = root.putArray("columns")
+    columns.foreach(colsNode.add)
     val files = root.putArray("files")
     perFile.foreach { r =>
       val f = files.addObject()
-      f.put("file", r.getString(0)); f.put("min", r.getString(1)); f.put("max", r.getString(2))
+      f.put("file", r.getString(0))
+      columns.zipWithIndex.foreach { case (c, i) =>
+        f.put(s"min_$c", r.getString(1 + 2 * i))
+        f.put(s"max_$c", r.getString(2 + 2 * i))
+      }
     }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -80,23 +130,26 @@ object Sinks {
     try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
   }
 
-  /** Manifest-pruned range read over a NUMERIC sort column: files whose
-    * [min,max] cannot intersect [lo,hi] are dropped from the listing
-    * before Spark ever opens them (driver-side, manifest only); the exact
-    * predicate still applies to the survivors. Returns the frame plus the
-    * files-read accounting — `filesRead < filesTotal` is the measurable
-    * data-skipping claim (BASELINE.md). */
+  /** Manifest-pruned range read over any manifest-indexed NUMERIC column:
+    * files whose [min,max] cannot intersect [lo,hi] are dropped from the
+    * listing before Spark ever opens them (driver-side, manifest only);
+    * the exact predicate still applies to the survivors. Returns the frame
+    * plus the files-read accounting — `filesRead < filesTotal` is the
+    * measurable data-skipping claim (BASELINE.md). */
   def readRangeSkipping(spark: SparkSession, path: String, column: String,
                         lo: BigDecimal, hi: BigDecimal): (DataFrame, SkipStats) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(path, ManifestName))
     val manifest = try mapper.readTree(in) finally in.close()
-    require(manifest.get("column").asText() == column,
-      s"manifest covers '${manifest.get("column").asText()}', not '$column'")
+    val covered = (0 until manifest.get("columns").size())
+      .map(manifest.get("columns").get(_).asText())
+    require(covered.contains(column),
+      s"manifest covers ${covered.mkString("[", ", ", "]")}, not '$column'")
     val files = (0 until manifest.get("files").size()).map(manifest.get("files").get)
     val selected = files.filter { f =>
-      BigDecimal(f.get("max").asText()) >= lo && BigDecimal(f.get("min").asText()) <= hi
+      BigDecimal(f.get(s"max_$column").asText()) >= lo &&
+        BigDecimal(f.get(s"min_$column").asText()) <= hi
     }.map(_.get("file").asText())
     val stats = SkipStats(files.size, selected.size)
     val df =

@@ -88,4 +88,44 @@ class SinksSpec extends AnyFunSuite {
     assert(allStats.filesRead == 8 && all.count() == docs.count())
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("zValue interleaves quantized bits") {
+    import spark.implicits._
+    // 2-bit quantization over [0,3]×[0,3]: z(x=2=b10, y=1=b01)
+    // = x0<<0 | y0<<1 | x1<<2 | y1<<3 = 0 | 2 | 4 | 0 = 6
+    val df = Seq((2L, 1L)).toDF("x", "y")
+    val z = df.select(Sinks.zValue(Seq(col("x"), col("y")),
+      mins = Seq(0.0, 0.0), maxs = Seq(3.0, 3.0), bits = 2)).head().getLong(0)
+    assert(z == 6L, s"z=$z")
+    // ordering property: points close in both dims get close z-values
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L)).toDF("x", "y")
+    val zs = pts.select(Sinks.zValue(Seq(col("x"), col("y")),
+      Seq(0.0, 0.0), Seq(3.0, 3.0), bits = 2)).as[Long].collect()
+    assert(zs(3) == 15L, "corner (3,3) maxes out")
+    assert(zs(0) == 0L)
+  }
+
+  test("z-ordered layout prunes files on BOTH indexed columns, same answers") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+      // second independent-ish dimension so the 2-D claim is real
+      .withColumn("rev_id", lit(5000L) - col("doc_id") * 3 % 5000)
+    Sinks.writeZOrderedParquet(docs, s"$tmp/docs", Seq("doc_id", "rev_id"), targetFiles = 16)
+    def probe(c: String, lo: Long, hi: Long) = {
+      val (df, stats) = Sinks.readRangeSkipping(spark, s"$tmp/docs", c,
+        BigDecimal(lo), BigDecimal(hi))
+      val got = df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val expect = docs.filter(col(c).between(lo, hi))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"$c pruned read must equal the full scan")
+      stats
+    }
+    val s1 = probe("doc_id", 100, 300)
+    val s2 = probe("rev_id", 100, 300)
+    // a single-column sort prunes only its leading column; z-order must
+    // prune meaningfully on EACH of the two indexed dimensions
+    assert(s1.filesTotal == 16 && s1.filesRead < 16, s"doc_id: $s1")
+    assert(s2.filesTotal == 16 && s2.filesRead < 16, s"rev_id: $s2")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
