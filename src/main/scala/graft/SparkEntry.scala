@@ -189,9 +189,14 @@ object SparkEntry {
         .orderBy(col("n_tokens").desc, col("doc_id")).limit(100)
     },
     // Document fingerprint (min-k sketch; xxhash64 is engine-specific) — rows-only
+    // ORACLE since round 5: the declared form is the md5-based portable
+    // min-k sketch (BIGINT sum of the k smallest shingle hashes — the q69
+    // dual-spelling trick), hash-checked against DuckDB computing the
+    // identical integers; xxhash64 `fingerprint` stays the production
+    // scorer (fused ShingleHash pass), spec'd for determinism.
     "q49_fingerprint" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
-      docs.select(col("doc_id"), TextAnalysis.fingerprint(docs, col("text")).as("fp"))
+      docs.select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id").limit(100)
     },
     // Structured Streaming tumbling window run to completion on the closed
@@ -364,6 +369,18 @@ object SparkEntry {
           "FROM clicks a ASOF JOIN views b ON a.user_id = b.user_id AND b.ts <= a.ts " +
           "WHERE a.ts - b.ts <= INTERVAL 3600 SECOND " +
           "ORDER BY l_event_id LIMIT 100"),
+      // promoted round 5: md5 min-k sketch — shingle→first-8-hex-digits
+      // integer, sort, sum the k smallest (see q69 for the md5 ↔ conv
+      // dual spelling). DuckDB's range(0, n) + 1-based inclusive slice
+      // mirror Spark's sequence + slice exactly.
+      "q49_fingerprint" ->
+        ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "sh AS (SELECT doc_id, " +
+          "list_sort(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+          "i -> CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 8)) AS BIGINT)))) AS hs " +
+          "FROM t) " +
+          "SELECT doc_id, CAST(list_sum(hs[1:8]) AS BIGINT) AS fp " +
+          "FROM sh ORDER BY doc_id LIMIT 100"),
       // promoted round 5: ranking by quantized INTEGER dot product —
       // floor(x·10^4) per component is bit-identical in any IEEE-double
       // engine, so the BIGINT scores hash-match (float cosine never can:

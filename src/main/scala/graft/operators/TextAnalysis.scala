@@ -99,6 +99,19 @@ object TextAnalysis {
     xxhash64(slice(hashes, lit(1), lit(k)))
   }
 
+  /** Engine-portable min-k fingerprint: same sketch as `fingerprint` but
+    * the shingle hash is the first 8 hex digits of md5 (an integer any SQL
+    * engine derives identically — the q69 dual-spelling trick) and the
+    * sketch collapses to the BIGINT SUM of the k smallest values, so the
+    * result is hash-checkable cross-engine. xxhash64 `fingerprint` stays
+    * the production default (one fused pass, no md5 string round-trip). */
+  def fingerprintPortable(text: Column, shingleN: Int = 3, k: Int = 8): Column = {
+    val sh = TextDedup.shingles(tokens(text), shingleN)
+    val hs = array_sort(array_distinct(
+      transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))))
+    aggregate(slice(hs, 1, k), lit(0L), (acc, x) => acc + x)
+  }
+
   /** Term-frequency table: (token, n) over a whole corpus — the Q37(E)
     * generator-surface op (explode). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =

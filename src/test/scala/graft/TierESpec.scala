@@ -279,6 +279,27 @@ class TierESpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("portable fingerprint matches a scalar md5 min-k reference (q49 oracle path)") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents").limit(30)
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val shingles =
+        (0 to math.max(toks.length - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" "))
+      val hs = shingles.map(s => java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16))
+        .distinct.sorted
+      val expect = hs.take(8).sum
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
   test("subword count estimate: long words cost extra units") {
     val got = spark.sql("SELECT 1").select(
       TextAnalysis.subwordCountEstimate(lit("hi extraordinarily ok")).as("n"))
