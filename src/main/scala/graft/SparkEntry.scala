@@ -315,6 +315,24 @@ object SparkEntry {
         .toDF()
         .select("media_id", "media_type", "width", "height", "n_frames")
         .orderBy("media_id").limit(100)
+    },
+    // TF-IDF top terms per document (round 5): integer tf·1000 div df
+    // surrogate score (log IDF is a float — the surrogate preserves the
+    // per-document ranking and hash-checks cross-engine). Two linear
+    // aggregations over one exploded token stream + a partitioned window.
+    "q79_tfidf_topterms" -> { (spark, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.table(spark, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk").limit(100)
+    },
+    // One-pass table profiling (round 5): nulls / cardinalities / ranges
+    // for four orders columns in a single scan (shared expand for the
+    // distinct counts, stack unpivot, metadata-sized output).
+    "q80_profile" -> { (spark, dir) =>
+      graft.operators.TableProfile.profile(Tables.table(spark, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
+          dateCols = Set("o_orderdate"))
+        .orderBy("col_name").limit(100)
     }
   )
 
@@ -369,6 +387,29 @@ object SparkEntry {
           "FROM clicks a ASOF JOIN views b ON a.user_id = b.user_id AND b.ts <= a.ts " +
           "WHERE a.ts - b.ts <= INTERVAL 3600 SECOND " +
           "ORDER BY l_event_id LIMIT 100"),
+      // round 5: integer TF-IDF surrogate — both engines integer-divide
+      // (Spark `div`, DuckDB `//`), ties break lexicographically
+      "q79_tfidf_topterms" ->
+        ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+          "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token), " +
+          "docfreq AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token), " +
+          "s AS (SELECT tf.doc_id, tf.token, tf.tf, docfreq.df, (tf.tf * 1000) // docfreq.df AS score_k, " +
+          "row_number() OVER (PARTITION BY tf.doc_id ORDER BY (tf.tf * 1000) // docfreq.df DESC, tf.token) AS rnk " +
+          "FROM tf JOIN docfreq USING (token)) " +
+          "SELECT doc_id, token, tf, df, score_k, rnk FROM s WHERE rnk <= 3 " +
+          "ORDER BY doc_id, rnk LIMIT 100"),
+      // round 5: per-column profile — min/max exposed as strings so
+      // heterogeneous types share one schema; dates normalized to DATE
+      // strings (engine-neutral rendering; the comparator floats raw
+      // datetimes)
+      "q80_profile" ->
+        ("SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v FROM (" +
+          "SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_null, " +
+          "COUNT(DISTINCT o_orderkey) AS n_distinct, CAST(MIN(o_orderkey) AS VARCHAR) AS min_v, CAST(MAX(o_orderkey) AS VARCHAR) AS max_v FROM orders " +
+          "UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders " +
+          "UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus) FROM orders " +
+          "UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate), CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR), CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) FROM orders" +
+          ") ORDER BY col_name LIMIT 100"),
       // promoted round 5: md5 min-k sketch — shingle→first-8-hex-digits
       // integer, sort, sum the k smallest (see q69 for the md5 ↔ conv
       // dual spelling). DuckDB's range(0, n) + 1-based inclusive slice

@@ -112,6 +112,27 @@ object TextAnalysis {
     aggregate(slice(hs, 1, k), lit(0L), (acc, x) => acc + x)
   }
 
+  /** TF-IDF-style top-k terms per document, integer-exact: score =
+    * tf·scale div df (the log-free surrogate — monotone in tf/df, which
+    * is what the per-document RANKING needs; exact IDF logs are floats
+    * and would break cross-engine hashing). Two aggregations over one
+    * exploded token stream + a per-document window: tf shuffles
+    * (doc, token), df shuffles (token) — both linear, no cross join.
+    * Output: (doc_id, token, tf, df, score_k, rnk), rnk 1..k. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, scale: Long = 1000L): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val docFreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score_k").desc, col("token"))
+    tf.join(docFreq, "token")
+      .withColumn("score_k", expr(s"tf * $scale div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score_k"), col("rnk"))
+  }
+
   /** Term-frequency table: (token, n) over a whole corpus — the Q37(E)
     * generator-surface op (explode). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =

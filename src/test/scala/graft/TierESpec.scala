@@ -300,6 +300,37 @@ class TierESpec extends AnyFunSuite {
     }
   }
 
+  test("tfIdfTopTerms matches a scalar tf/df reference (q79 oracle path)") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._6) -> (r._2, r._3, r._4, r._5)).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, ws) => (id, w, ws.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).map { case (w, xs) => w -> xs.map(_._1).distinct.size.toLong }
+    texts.foreach { case (id, _) =>
+      val ranked = tf.filter(_._1 == id)
+        .map { case (_, w, n) => (w, n, dfm(w), n * 1000 / dfm(w)) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(3)
+      ranked.zipWithIndex.foreach { case ((w, n, d, s), i) =>
+        assert(got((id, i + 1)) == ((w, n, d, s)), s"doc $id rank ${i + 1}")
+      }
+    }
+  }
+
+  test("TableProfile counts nulls, cardinalities and ranges exactly") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("a")), (Some(2L), Some("c"))
+    ).toDF("k", "s")
+    val prof = graft.operators.TableProfile.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(prof("k") == ((4L, 1L, 2L, "1", "2")))
+    assert(prof("s") == ((4L, 1L, 2L, "a", "c")))
+  }
+
   test("subword count estimate: long words cost extra units") {
     val got = spark.sql("SELECT 1").select(
       TextAnalysis.subwordCountEstimate(lit("hi extraordinarily ok")).as("n"))
