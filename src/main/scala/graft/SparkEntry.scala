@@ -325,6 +325,20 @@ object SparkEntry {
           "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk").limit(100)
     },
+    // CDC upsert compaction (round 5): latest version per key wins — one
+    // max_by hash aggregate over base ∪ updates, no window/sort; the
+    // update batch is derived deterministically so both engines replay
+    // the identical merge.
+    "q81_upsert_latest" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val base = d.select(col("doc_id"), lit(1L).as("version"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val updates = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("version"),
+          (size(split(col("text"), " ")) + 2).cast("long").as("n_tokens"))
+      graft.operators.Scale.upsertLatest(base, updates, "doc_id", "version")
+        .orderBy("doc_id").limit(100)
+    },
     // One-pass table profiling (round 5): nulls / cardinalities / ranges
     // for four orders columns in a single scan (shared expand for the
     // distinct counts, stack unpivot, metadata-sized output).
@@ -398,6 +412,16 @@ object SparkEntry {
           "FROM tf JOIN docfreq USING (token)) " +
           "SELECT doc_id, token, tf, df, score_k, rnk FROM s WHERE rnk <= 3 " +
           "ORDER BY doc_id, rnk LIMIT 100"),
+      // round 5: the merge replayed with a version-desc window (DuckDB's
+      // spelling of keep-latest); versions are unique per key by
+      // construction so both forms agree
+      "q81_upsert_latest" ->
+        ("WITH base AS (SELECT doc_id, 1 AS version, len(string_split(text, ' ')) AS n_tokens FROM documents), " +
+          "upd AS (SELECT doc_id, 2 AS version, len(string_split(text, ' ')) + 2 AS n_tokens FROM documents WHERE doc_id % 7 = 0), " +
+          "allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd), " +
+          "r AS (SELECT doc_id, version, n_tokens, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM allr) " +
+          "SELECT doc_id, CAST(version AS BIGINT) AS version, CAST(n_tokens AS BIGINT) AS n_tokens " +
+          "FROM r WHERE rn = 1 ORDER BY doc_id LIMIT 100"),
       // round 5: per-column profile — min/max exposed as strings so
       // heterogeneous types share one schema; dates normalized to DATE
       // strings (engine-neutral rendering; the comparator floats raw

@@ -149,6 +149,24 @@ object Scale {
       when(pmod(h, lit(100)) < trainPct, lit("train")).otherwise(lit("test")))
   }
 
+  /** CDC-style upsert compaction (the MERGE every incremental corpus
+    * needs): union the base snapshot with an update batch and keep, per
+    * key, the row with the HIGHEST `versionCol` — one shuffle on the key
+    * via max_by over the packed row struct, no window, no sort. Ties are
+    * the caller's contract (versions unique per key: sequence numbers,
+    * ingest timestamps); at 100 TB this is the periodic compaction pass
+    * over an append-only delta log, and the single hash-aggregate shape
+    * (map-side partials collapse same-key duplicates before the
+    * exchange) is exactly what you want there. Schemas must match. */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keyCol: String,
+                   versionCol: String): DataFrame = {
+    val all = base.unionByName(updates)
+    val cols = all.columns
+    all.groupBy(col(keyCol))
+      .agg(max_by(struct(cols.map(col): _*), col(versionCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+  }
+
   /** Greedy sequence packing for training-batch construction: shard
     * documents deterministically (id mod nShards), order by id within a
     * shard, and fill packs first-fit-sequential up to `budgetTokens`

@@ -331,6 +331,14 @@ class TierESpec extends AnyFunSuite {
     assert(prof("s") == ((4L, 1L, 2L, "a", "c")))
   }
 
+  test("upsertLatest keeps the highest version per key and passes base rows through") {
+    val base = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "v", "payload")
+    val upd = Seq((2L, 2L, "b2"), (3L, 3L, "c3"), (4L, 1L, "d")).toDF("k", "v", "payload")
+    val got = graft.operators.Scale.upsertLatest(base, upd, "k", "v")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 3L, "c3"), (4L, 1L, "d")))
+  }
+
   test("subword count estimate: long words cost extra units") {
     val got = spark.sql("SELECT 1").select(
       TextAnalysis.subwordCountEstimate(lit("hi extraordinarily ok")).as("n"))
