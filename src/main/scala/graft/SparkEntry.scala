@@ -325,6 +325,18 @@ object SparkEntry {
           "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk").limit(100)
     },
+    // Portable MinHash+LSH near-dup pairs (round 5): md5-derived shingle
+    // hashes + affine universal-hash permutations are bit-identical
+    // integers in any engine, so the ENTIRE pipeline — signatures,
+    // banding, bucket pairs, jaccard verification — is deterministic and
+    // hash-checked (the production xxhash64 path stays q40, rows-only).
+    // τ = 0.9 matches the corpus's planted near-dup similarity.
+    "q82_minhash_portable" -> { (spark, dir) =>
+      TextDedup.portablePairStats(Tables.table(spark, dir, "documents"),
+          "doc_id", "text")
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // CDC upsert compaction (round 5): latest version per key wins — one
     // max_by hash aggregate over base ∪ updates, no window/sort; the
     // update batch is derived deterministically so both engines replay
@@ -412,6 +424,28 @@ object SparkEntry {
           "FROM tf JOIN docfreq USING (token)) " +
           "SELECT doc_id, token, tf, df, score_k, rnk FROM s WHERE rnk <= 3 " +
           "ORDER BY doc_id, rnk LIMIT 100"),
+      // round 5: the full LSH pipeline replayed on the SAME integers —
+      // coefficients interpolated from TextDedup.affineCoeffs so both
+      // texts share one source of truth; banding uses exact string band
+      // keys (no engine-specific band hash), so candidate sets match
+      // bit-for-bit and the oracle checks banding itself
+      "q82_minhash_portable" -> {
+        val coeffs = graft.operators.TextDedup.affineCoeffs(16)
+        val aList = coeffs.map(_._1).mkString("[", ", ", "]")
+        val bList = coeffs.map(_._2).mkString("[", ", ", "]")
+        ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "hsx AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+          "i -> CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 8)) AS BIGINT))) AS hs FROM t), " +
+          "sigx AS (SELECT doc_id, hs, list_transform(range(1, 17), i -> " +
+          "CASE WHEN len(hs) = 0 THEN 9223372036854775807 " +
+          s"ELSE list_min(list_transform(hs, h -> (h * ($aList)[i] + ($bList)[i]) % 2305843009213693951)) END) AS sig FROM hsx), " +
+          "banded AS (SELECT doc_id, hs, b, array_to_string(sig[4*b+1:4*b+4], '-') AS bkey FROM sigx, (SELECT unnest(range(0, 4)) AS b) bs), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.hs AS ha, c.hs AS hb " +
+          "FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id), " +
+          "v AS (SELECT id_a, id_b, len(list_intersect(ha, hb)) AS n_inter, len(list_distinct(list_concat(ha, hb))) AS n_union FROM pairs) " +
+          "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
+          "FROM v WHERE n_inter * 10 >= n_union * 9 ORDER BY id_a, id_b LIMIT 100")
+      },
       // round 5: the merge replayed with a version-desc window (DuckDB's
       // spelling of keep-latest); versions are unique per key by
       // construction so both forms agree

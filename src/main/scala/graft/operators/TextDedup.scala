@@ -112,6 +112,73 @@ object TextDedup {
       .distinct()
   }
 
+  /** Portable shingle hashes: md5-derived 32-bit integers (the q69
+    * dual-spelling trick) — the cross-engine twin of `shingleHashes`
+    * (whose fused xxhash64 stays the production path). */
+  def portableShingleHashes(text: Column, n: Int): Column =
+    transform(shingles(tokens(text), n),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+
+  private val MersennePrime61 = (1L << 61) - 1
+
+  /** Deterministic affine coefficients for universal-hash permutations:
+    * odd multipliers < 2^29, so a·h + b < 2^61 for 32-bit h — no overflow
+    * under ANSI in Spark and identical BIGINT math in any SQL engine. */
+  def affineCoeffs(numHashes: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rng.nextInt(1 << 28).toLong * 2 + 1, rng.nextInt(1 << 28).toLong))
+  }
+
+  /** MinHash signature via affine permutations of PORTABLE hashes —
+    * unlike `minhashSignature` (xxhash64-seeded), every sig element is
+    * plain integer arithmetic both engines reproduce bit-exactly. Empty
+    * shingle sets get Long.MaxValue (never collides into a band). */
+  def affineSignature(baseHashes: Column, coeffs: Seq[(Long, Long)]): Column =
+    array(coeffs.map { case (a, b) =>
+      when(size(baseHashes) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(baseHashes, h => (h * a + b) % MersennePrime61)))
+    }: _*)
+
+  /** The full MinHash+LSH near-dup pipeline on portable hashes:
+    * signatures → band keys (exact string keys, no engine-specific band
+    * hash) → single-pass bucketing → in-bucket pairs → distinct-set
+    * overlap counts. LSH recall is probabilistic in J but DETERMINISTIC
+    * given the coefficients, so two engines computing the same integers
+    * produce the IDENTICAL pair set — which is what lets the q82 oracle
+    * hash-check banding itself, not just the verification step. Same
+    * scale shape as `minhashCandidates`: one shuffle of (band, key, id)
+    * triples, pairs by double explode, no self-join.
+    * Output: (id_a, id_b, n_inter, n_union) — threshold on
+    * n_inter/n_union is the caller's (integer cross-multiply). */
+  def portablePairStats(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                        seed: Long = 7L): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val coeffs = affineCoeffs(numHashes, seed)
+    // __hs materialized in its own projection: affineSignature references
+    // it numHashes times (see signatureFrame's CollapseProject note)
+    val base = df.select(col(idCol),
+      array_distinct(portableShingleHashes(col(textCol), shingleN)).as("__hs"))
+    val sig = base.select(col(idCol), col("__hs"),
+      affineSignature(col("__hs"), coeffs).as("__sig"))
+    val banded = sig.select(col(idCol), col("__hs"),
+      posexplode(array((0 until bands).map(b =>
+        array_join(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), "-")): _*))
+        .as(Seq("__band", "__bkey")))
+    banded.groupBy("__band", "__bkey")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__hs").as("hs"))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.hs").as("__ha"), col("b.hs").as("__hb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("n_inter"),
+        size(array_union(col("__ha"), col("__hb"))).cast("long").as("n_union"))
+  }
+
   /** Exact n-gram Jaccard similarity between two token-array columns. */
   def jaccard(aToks: Column, bToks: Column): Column = {
     val ad = array_distinct(aToks)

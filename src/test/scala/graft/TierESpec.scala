@@ -331,6 +331,24 @@ class TierESpec extends AnyFunSuite {
     assert(prof("s") == ((4L, 1L, 2L, "a", "c")))
   }
 
+  test("portablePairStats finds planted near-dups via affine-minhash banding (q82 oracle path)") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i == 5) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (200 to 280).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val got = TextDedup.portablePairStats(df, "doc_id", "text")
+      .filter(col("n_inter") * 10 >= col("n_union") * 9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+    // verification counts are exact distinct-shingle-set overlaps
+    val stats = TextDedup.portablePairStats(df, "doc_id", "text")
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("n_inter", "n_union").as[(Long, Long)].head()
+    // 80 tokens → 78 3-gram shingles; the changed token touches 3 of
+    // them → intersection 75, union 78 + 3 = 81
+    assert(stats._1 == 75L && stats._2 == 81L, s"stats $stats")
+  }
+
   test("upsertLatest keeps the highest version per key and passes base rows through") {
     val base = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "v", "payload")
     val upd = Seq((2L, 2L, "b2"), (3L, 3L, "c3"), (4L, 1L, "d")).toDF("k", "v", "payload")
