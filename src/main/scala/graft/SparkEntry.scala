@@ -337,6 +337,18 @@ object SparkEntry {
         .filter(col("n_inter") * 10 >= col("n_union") * 9)
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Portable SimHash near-dup pairs (round 5): 32-bit sign-sum
+    // signatures from md5 token hashes, 4×8-bit pigeonhole banding,
+    // exact-hamming verification — all integer arithmetic, so the whole
+    // pipeline hash-checks (production 64-bit SimHash64 stays q41,
+    // rows-only; the 32-bit twin is noisier — hamming ≤ 3 of 32 admits
+    // weaker matches — which the oracle doesn't mind: it checks
+    // determinism, not recall).
+    "q83_simhash_portable" -> { (spark, dir) =>
+      TextDedup.portableSimhashPairs(Tables.table(spark, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // CDC upsert compaction (round 5): latest version per key wins — one
     // max_by hash aggregate over base ∪ updates, no window/sort; the
     // update batch is derived deterministically so both engines replay
@@ -446,6 +458,21 @@ object SparkEntry {
           "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
           "FROM v WHERE n_inter * 10 >= n_union * 9 ORDER BY id_a, id_b LIMIT 100")
       },
+      // round 5: simhash replayed bit-for-bit — sign-sum per bit plane,
+      // pigeonhole chunks, bit_count(xor) hamming
+      "q83_simhash_portable" ->
+        ("WITH th AS (SELECT doc_id, list_distinct(list_transform(string_split(text, ' '), " +
+          "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS hs FROM documents), " +
+          "sig AS (SELECT doc_id, list_sum(list_transform(range(0, 32), b -> " +
+          "CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) >= 0 " +
+          "THEN (1::BIGINT << b) ELSE 0 END)) AS sim FROM th), " +
+          "chunks AS (SELECT doc_id, sim, c, (sim >> (8 * c)) & 255 AS ckey " +
+          "FROM sig, (SELECT unnest(range(0, 4)) AS c) cs), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
+          "FROM chunks a JOIN chunks b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id) " +
+          "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+          "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
+          "ORDER BY id_a, id_b LIMIT 100"),
       // round 5: the merge replayed with a version-desc window (DuckDB's
       // spelling of keep-latest); versions are unique per key by
       // construction so both forms agree

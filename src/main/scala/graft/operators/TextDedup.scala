@@ -317,6 +317,51 @@ object TextDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Portable 32-bit SimHash over the DISTINCT token set: per bit b, sum
+    * ±1 weights ((h >> b & 1)·2 − 1) of md5-derived token hashes; the
+    * bit is set when the sum is ≥ 0. Pure integer arithmetic — the
+    * cross-engine twin of the native `SimHash64` expression (which stays
+    * the production path: one fused pass vs 32 HOF folds). */
+  def portableSimhash32(tokenHashes: Column): Column = {
+    val bits = (0 until 32).map { b =>
+      when(aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(lit(1L)) * 2 - 1) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Portable SimHash near-dup pairs: 32-bit signatures pigeonhole-banded
+    * into 4×8-bit chunks (hamming ≤ 3 ⇒ at least one chunk identical),
+    * verified by exact hamming distance — every integer derivable
+    * bit-exactly in any engine, so the q83 oracle hash-checks the whole
+    * pipeline (cf. `portablePairStats` for the MinHash family).
+    * Output: (id_a, id_b, hamming). */
+  def portableSimhashPairs(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks pigeonhole only guarantees hamming <= 3")
+    // token hashes materialized first: the 32 bit-folds of
+    // portableSimhash32 each reference the array (CollapseProject note on
+    // signatureFrame)
+    val th = df.select(col(idCol),
+      array_distinct(transform(tokens(col(textCol)),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))).as("__th"))
+    val sigs = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
+    val chunks = sigs.select(
+      col(idCol), col("__sim"),
+      posexplode(array((0 until 4).map { c =>
+        shiftrightunsigned(col("__sim"), 8 * c).bitwiseAND(lit(0xFFL))
+      }: _*)).as(Seq("__chunk", "__ckey")))
+    val a = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_a"), col("__sim").as("__sim_a"))
+    val b = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_b"), col("__sim").as("__sim_b"))
+    a.join(b, Seq("__chunk", "__ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(__sim_a ^ __sim_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   /** SimHash near-dup: 64-bit signatures, pigeonhole-banded into 4×16-bit
     * chunks (hamming ≤ 3 ⇒ at least one chunk identical), verified by exact
     * hamming distance. Output: (id_a, id_b, hamming). */

@@ -349,6 +349,34 @@ class TierESpec extends AnyFunSuite {
     assert(stats._1 == 75L && stats._2 == 81L, s"stats $stats")
   }
 
+  test("portableSimhashPairs: near-identical docs pair, disjoint docs don't (q83 oracle path)") {
+    // an APPENDED token shifts each bit's sign-sum by ±1 (a swapped one
+    // shifts ±2 and with these fixed hashes lands at hamming 4 — just
+    // outside the twin's ≤3 pigeonhole bound; everything here is
+    // deterministic: same fixed inputs → same result every run)
+    val base = (1 to 400).map(i => s"w$i").mkString(" ")
+    val near = base + " EXTRA"
+    val far = (1200 to 1600).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = TextDedup.portableSimhashPairs(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // signature is a scalar integer reproducible by hand
+    val th = df.filter(col("doc_id") === 1L).select(
+      array_distinct(transform(split(col("text"), " "),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))).as("__th"))
+    val sparkSig = th.select(TextDedup.portableSimhash32(col("__th"))).as[Long].head()
+    val hashes = base.split(" ").distinct.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = (0 until 32).map { b =>
+      if (hashes.map(h => ((h >>> b) & 1L) * 2 - 1).sum >= 0) 1L << b else 0L
+    }.sum
+    assert(sparkSig == expected)
+  }
+
   test("upsertLatest keeps the highest version per key and passes base rows through") {
     val base = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "v", "payload")
     val upd = Seq((2L, 2L, "b2"), (3L, 3L, "c3"), (4L, 1L, "d")).toDF("k", "v", "payload")
