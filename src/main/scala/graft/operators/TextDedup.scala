@@ -323,12 +323,18 @@ object TextDedup {
     * cross-engine twin of the native `SimHash64` expression (which stays
     * the production path: one fused pass vs 32 HOF folds). */
   def portableSimhash32(tokenHashes: Column): Column = {
-    val bits = (0 until 32).map { b =>
-      when(aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(lit(1L)) * 2 - 1) >= 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // ONE fold over the token hashes with a 32-wide array accumulator
+    // (the per-bit formulation runs 32 separate aggregate folds per row —
+    // measured 3.5× slower at sf0.1); bit b's ±1 weight comes from
+    // h & 2^b, the sign vector collapses against the same powers array
+    val powers = array((0 until 32).map(b => lit(1L << b)): _*)
+    val zeros = array((0 until 32).map(_ => lit(0L)): _*)
+    val sums = aggregate(tokenHashes, zeros,
+      (acc, h) => zip_with(acc, powers,
+        (s, p) => s + when(h.bitwiseAND(p) === p, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(sums, powers,
+      (s, p) => when(s >= 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Portable SimHash near-dup pairs: 32-bit signatures pigeonhole-banded
@@ -352,13 +358,20 @@ object TextDedup {
       posexplode(array((0 until 4).map { c =>
         shiftrightunsigned(col("__sim"), 8 * c).bitwiseAND(lit(0xFFL))
       }: _*)).as(Seq("__chunk", "__ckey")))
-    val a = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_a"), col("__sim").as("__sim_a"))
-    val b = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_b"), col("__sim").as("__sim_b"))
-    a.join(b, Seq("__chunk", "__ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", expr("bit_count(__sim_a ^ __sim_b)").cast("long"))
+    // single-pass bucketing (cf. minhashCandidates): ONE shuffle of
+    // (chunk, key, id, sim) and in-bucket pairs by double explode — the
+    // two-sided join shape recomputes the md5+signature subtree per side
+    // (measured ~2× at sf0.1)
+    chunks
+      .groupBy("__chunk", "__ckey")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__sim").as("sim"))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
       .distinct()
   }
 
