@@ -337,6 +337,16 @@ object SparkEntry {
         .filter(col("n_inter") * 10 >= col("n_union") * 9)
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Portable embedding-LSH near-dup pairs (round 5): quantized integer
+    // vectors + ±1 integer hyperplanes make bucket signs AND verification
+    // scores exact integers — the whole embedding near-dup pipeline
+    // hash-checks (float-cosine q43 stays the production path).
+    // minScore 25M ≈ cosine 0.25 on unit-norm vectors, matching q43's τ.
+    "q84_embedlsh_portable" -> { (spark, dir) =>
+      Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", minScore = 25000000L)
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // Portable SimHash near-dup pairs (round 5): 32-bit sign-sum
     // signatures from md5 token hashes, 4×8-bit pigeonhole banding,
     // exact-hamming verification — all integer arithmetic, so the whole
@@ -457,6 +467,26 @@ object SparkEntry {
           "v AS (SELECT id_a, id_b, len(list_intersect(ha, hb)) AS n_inter, len(list_distinct(list_concat(ha, hb))) AS n_union FROM pairs) " +
           "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
           "FROM v WHERE n_inter * 10 >= n_union * 9 ORDER BY id_a, id_b LIMIT 100")
+      },
+      // round 5: embedding LSH replayed relationally — hyperplanes as a
+      // VALUES table generated from Similarity.portableHyperplanes (one
+      // source of truth), buckets via SUM of sign bits, verification by
+      // integer dot
+      "q84_embedlsh_portable" -> {
+        val planes = graft.operators.Similarity.portableHyperplanes(64, 8, 6)
+        val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
+          tbl.zipWithIndex.map { case (p, b) =>
+            s"($t, $b, ${p.mkString("[", ", ", "]")})"
+          }
+        }.mkString(", ")
+        ("WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
+          s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
+          "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
+          "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
+          "pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
+          "v AS (SELECT id_a, id_b, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
+          "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b) " +
+          "SELECT id_a, id_b, score FROM v WHERE score >= 25000000 ORDER BY id_a, id_b LIMIT 100")
       },
       // round 5: simhash replayed bit-for-bit — sign-sum per bit plane,
       // pigeonhole chunks, bit_count(xor) hamming

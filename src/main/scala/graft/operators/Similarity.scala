@@ -249,6 +249,51 @@ object Similarity {
       .select("query_id", "vec_id", "score", "rank")
   }
 
+  /** Deterministic ±1 hyperplanes for the PORTABLE embedding-LSH twin:
+    * with quantized integer vectors, sign(dot(qv, plane)) is exact
+    * integer arithmetic any engine reproduces — unlike the production
+    * Gaussian hyperplanes whose float dots can straddle zero differently
+    * at the last ulp. |dot| ≤ 64·10^4 ≪ Long.Max. */
+  def portableHyperplanes(dim: Int, tables: Int, bits: Int,
+                          seed: Long = 11L): Seq[Seq[Array[Long]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(if (rng.nextBoolean()) 1L else -1L)))
+  }
+
+  /** Portable embedding near-dup pairs: integer-quantized vectors, ±1
+    * integer hyperplane buckets, integer-dot verification — the
+    * hash-checkable twin of `embeddingNearDupPairs` (float cosine stays
+    * the production scorer). Same single-pass bucketing shape: one
+    * shuffle of (table, bucket, id, qv), in-bucket pairs by double
+    * explode. `minScore` is the quantized-dot threshold (≈ cosine·10^8
+    * for unit-norm inputs). Output: (id_a, id_b, score BIGINT). */
+  def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         minScore: Long, tables: Int = 8, bits: Int = 6,
+                         dim: Int = 64, seed: Long = 11L,
+                         scale: Int = 10000): DataFrame = {
+    val planes = portableHyperplanes(dim, tables, bits, seed)
+    // __qv materialized in its own projection: the bucket expressions
+    // reference it tables×bits times (CollapseProject, cf. signatureFrame)
+    val q = corpus.select(col(idCol), quantize(col(vecCol), scale).as("__qv"))
+    val bucketCols = planes.map { tbl =>
+      tbl.zipWithIndex.map { case (p, b) =>
+        when(intDot(col("__qv"), typedLit(p.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    q.select(col(idCol), col("__qv"),
+        posexplode(array(bucketCols: _*)).as(Seq("__t", "__bkt")))
+      .groupBy("__t", "__bkt")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__qv").as("v"))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        intDot(col("a.v"), col("b.v")).as("score"))
+      .filter(col("score") >= minScore)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
     * collision in any table) verified by exact cosine ≥ threshold.
     * Output: (id_a, id_b, sim), id_a < id_b. */

@@ -377,6 +377,29 @@ class TierESpec extends AnyFunSuite {
     assert(sparkSig == expected)
   }
 
+  test("portableEmbedPairs: candidates bucket-join, scores exact integer dots (q84 oracle path)") {
+    val emb = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val got = Similarity.portableEmbedPairs(emb, "vec_id", "embedding", minScore = 25000000L)
+      .as[(Long, Long, Long)].collect()
+    // every reported score must equal the scalar quantized dot product
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray)
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, s) =>
+      val expect = vecs(a).indices.map(i => vecs(a)(i) * vecs(b)(i)).sum
+      assert(s == expect && s >= 25000000L, s"pair ($a,$b)")
+    }
+    // a planted identical pair always collides in every table and scores
+    // the full self-dot
+    val dup = emb.limit(1).select(lit(99999L).as("vec_id"), col("embedding"))
+    val withDup = emb.select(col("vec_id"), col("embedding")).unionByName(dup)
+    val planted = Similarity.portableEmbedPairs(withDup, "vec_id", "embedding", minScore = 25000000L)
+      .filter(col("id_b") === 99999L).as[(Long, Long, Long)].collect()
+    val firstId = emb.select(min("vec_id")).head().getLong(0)
+    assert(planted.exists(_._1 == firstId), "identical vector must pair with its source")
+  }
+
   test("upsertLatest keeps the highest version per key and passes base rows through") {
     val base = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "v", "payload")
     val upd = Seq((2L, 2L, "b2"), (3L, 3L, "c3"), (4L, 1L, "d")).toDF("k", "v", "payload")
