@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * column (all-null, constant, exploding cardinality) must be caught
   * before a month-long training run reads it.
   *
-  * Shape: ONE aggregate computes every metric for every profiled column
-  * (a single scan; distinct counts share the same pass via Spark's
-  * expand), then the wide row unpivots to one row per column with
-  * `stack` — metadata-sized output, no second scan. min/max are exposed
-  * as strings so heterogeneous column types fit one result schema (the
+  * Shape: a UNION of per-column aggregates. Each branch's parquet scan
+  * is pruned to exactly ONE column and its aggregate carries a single
+  * distinct — on a columnar store the union reads the same bytes as a
+  * combined scan would, while the N-distinct-in-one-aggregate
+  * formulation forces Spark's expand (rows × N+1 through the wide
+  * aggregate: measured 2× slower on sf0.1 orders) and drags every
+  * column through one scan. Branches run in parallel within one job;
+  * output is metadata-sized. min/max are exposed as strings so
+  * heterogeneous column types fit one result schema (the
   * comparator-safe choice: longs and dates render identically in any
   * engine; see CLAUDE.md on hashed outputs). */
 object TableProfile {
@@ -25,21 +29,17 @@ object TableProfile {
     * Pass a date/timestamp column through `dateCols` to normalize its
     * range to DATE strings (yyyy-MM-dd — engine-neutral rendering). */
   def profile(df: DataFrame, cols: Seq[String], dateCols: Set[String] = Set.empty): DataFrame = {
-    def ranged(c: String): Column =
-      if (dateCols(c)) col(c).cast("date") else col(c)
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(
-        (count(lit(1)) - count(col(c))).as(s"null_$c"),
-        count_distinct(col(c)).as(s"dist_$c"),
-        min(ranged(c)).cast("string").as(s"min_$c"),
-        max(ranged(c)).cast("string").as(s"max_$c"))
+    val parts = cols.map { c =>
+      val ranged: Column = if (dateCols(c)) col(c).cast("date") else col(c)
+      df.select(col(c)).agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(ranged).cast("string").as("min_v"),
+          max(ranged).cast("string").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")
-    wide.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_v, max_v)")
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_v"), col("max_v"))
+    parts.reduce(_ unionByName _)
   }
 }
