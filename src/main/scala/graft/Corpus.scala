@@ -370,7 +370,62 @@ object Corpus {
         "CAST(FLOOR(date_diff('day', f.d0, a.d) / 7) AS BIGINT) AS week_offset, " +
         "COUNT(DISTINCT a.user_id) AS n_active " +
         "FROM a JOIN f ON a.user_id = f.user_id " +
-        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset LIMIT 100"))
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset LIMIT 100")),
+
+    // ---- Round-5 surface extensions (S27-S31/S54 umbrella rows the
+    // declared corpus had not yet pinned down individually). ----
+
+    // Q85 — value-position window functions (S30 umbrella):
+    // FIRST/LAST/NTH_VALUE over an explicit full frame, plus PERCENT_RANK
+    // exposed as integer basis points. (rank-1)/(n-1) divides two exactly
+    // representable integers — correctly-rounded identically in any IEEE
+    // engine — so floor(·×10⁴) hash-matches. COALESCE keeps 1-order
+    // customers integer-typed (NULL ints float to NaN in pandas).
+    DeclaredQuery("q85_window_values",
+      "SELECT o_custkey, o_orderkey, " +
+        "FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ok, " +
+        "LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok, " +
+        "COALESCE(NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS second_ok, " +
+        "CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) * 10000) AS BIGINT) AS pct_rank_bp " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100"),
+
+    // Q86 — ordered string aggregation (S54 umbrella; LISTAGG shape) [dual:
+    // Spark sorts the collected array then joins; DuckDB's string_agg takes
+    // an ORDER BY clause — same deterministic comma-joined result]
+    DeclaredQuery("q86_listagg",
+      "SELECT r.r_name, array_join(sort_array(collect_list(n.n_name)), ',') AS nations " +
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY r.r_name ORDER BY r.r_name LIMIT 100",
+      Some("SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations " +
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY r.r_name ORDER BY r.r_name LIMIT 100")),
+
+    // Q87 — positional array explode (S54 umbrella; the LATERAL VIEW /
+    // UNNEST WITH ORDINALITY shape) [dual: Spark posexplode (0-based) vs
+    // DuckDB lateral index join — both emit 1-based pos]
+    DeclaredQuery("q87_posexplode",
+      "SELECT p_partkey, pos + 1 AS pos, tok FROM (SELECT p_partkey, " +
+        "posexplode(split(p_name, ' ')) AS (pos, tok) FROM part WHERE p_partkey < 30) t " +
+        "ORDER BY p_partkey, pos LIMIT 100",
+      Some("SELECT p_partkey, i AS pos, toks[i] AS tok FROM " +
+        "(SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part WHERE p_partkey < 30) t, " +
+        "(SELECT unnest(range(1, 33)) AS i) idx WHERE i <= len(toks) " +
+        "ORDER BY p_partkey, pos LIMIT 100")),
+
+    // Q88 — exact dispersion statistics (S16-S24 umbrella): the variance
+    // numerator n·Σx²−(Σx)² and doubled median stay pure integers, so the
+    // statistical-aggregate tier hash-checks without floats. l_quantity is
+    // integral by construction (CAST is lossless); DuckDB SUM(BIGINT) is
+    // HUGEINT → every derived metric CAST back to BIGINT.
+    DeclaredQuery("q88_stats_exact",
+      "SELECT l_suppkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q, " +
+        "CAST(COUNT(*) * SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) " +
+        "- SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS var_num, " +
+        "CAST(2 * MEDIAN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS median_x2 " +
+        "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey LIMIT 100")
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap

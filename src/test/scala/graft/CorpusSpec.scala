@@ -29,9 +29,11 @@ class CorpusSpec extends AnyFunSuite {
   test("dual-text queries differ only where engines share no spelling") {
     val duals = Corpus.queries.filter(_.duckSqlOverride.isDefined).map(_.id)
     // q60: array membership spelling; q61: Spark PIVOT vs DuckDB FILTER;
-    // q78: DATEDIFF(end,start) vs date_diff('day',start,end)
+    // q78: DATEDIFF(end,start) vs date_diff('day',start,end);
+    // q86: collect+sort+join vs string_agg ORDER BY; q87: posexplode vs
+    // lateral index join
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
-      "q61_pivot", "q78_retention"))
+      "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
