@@ -410,9 +410,13 @@ object Corpus {
       "SELECT p_partkey, pos + 1 AS pos, tok FROM (SELECT p_partkey, " +
         "posexplode(split(p_name, ' ')) AS (pos, tok) FROM part WHERE p_partkey < 30) t " +
         "ORDER BY p_partkey, pos LIMIT 100",
+      // the index table's bound is DERIVED (max token count over the whole
+      // column), not a hardcoded cap — a longer p_name can never silently
+      // drop tokens and cause a row-count mismatch
       Some("SELECT p_partkey, i AS pos, toks[i] AS tok FROM " +
         "(SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part WHERE p_partkey < 30) t, " +
-        "(SELECT unnest(range(1, 33)) AS i) idx WHERE i <= len(toks) " +
+        "(SELECT unnest(range(1, (SELECT MAX(len(string_split(p_name, ' '))) FROM part) + 1)) AS i) idx " +
+        "WHERE i <= len(toks) " +
         "ORDER BY p_partkey, pos LIMIT 100")),
 
     // Q88 — exact dispersion statistics (S16-S24 umbrella): the variance

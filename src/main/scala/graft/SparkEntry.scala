@@ -30,6 +30,25 @@ object SparkEntry {
       }
     }.toMap
 
+  /** q80's profile surface — every int/string/date column of all 10
+    * testdata tables. One source of truth: the Spark entry AND the DuckDB
+    * oracle text are both generated from this spec (doubles excluded —
+    * float→string rendering is the cross-engine hash hazard; events.ts
+    * excluded — timestamp-nanos renders engine-specifically). */
+  private val profileSpec: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "documents" -> Seq("doc_id", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "label"),
+    "events" -> Seq("event_id", "user_id", "event_type"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+    "region" -> Seq("r_regionkey", "r_name"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"))
+
+  private val profileDateCols: Set[String] = Set("o_orderdate", "l_shipdate")
+
   /** P-layer behaviors exercised through the engine path (Runner). */
   private def behaviorEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q24 — duplicate-output-column rename (db_utils.py:169-177): the
@@ -373,13 +392,17 @@ object SparkEntry {
       graft.operators.Scale.upsertLatest(base, updates, "doc_id", "version")
         .orderBy("doc_id").limit(100)
     },
-    // One-pass table profiling (round 5): nulls / cardinalities / ranges
-    // for four orders columns in a single scan (shared expand for the
-    // distinct counts, stack unpivot, metadata-sized output).
+    // Whole-corpus table profiling (widened round 6): nulls /
+    // cardinalities / ranges for every int/string/date column of all 10
+    // testdata tables — one pruned one-column scan per branch, unioned;
+    // output is metadata-sized (one row per profiled column). Doubles are
+    // excluded (float→string rendering is the known cross-engine hash
+    // hazard), as is events.ts (timestamp-nanos). The DuckDB text is
+    // GENERATED from the same `profileSpec`, so the two can't drift.
     "q80_profile" -> { (spark, dir) =>
-      graft.operators.TableProfile.profile(Tables.table(spark, dir, "orders"),
-          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
-          dateCols = Set("o_orderdate"))
+      graft.operators.TableProfile.profileTables(
+          profileSpec.map { case (t, cols) => (t, Tables.table(spark, dir, t), cols) },
+          dateCols = profileDateCols)
         .orderBy("col_name").limit(100)
     }
   )
@@ -452,16 +475,25 @@ object SparkEntry {
       // keys (no engine-specific band hash), so candidate sets match
       // bit-for-bit and the oracle checks banding itself
       "q82_minhash_portable" -> {
-        val coeffs = graft.operators.TextDedup.affineCoeffs(16)
+        // every LSH parameter interpolated from the SAME constants the
+        // Spark side uses (TextDedup.Portable*) — changing a default can
+        // no longer silently desynchronize the two texts
+        val nGram = graft.operators.TextDedup.PortableShingleN
+        val numHashes = graft.operators.TextDedup.PortableNumHashes
+        val bands = graft.operators.TextDedup.PortableBands
+        val rpb = numHashes / bands
+        val coeffs = graft.operators.TextDedup.affineCoeffs(numHashes)
         val aList = coeffs.map(_._1).mkString("[", ", ", "]")
         val bList = coeffs.map(_._2).mkString("[", ", ", "]")
         ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-          "hsx AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
-          "i -> CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 8)) AS BIGINT))) AS hs FROM t), " +
-          "sigx AS (SELECT doc_id, hs, list_transform(range(1, 17), i -> " +
-          "CASE WHEN len(hs) = 0 THEN 9223372036854775807 " +
-          s"ELSE list_min(list_transform(hs, h -> (h * ($aList)[i] + ($bList)[i]) % 2305843009213693951)) END) AS sig FROM hsx), " +
-          "banded AS (SELECT doc_id, hs, b, array_to_string(sig[4*b+1:4*b+4], '-') AS bkey FROM sigx, (SELECT unnest(range(0, 4)) AS b) bs), " +
+          s"hsx AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - $nGram, 0) + 1), " +
+          s"i -> CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+$nGram], ' ')), 1, 8)) AS BIGINT))) AS hs FROM t), " +
+          // empty shingle sets dropped before banding (mirrors the Spark
+          // guard): they share one degenerate all-sentinel bucket and pair
+          // as 0/0 "near-dups"
+          s"sigx AS (SELECT doc_id, hs, list_transform(range(1, ${numHashes + 1}), i -> " +
+          s"list_min(list_transform(hs, h -> (h * ($aList)[i] + ($bList)[i]) % 2305843009213693951))) AS sig FROM hsx WHERE len(hs) > 0), " +
+          s"banded AS (SELECT doc_id, hs, b, array_to_string(sig[$rpb*b+1:$rpb*b+$rpb], '-') AS bkey FROM sigx, (SELECT unnest(range(0, $bands)) AS b) bs), " +
           "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.hs AS ha, c.hs AS hb " +
           "FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id), " +
           "v AS (SELECT id_a, id_b, len(list_intersect(ha, hb)) AS n_inter, len(list_distinct(list_concat(ha, hb))) AS n_union FROM pairs) " +
@@ -513,18 +545,25 @@ object SparkEntry {
           "r AS (SELECT doc_id, version, n_tokens, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM allr) " +
           "SELECT doc_id, CAST(version AS BIGINT) AS version, CAST(n_tokens AS BIGINT) AS n_tokens " +
           "FROM r WHERE rn = 1 ORDER BY doc_id LIMIT 100"),
-      // round 5: per-column profile — min/max exposed as strings so
-      // heterogeneous types share one schema; dates normalized to DATE
-      // strings (engine-neutral rendering; the comparator floats raw
-      // datetimes)
-      "q80_profile" ->
-        ("SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v FROM (" +
-          "SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_null, " +
-          "COUNT(DISTINCT o_orderkey) AS n_distinct, CAST(MIN(o_orderkey) AS VARCHAR) AS min_v, CAST(MAX(o_orderkey) AS VARCHAR) AS max_v FROM orders " +
-          "UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders " +
-          "UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus) FROM orders " +
-          "UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate), CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR), CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) FROM orders" +
-          ") ORDER BY col_name LIMIT 100"),
+      // per-column profile over all 10 tables (round 6) — min/max exposed
+      // as strings so heterogeneous types share one schema; dates
+      // normalized to DATE strings. The branch list is GENERATED from
+      // `profileSpec` — the same value the Spark entry profiles — so the
+      // two texts cannot drift.
+      "q80_profile" -> {
+        val branches = profileSpec.flatMap { case (t, cols) =>
+          cols.map { c =>
+            val (minE, maxE) =
+              if (profileDateCols(c))
+                (s"CAST(CAST(MIN($c) AS DATE) AS VARCHAR)", s"CAST(CAST(MAX($c) AS DATE) AS VARCHAR)")
+              else (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+            s"SELECT '$t.$c' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_null, " +
+              s"COUNT(DISTINCT $c) AS n_distinct, $minE AS min_v, $maxE AS max_v FROM $t"
+          }
+        }
+        branches.mkString("SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v FROM (",
+          " UNION ALL ", ") ORDER BY col_name LIMIT 100")
+      },
       // promoted round 5: md5 min-k sketch — shingle→first-8-hex-digits
       // integer, sort, sum the k smallest (see q69 for the md5 ↔ conv
       // dual spelling). DuckDB's range(0, n) + 1-based inclusive slice

@@ -42,4 +42,15 @@ object TableProfile {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** Multi-table profile: one `profile` per table, column names qualified
+    * `table.column` so the union stays unambiguous. Same scale shape —
+    * every branch is a one-column pruned scan, output metadata-sized
+    * (rows = total profiled columns, not data). */
+  def profileTables(tables: Seq[(String, DataFrame, Seq[String])],
+                    dateCols: Set[String] = Set.empty): DataFrame =
+    tables.map { case (name, df, cols) =>
+      profile(df, cols, dateCols)
+        .withColumn("col_name", concat(lit(name + "."), col("col_name")))
+    }.reduce(_ unionByName _)
 }

@@ -115,15 +115,17 @@ object TextAnalysis {
   /** TF-IDF-style top-k terms per document, integer-exact: score =
     * tf·scale div df (the log-free surrogate — monotone in tf/df, which
     * is what the per-document RANKING needs; exact IDF logs are floats
-    * and would break cross-engine hashing). Two aggregations over one
-    * exploded token stream + a per-document window: tf shuffles
-    * (doc, token), df shuffles (token) — both linear, no cross join.
+    * and would break cross-engine hashing). ONE explode of the corpus:
+    * tf shuffles (doc, token); df is derived from the tf aggregate —
+    * tf already has exactly one row per (doc, token), so counting rows
+    * per token IS the document frequency, with no second explode and no
+    * corpus-wide distinct shuffle. Both remaining shuffles are linear.
     * Output: (doc_id, token, tf, df, score_k, rnk), rnk 1..k. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, scale: Long = 1000L): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    val docFreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("score_k").desc, col("token"))
     tf.join(docFreq, "token")

@@ -121,6 +121,14 @@ object TextDedup {
 
   private val MersennePrime61 = (1L << 61) - 1
 
+  /** Parameters shared by `portablePairStats` and the q82 DuckDB oracle
+    * text (SparkEntry interpolates them into the SQL) — one compile-time
+    * source of truth so changing them cannot silently desynchronize the
+    * two texts. */
+  val PortableShingleN = 3
+  val PortableNumHashes = 16
+  val PortableBands = 4
+
   /** Deterministic affine coefficients for universal-hash permutations:
     * odd multipliers < 2^29, so a·h + b < 2^61 for 32-bit h — no overflow
     * under ANSI in Spark and identical BIGINT math in any SQL engine. */
@@ -151,29 +159,45 @@ object TextDedup {
     * Output: (id_a, id_b, n_inter, n_union) — threshold on
     * n_inter/n_union is the caller's (integer cross-multiply). */
   def portablePairStats(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                        shingleN: Int = PortableShingleN,
+                        numHashes: Int = PortableNumHashes,
+                        bands: Int = PortableBands,
                         seed: Long = 7L): DataFrame = {
     val rowsPerBand = numHashes / bands
     val coeffs = affineCoeffs(numHashes, seed)
     // __hs materialized in its own projection: affineSignature references
-    // it numHashes times (see signatureFrame's CollapseProject note)
+    // it numHashes times (see signatureFrame's CollapseProject note).
+    // Empty shingle sets are dropped BEFORE banding: every such document
+    // shares the all-Long.MaxValue signature, so they land in one
+    // degenerate bucket and pair with each other as n_inter=0/n_union=0
+    // "90% near-dups" (0·10 ≥ 0·9). The filter is this path's analogue
+    // of minhashCandidates' maxBucketSize guard, mirrored in the q82
+    // DuckDB text.
     val base = df.select(col(idCol),
       array_distinct(portableShingleHashes(col(textCol), shingleN)).as("__hs"))
-    val sig = base.select(col(idCol), col("__hs"),
+      .filter(size(col("__hs")) > 0)
+    // Banding fans out KEYS ONLY — compact (band, bkey, id) triples, never
+    // the shingle-hash arrays: carrying __hs here duplicates every
+    // document's hash set bands× through the corpus-wide shuffle and was
+    // the most expensive plan in the round-5 corpus (9.9 s driver-side).
+    // The hash sets are joined back for surviving candidate pairs only,
+    // exactly as nearDupPairs verifies minhashCandidates.
+    val sig = base.select(col(idCol),
       affineSignature(col("__hs"), coeffs).as("__sig"))
-    val banded = sig.select(col(idCol), col("__hs"),
+    val banded = sig.select(col(idCol),
       posexplode(array((0 until bands).map(b =>
         array_join(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), "-")): _*))
         .as(Seq("__band", "__bkey")))
-    banded.groupBy("__band", "__bkey")
-      .agg(collect_list(struct(col(idCol).as("id"), col("__hs").as("hs"))).as("__m"))
-      .filter(size(col("__m")) >= 2)
-      .select(explode(col("__m")).as("a"), col("__m"))
-      .select(col("a"), explode(col("__m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.hs").as("__ha"), col("b.hs").as("__hb"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = banded.groupBy("__band", "__bkey")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col(idCol).as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("__hs").as("__hb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("n_inter"),
         size(array_union(col("__ha"), col("__hb"))).cast("long").as("n_union"))
@@ -332,9 +356,15 @@ object TextDedup {
     val sums = aggregate(tokenHashes, zeros,
       (acc, h) => zip_with(acc, powers,
         (s, p) => s + when(h.bitwiseAND(p) === p, lit(1L)).otherwise(lit(-1L))))
-    aggregate(zip_with(sums, powers,
-      (s, p) => when(s >= 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    // explicit empty-set sentinel 0, matching the q83 DuckDB text (where
+    // list_sum of an empty list is NULL → each bit's CASE falls to ELSE
+    // 0); without the guard Spark's all-zero sums read as "all bits ≥ 0"
+    // → 0xFFFFFFFF, a silent cross-engine divergence (cf. the explicit
+    // Long.MaxValue case in affineSignature)
+    when(size(tokenHashes) === 0, lit(0L)).otherwise(
+      aggregate(zip_with(sums, powers,
+        (s, p) => when(s >= 0, p).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
   }
 
   /** Portable SimHash near-dup pairs: 32-bit signatures pigeonhole-banded
@@ -391,13 +421,21 @@ object TextDedup {
       posexplode(array((0 until 4).map { c =>
         shiftrightunsigned(col("__sim"), 16 * c).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("__chunk", "__ckey")))
-    val a = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_a"), col("__sim").as("__sim_a"))
-    val b = chunks.select(col("__chunk"), col("__ckey"), col(idCol).as("id_b"), col("__sim").as("__sim_b"))
-    a.join(b, Seq("__chunk", "__ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", expr("bit_count(__sim_a ^ __sim_b)"))
+    // single-pass bucketing (cf. minhashCandidates / portableSimhashPairs):
+    // ONE shuffle of (chunk, key, id, sim) and in-bucket pairs by double
+    // explode — the previous two-sided join recomputed the tokenize +
+    // SimHash64 subtree once per side (the twin measured that shape ~2×
+    // slower at sf0.1)
+    chunks
+      .groupBy("__chunk", "__ckey")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__sim").as("sim"))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
       .distinct()
   }
 }

@@ -84,6 +84,11 @@ object Sinks {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    zCols.zipWithIndex.foreach { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"writeZOrderedParquet: no min/max for z-column '$c' " +
+          "(empty input or all-NULL column) — cannot derive a z-order domain")
+    }
     val mins = zCols.indices.map(i => row.getDouble(2 * i))
     val maxs = zCols.indices.map(i => row.getDouble(2 * i + 1))
     df.withColumn("__z", zValue(zCols.map(col), mins, maxs, bits))
