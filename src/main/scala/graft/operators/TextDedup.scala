@@ -173,9 +173,16 @@ object TextDedup {
     // "90% near-dups" (0·10 ≥ 0·9). The filter is this path's analogue
     // of minhashCandidates' maxBucketSize guard, mirrored in the q82
     // DuckDB text.
+    // (id, __hs) is referenced THREE times downstream (signature
+    // derivation + both verification join sides) and the md5 string
+    // round-trip per shingle is the measured dominant cost of the whole
+    // pipeline — localCheckpoint materializes it once instead of
+    // recomputing the hash pass per reference (cf. connectedComponents;
+    // at deployment scale use a checkpoint dir on shared storage).
     val base = df.select(col(idCol),
       array_distinct(portableShingleHashes(col(textCol), shingleN)).as("__hs"))
       .filter(size(col("__hs")) > 0)
+      .localCheckpoint(false)
     // Banding fans out KEYS ONLY — compact (band, bkey, id) triples, never
     // the shingle-hash arrays: carrying __hs here duplicates every
     // document's hash set bands× through the corpus-wide shuffle and was
