@@ -232,6 +232,25 @@ object SparkEntry {
           (col("total") * 100).cast("long").as("total_cents"))
         .orderBy("h", "event_type").limit(100)
     },
+    // Streaming SESSION-window aggregation run to completion on the closed
+    // input — hash-checked against a DuckDB lag-based island-detection
+    // replay (same closed-input contract as q51/q65). Input timestamps are
+    // truncated to seconds first: the parquet is TIMESTAMP(NANOS) and a
+    // µs-vs-ns session boundary could never hash-match (cf.
+    // attributionPairs). Boundary semantics: session_window merges an
+    // event iff t < last_t + gap, so the replay breaks on ts >= lag + gap
+    // (NOT q76's lenient `>` — the two differ exactly at the boundary).
+    "q89_stream_sessions" -> { (spark, dir) =>
+      val src = graft.streaming.StreamOps.eventsStream(spark, dir)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      graft.streaming.StreamOps.runToCompletion(spark,
+        graft.streaming.StreamOps.userSessions(src),
+        s"q89_mem_${math.abs(dir.hashCode)}")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          (col("session_value") * 100).cast("long").as("value_cents"))
+        .orderBy("user_id", "session_start").limit(100)
+    },
     // Stream-stream interval join (attribution: purchases within 30 min of
     // a click, same user) run to completion on the closed input —
     // hash-checked against the DuckDB batch join (same contract as q51)
@@ -649,6 +668,22 @@ object SparkEntry {
           "list_distinct(string_split(b.text, ' '))))) AS BIGINT) AS max_overlap " +
           "FROM documents c, (SELECT text FROM documents WHERE doc_id % 97 = 0) b " +
           "GROUP BY c.doc_id ORDER BY doc_id LIMIT 100"),
+      // streaming sessionization replayed relationally: lag-based island
+      // detection per user. Boundary: new session when ts >= lag + gap
+      // (session_window merges strictly-within-gap only); session_end =
+      // MAX(ts) + gap; value as exact cents (DECIMAL sum, never a raw
+      // double sum — float addition order would not hash)
+      "q89_stream_sessions" ->
+        ("WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts2, value FROM events), " +
+          "t1 AS (SELECT user_id, event_id, ts2, value, " +
+          "CASE WHEN lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id) IS NULL " +
+          "OR ts2 >= lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id) + INTERVAL 30 MINUTE " +
+          "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+          "t2 AS (SELECT user_id, ts2, value, SUM(new_sess) OVER (PARTITION BY user_id " +
+          "ORDER BY ts2, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM t1) " +
+          "SELECT user_id, MIN(ts2) AS session_start, MAX(ts2) + INTERVAL 30 MINUTE AS session_end, " +
+          "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents " +
+          "FROM t2 GROUP BY user_id, sid ORDER BY user_id, session_start LIMIT 100"),
       "q65_stream_join" ->
         ("SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id " +
           "FROM events a JOIN events b ON a.user_id = b.user_id " +

@@ -51,11 +51,17 @@ object StreamOps {
   }
 
   /** Session windows per user: events within `gap` of each other merge into
-    * one session (streaming sessionization). */
+    * one session (streaming sessionization). Merge semantics: an event at
+    * t joins the session iff t < last_event_ts + gap (strictly less — an
+    * event landing exactly at the gap boundary starts a NEW session),
+    * session_end = last_event_ts + gap. The q89 DuckDB replay mirrors the
+    * boundary with `ts >= lag(ts) + gap ⇒ new session`. The value sum is
+    * DECIMAL(18,2) like hourlyByType so callers can expose exact cents. */
   def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("session_value"))
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
