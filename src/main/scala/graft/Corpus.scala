@@ -429,7 +429,80 @@ object Corpus {
         "CAST(COUNT(*) * SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) " +
         "- SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS var_num, " +
         "CAST(2 * MEDIAN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS median_x2 " +
-        "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey LIMIT 100")
+        "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey LIMIT 100"),
+
+    // ——— round-6 surface extensions ———
+
+    // Q90 — FULL OUTER JOIN (S13 umbrella, completing the outer-join
+    // family): per-nation counts over two filtered subsets, so each side
+    // has keys the other lacks at small SF. Counts COALESCEd to 0 — no
+    // NULL cells in hashed output (pandas renders Spark None vs DuckDB
+    // NaN differently for numeric NULLs). Shared text.
+    DeclaredQuery("q90_full_outer",
+      "SELECT COALESCE(a.nk, b.nk) AS nk, COALESCE(a.n_cust, 0) AS n_cust, COALESCE(b.n_supp, 0) AS n_supp " +
+        "FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer WHERE c_custkey % 13 = 0 GROUP BY c_nationkey) a " +
+        "FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY s_nationkey) b " +
+        "ON a.nk = b.nk ORDER BY nk LIMIT 100"),
+
+    // Q91 — EXCEPT ALL (S42 umbrella, multiset semantics): one o_custkey
+    // row per non-'F' order (multiset difference preserves multiplicity,
+    // unlike EXCEPT). Duplicate rows are interchangeable under the
+    // sorted-cells hash, so ORDER BY + LIMIT stays deterministic.
+    DeclaredQuery("q91_except_all",
+      "SELECT o_custkey FROM orders EXCEPT ALL " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_custkey LIMIT 100"),
+
+    // Q92 — INTERSECT ALL (S42 umbrella): min-multiplicity per custkey
+    // across the two filtered multisets.
+    DeclaredQuery("q92_intersect_all",
+      "SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F' INTERSECT ALL " +
+        "SELECT o_custkey FROM orders WHERE o_totalprice > 50000 " +
+        "ORDER BY o_custkey LIMIT 100"),
+
+    // Q93 — RANGE window frame (S30 umbrella; q63 covers ROWS frames):
+    // value-based frame over the ORDER BY key, partitioned per customer
+    // (no global Window — PlanGuard). COUNT → BIGINT in both engines.
+    DeclaredQuery("q93_range_frame",
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100"),
+
+    // Q94 — string-function breadth (S52 umbrella): lpad/rpad, translate,
+    // repeat, reverse, replace, instr, levenshtein — the shared
+    // Spark∩DuckDB spelling (initcap is NOT shared: DuckDB lacks it).
+    // Integer outputs CAST to BIGINT (Spark INT vs DuckDB BIGINT).
+    DeclaredQuery("q94_string_funcs",
+      "SELECT p_partkey, lpad(p_brand, 12, '*') AS padded, rpad(p_brand, 12, '-') AS rpadded, " +
+        "translate(p_type, 'aeiou', 'AEIOU') AS tr, repeat(reverse(p_brand), 2) AS reprev, " +
+        "replace(p_type, ' ', '-') AS repl, CAST(instr(p_name, 'a') AS BIGINT) AS ia, " +
+        "CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev " +
+        "FROM part WHERE p_partkey < 200 ORDER BY p_partkey LIMIT 100"),
+
+    // Q95 — SCD2 validity intervals (ETL-engine shape): each order
+    // becomes a versioned row [valid_from, valid_to) per customer via
+    // lead(); open intervals get a far-future sentinel — NO NULL cells
+    // (pandas renders a NULL timestamp as NaT on one read path and None
+    // on the other). The sentinel is 2200-01-01, NOT the classic
+    // 9999-12-31: the comparator's pyarrow→pandas path uses ns-precision
+    // datetimes (max 2262-04-11) and silently WRAPS anything beyond
+    // (9999-12-31 → 1816-03-29, measured). Timestamps hash fine (cf. q76).
+    DeclaredQuery("q95_scd2",
+      "SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, " +
+        "COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "TIMESTAMP '2200-01-01 00:00:00') AS valid_to, " +
+        "CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL " +
+        "THEN 1 ELSE 0 END AS is_current " +
+        "FROM orders ORDER BY o_custkey, valid_from, o_orderkey LIMIT 100"),
+
+    // Q96 — RIGHT OUTER JOIN (S13 umbrella): all nations kept, supplier
+    // counts from a filtered left side; COUNT(col) gives 0 for unmatched.
+    DeclaredQuery("q96_right_join",
+      "SELECT n.n_nationkey, n.n_name, COUNT(s.s_suppkey) AS n_supp " +
+        "FROM (SELECT * FROM supplier WHERE s_suppkey % 7 = 0) s " +
+        "RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_nationkey, n.n_name ORDER BY n.n_nationkey LIMIT 100")
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap
