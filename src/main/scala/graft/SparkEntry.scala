@@ -49,6 +49,33 @@ object SparkEntry {
 
   private val profileDateCols: Set[String] = Set("o_orderdate", "l_shipdate")
 
+  /** q84/q97's verification threshold — ≈ cosine 0.25 on unit-norm vectors
+    * after the ×10⁴ quantization. One constant for the Spark entries AND
+    * both DuckDB texts. */
+  private val EmbedMinScore = 25000000L
+
+  /** Shared CTE chain replaying the portable embedding-LSH pipeline in
+    * DuckDB (q84 pair check, q97 clustering): quantized integer vectors,
+    * hyperplanes as a generated VALUES table
+    * (Similarity.portableHyperplanes — one source of truth), bucket
+    * signatures via sign-bit sums, candidate pairs, integer-dot
+    * verification. Ends with CTE `v(id_a, id_b, score)`. */
+  private def embedLshReplayCtes: String = {
+    val planes = graft.operators.Similarity.portableHyperplanes(64, 8, 6)
+    val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
+      tbl.zipWithIndex.map { case (p, b) =>
+        s"($t, $b, ${p.mkString("[", ", ", "]")})"
+      }
+    }.mkString(", ")
+    "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
+      s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
+      "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
+      "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
+      "pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
+      "v AS (SELECT id_a, id_b, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
+      "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b)"
+  }
+
   /** P-layer behaviors exercised through the engine path (Runner). */
   private def behaviorEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q24 — duplicate-output-column rename (db_utils.py:169-177): the
@@ -382,8 +409,21 @@ object SparkEntry {
     // minScore 25M ≈ cosine 0.25 on unit-norm vectors, matching q43's τ.
     "q84_embedlsh_portable" -> { (spark, dir) =>
       Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
-          "vec_id", "embedding", minScore = 25000000L)
+          "vec_id", "embedding", minScore = EmbedMinScore)
         .orderBy("id_a", "id_b").limit(100)
+    },
+    // Transitive clustering over the hash-checked q84 pairs (round 6):
+    // pointer-jumping connected components (the q74 machinery) on the
+    // embedding near-dup graph — the grouping step an embedding-dedup
+    // pipeline actually ships. DuckDB replays with a recursive closure
+    // over the SAME pair CTEs, so clustering itself is hash-checked.
+    "q97_embed_clusters" -> { (spark, dir) =>
+      val pairs = Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", minScore = EmbedMinScore)
+        .select(col("id_a"), col("id_b"))
+      TextDedup.nearDupClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id").limit(100)
     },
     // Portable SimHash near-dup pairs (round 5): 32-bit sign-sum
     // signatures from md5 token hashes, 4×8-bit pigeonhole banding,
@@ -522,23 +562,22 @@ object SparkEntry {
       // round 5: embedding LSH replayed relationally — hyperplanes as a
       // VALUES table generated from Similarity.portableHyperplanes (one
       // source of truth), buckets via SUM of sign bits, verification by
-      // integer dot
-      "q84_embedlsh_portable" -> {
-        val planes = graft.operators.Similarity.portableHyperplanes(64, 8, 6)
-        val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
-          tbl.zipWithIndex.map { case (p, b) =>
-            s"($t, $b, ${p.mkString("[", ", ", "]")})"
-          }
-        }.mkString(", ")
-        ("WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
-          s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
-          "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
-          "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
-          "pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
-          "v AS (SELECT id_a, id_b, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
-          "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b) " +
-          "SELECT id_a, id_b, score FROM v WHERE score >= 25000000 ORDER BY id_a, id_b LIMIT 100")
-      },
+      // integer dot (CTE chain shared with q97's clustering replay)
+      "q84_embedlsh_portable" ->
+        (s"WITH $embedLshReplayCtes " +
+          s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore ORDER BY id_a, id_b LIMIT 100"),
+      // round 6: transitive clustering ON TOP of the hash-checked q84 pair
+      // pipeline — connected components (Spark: pointer-jumping hash-min,
+      // cf. q74) vs DuckDB's recursive closure over the same verified
+      // pairs. cluster = min reachable vec_id.
+      "q97_embed_clusters" ->
+        (s"WITH RECURSIVE $embedLshReplayCtes, " +
+          s"pairs AS (SELECT id_a, id_b FROM v WHERE score >= $EmbedMinScore), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs), " +
+          "reach(id, lbl) AS (SELECT src, src FROM edges " +
+          "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst) " +
+          "SELECT id AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach " +
+          "GROUP BY id ORDER BY vec_id LIMIT 100"),
       // round 5: simhash replayed bit-for-bit — sign-sum per bit plane,
       // pigeonhole chunks, bit_count(xor) hamming
       "q83_simhash_portable" ->
