@@ -390,6 +390,14 @@ object SparkEntry {
           "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk").limit(100)
     },
+    // Within-document repetition detection (round 6): share of the
+    // shingle stream taken by the single most frequent bigram —
+    // the template/spam quality gate. Integers only; linear shuffles.
+    "q98_repetition" -> { (spark, dir) =>
+      TextAnalysis.repetitionStats(Tables.table(spark, dir, "documents"),
+          "doc_id", "text", shingleN = 2)
+        .orderBy("doc_id").limit(100)
+    },
     // Portable MinHash+LSH near-dup pairs (round 5): md5-derived shingle
     // hashes + affine universal-hash permutations are bit-identical
     // integers in any engine, so the ENTIRE pipeline — signatures,
@@ -578,6 +586,17 @@ object SparkEntry {
           "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst) " +
           "SELECT id AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach " +
           "GROUP BY id ORDER BY vec_id LIMIT 100"),
+      // round 6: per-document bigram repetition — same shingle
+      // construction as the q82 replay (positions 0..len-n), counts and
+      // ratio as pure integers (DuckDB SUM(BIGINT) is HUGEINT → CAST)
+      "q98_repetition" ->
+        ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "sh AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 2, 0) + 1), " +
+          "i -> array_to_string(toks[i+1:i+2], ' '))) AS sh FROM t), " +
+          "tf AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh) " +
+          "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles, CAST(MAX(c) AS BIGINT) AS max_rep, " +
+          "CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS rep_permille " +
+          "FROM tf GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
       // round 5: simhash replayed bit-for-bit — sign-sum per bit plane,
       // pigeonhole chunks, bit_count(xor) hamming
       "q83_simhash_portable" ->

@@ -135,6 +135,23 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score_k"), col("rnk"))
   }
 
+  /** Within-document repetition stats over n-gram shingles — the
+    * boilerplate/template signal quality filters gate on: a document whose
+    * single most frequent shingle covers a large share of its shingle
+    * stream is repetition-heavy (spam, scraped nav bars, generated
+    * filler). Output: (id, n_shingles, max_rep, rep_permille =
+    * max_rep·1000 div n_shingles) — integers only. One explode + a
+    * (doc, shingle)-keyed count + a doc-keyed aggregate: both shuffles
+    * linear in corpus size, no corpus-wide distinct. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(TextDedup.shingles(tokens(col(textCol)), shingleN)).as("sh"))
+    sh.groupBy(idCol, "sh").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("n_shingles"), max("c").as("max_rep"))
+      .withColumn("rep_permille", expr("max_rep * 1000 div n_shingles"))
+  }
+
   /** Term-frequency table: (token, n) over a whole corpus — the Q37(E)
     * generator-surface op (explode). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =

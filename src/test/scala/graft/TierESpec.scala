@@ -320,6 +320,19 @@ class TierESpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats matches a scalar bigram reference (q98 oracle path)") {
+    val docs = Seq(
+      (1L, "a b a b a b"),          // bigrams: "a b"×3, "b a"×2 → 5 total, max 3
+      (2L, "x y z"),                // all distinct → 2 total, max 1
+      (3L, "w")                     // single token → one 1-token shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text", shingleN = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((5L, 3L, 600L)))
+    assert(got(2L) == ((2L, 1L, 500L)))
+    assert(got(3L) == ((1L, 1L, 1000L)))
+  }
+
   test("TableProfile counts nulls, cardinalities and ranges exactly") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None), (None, Some("a")), (Some(2L), Some("c"))
