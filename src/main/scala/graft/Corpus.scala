@@ -502,7 +502,37 @@ object Corpus {
       "SELECT n.n_nationkey, n.n_name, COUNT(s.s_suppkey) AS n_supp " +
         "FROM (SELECT * FROM supplier WHERE s_suppkey % 7 = 0) s " +
         "RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey " +
-        "GROUP BY n.n_nationkey, n.n_name ORDER BY n.n_nationkey LIMIT 100")
+        "GROUP BY n.n_nationkey, n.n_name ORDER BY n.n_nationkey LIMIT 100"),
+
+    // Q99 — corpus curation report (documents metadata): per (source,
+    // lang) doc counts and exact integer char statistics — the breakdown
+    // a curation run reports before mixing. Integer division spelled per
+    // engine (Spark DIV vs DuckDB //, with DuckDB's HUGEINT sum CAST).
+    DeclaredQuery("q99_source_stats",
+      "SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "SUM(n_chars) DIV COUNT(*) AS mean_chars " +
+        "FROM documents GROUP BY source, lang ORDER BY source, lang LIMIT 100",
+      Some("SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars " +
+        "FROM documents GROUP BY source, lang ORDER BY source, lang LIMIT 100")),
+
+    // Q100 — percent-of-total (ratio_to_report shape) WITHOUT a global
+    // window: the denominator is a broadcast scalar subquery, so no
+    // single-partition Window node (PlanGuard) — shares in exact basis
+    // points over BIGINT cents.
+    DeclaredQuery("q100_pct_of_total",
+      "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +
+        "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) FROM orders) AS share_bp " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_name ORDER BY n.n_name LIMIT 100",
+      Some("SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
+        "CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 // " +
+        "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) FROM orders) AS BIGINT) AS share_bp " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_name ORDER BY n.n_name LIMIT 100"))
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap
