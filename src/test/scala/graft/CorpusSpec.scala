@@ -31,9 +31,11 @@ class CorpusSpec extends AnyFunSuite {
     // q60: array membership spelling; q61: Spark PIVOT vs DuckDB FILTER;
     // q78: DATEDIFF(end,start) vs date_diff('day',start,end);
     // q86: collect+sort+join vs string_agg ORDER BY; q87: posexplode vs
-    // lateral index join
+    // lateral index join; q99/q100: integer division (Spark DIV vs
+    // DuckDB //, whose HUGEINT-typed result also needs a CAST)
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
-      "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode"))
+      "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode",
+      "q99_source_stats", "q100_pct_of_total"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
