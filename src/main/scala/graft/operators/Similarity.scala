@@ -77,17 +77,26 @@ object Similarity {
               k: Int, numTables: Int = 4, bitsPerTable: Int = 8,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
-    def withBuckets(df: DataFrame, id: String, vec: String, aId: String, aVec: String) =
-      df.select(col(id).as(aId), col(vec).as(aVec),
+    // Keys-only candidate generation: the bucket join and the distinct
+    // carry (query_id, vec_id) ids, never the vectors (the narrow-band
+    // discipline of embeddingNearDupPairs). The query side is small by
+    // contract → broadcast at both the bucket join and the re-rank join,
+    // so the corpus never shuffles; only candidate ids do.
+    def withBuckets(df: DataFrame, id: String, vec: String, aId: String) =
+      df.select(col(id).as(aId),
           posexplode(allBuckets(col(vec), planes)).as(Seq("__table", "__bucket")))
-    val c = withBuckets(corpus, idCol, vecCol, "vec_id", "__cvec")
-    val q = withBuckets(queries, queryIdCol, queryVecCol, "query_id", "__qvec")
-    val candidates = c.join(q, Seq("__table", "__bucket"))
+    val c = withBuckets(corpus, idCol, vecCol, "vec_id")
+    val q = withBuckets(queries, queryIdCol, queryVecCol, "query_id")
+    val candidates = c.join(broadcast(q), Seq("__table", "__bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "__qvec", "vec_id", "__cvec")
-      .dropDuplicates("query_id", "vec_id")
+      .select("query_id", "vec_id")
+      .distinct()
+    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cvec"))
+    val qv = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     candidates
+      .join(cv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("sim", fastCosine(corpus, col("__cvec"), col("__qvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -280,18 +289,27 @@ object Similarity {
         when(intDot(col("__qv"), typedLit(p.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    q.select(col(idCol), col("__qv"),
+    // Bucketing fans out KEYS ONLY — compact (t, bkt, id) triples, never
+    // the vectors: carrying __qv here duplicates every vector tables×
+    // through the corpus-wide bucket exchange and leaves collected buckets
+    // holding m full vectors (the shape class portablePairStats was cured
+    // of in round 6). Vectors are joined back for surviving candidate
+    // pairs only (candidates ≪ corpus × tables); re-deriving __qv on the
+    // join sides is one cheap floor-cast pass over a pruned scan.
+    val pairs = q.select(col(idCol),
         posexplode(array(bucketCols: _*)).as(Seq("__t", "__bkt")))
       .groupBy("__t", "__bkt")
-      .agg(collect_list(struct(col(idCol).as("id"), col("__qv").as("v"))).as("__m"))
-      .filter(size(col("__m")) >= 2)
-      .select(explode(col("__m")).as("a"), col("__m"))
-      .select(col("a"), explode(col("__m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        intDot(col("a.v"), col("b.v")).as("score"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(q.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
+      .join(q.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
       .filter(col("score") >= minScore)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
@@ -302,21 +320,28 @@ object Similarity {
                             bitsPerTable: Int = 8, dim: Int = 64,
                             seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
-    val bucketed = corpus.select(col(idCol), col(vecCol),
+    // Single-pass bucketing (cf. TextDedup.minhashCandidates) with a
+    // KEYS-ONLY exchange: (table, bucket, id) triples, members collected
+    // per bucket, pairs by double explode. Vectors never ride the bucket
+    // shuffle — they are joined back for surviving candidate pairs only
+    // (same narrow-band discipline as portableEmbedPairs; a self-join
+    // formulation would also recompute the signature projections per side).
+    val bucketed = corpus.select(col(idCol),
       posexplode(allBuckets(col(vecCol), planes)).as(Seq("__table", "__bucket")))
-    // Single-pass bucketing (cf. TextDedup.minhashCandidates): one shuffle,
-    // members collected per bucket, pairs by double explode — a self-join
-    // would recompute the signature projections once per side.
-    bucketed
+    val pairs = bucketed
       .groupBy("__table", "__bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("__m"))
-      .filter(size(col("__m")) >= 2)
-      .select(explode(col("__m")).as("a"), col("__m"))
-      .select(col("a"), explode(col("__m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        fastCosine(corpus, col("a.v"), col("b.v")).as("sim"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val v = corpus.select(col(idCol), col(vecCol))
+    pairs
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        fastCosine(corpus, col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -142,11 +142,19 @@ object TextAnalysis {
     * filler). Output: (id, n_shingles, max_rep, rep_permille =
     * max_rep·1000 div n_shingles) — integers only. One explode + a
     * (doc, shingle)-keyed count + a doc-keyed aggregate: both shuffles
-    * linear in corpus size, no corpus-wide distinct. */
+    * linear in corpus size, no corpus-wide distinct.
+    *
+    * Counts by 64-bit SHINGLE HASH (the fused ShingleHash pass), never by
+    * n-gram string: string materialization (transform + array_join) is the
+    * measured dominant cost of every shingle pipeline (ShingleHash
+    * scaladoc, PLANS.md), and the max/sum repetition stats are
+    * hash-insensitive — a within-document 64-bit collision merging two
+    * distinct shingles' counts is negligible at any corpus size — so the
+    * string-counting DuckDB twin derives the identical integers. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 2): DataFrame = {
     val sh = df.select(col(idCol),
-      explode(TextDedup.shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      explode(TextDedup.shingleHashes(df, col(textCol), shingleN)).as("sh"))
     sh.groupBy(idCol, "sh").agg(count(lit(1)).as("c"))
       .groupBy(idCol).agg(sum("c").as("n_shingles"), max("c").as("max_rep"))
       .withColumn("rep_permille", expr("max_rep * 1000 div n_shingles"))
