@@ -29,7 +29,13 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // entries run serially in one session: localCheckpoint blocks from
+      // iterative/checkpointing entries (q74/q82/q97) would otherwise stay
+      // persisted and squat on block-manager memory during every LATER
+      // entry's timed window — release them outside the timer
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
