@@ -448,6 +448,12 @@ object Corpus {
     // row per non-'F' order (multiset difference preserves multiplicity,
     // unlike EXCEPT). Duplicate rows are interchangeable under the
     // sorted-cells hash, so ORDER BY + LIMIT stays deterministic.
+    // DEFENSIVE CONSTRAINT (q91 AND q92): ORDER BY o_custkey is NOT a
+    // unique tie-break — it is safe ONLY while the projection stays this
+    // single column (ties are bit-identical duplicates). Adding ANY second
+    // column makes the LIMIT-100 cut engine-dependent; EXCEPT/INTERSECT
+    // ALL admit no row_number tie-break without changing multiset
+    // semantics, so widening these queries means re-deriving the text.
     DeclaredQuery("q91_except_all",
       "SELECT o_custkey FROM orders EXCEPT ALL " +
         "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +

@@ -80,10 +80,12 @@ object Scale {
     val boundaries = df.select(
       percentile_approx(col(valueCol), typedLit(probs), lit(accuracy)).as("b"))
       .head().getSeq[Any](0).map {
-        case d: java.lang.Double => d.doubleValue()
-        case d: java.math.BigDecimal => d.doubleValue()
-        case l: java.lang.Long => l.doubleValue()
-        case i: java.lang.Integer => i.doubleValue()
+        // covers every numeric boundary type percentile_approx can return
+        // (Double, BigDecimal, Long, Integer, Float, Short, Byte)
+        case n: java.lang.Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"ntileByQuantiles: non-numeric quantile boundary of ${other.getClass.getName}" +
+            s" — $valueCol must be a numeric column")
       }
     val bucket = boundaries.zipWithIndex.foldRight(lit(n): Column) {
       case ((b, i), acc) => when(col(valueCol).cast("double") <= b, lit(i + 1)).otherwise(acc)

@@ -176,13 +176,15 @@ object TextDedup {
     // (id, __hs) is referenced THREE times downstream (signature
     // derivation + both verification join sides) and the md5 string
     // round-trip per shingle is the measured dominant cost of the whole
-    // pipeline — localCheckpoint materializes it once instead of
-    // recomputing the hash pass per reference (cf. connectedComponents;
-    // at deployment scale use a checkpoint dir on shared storage).
-    val base = df.select(col(idCol),
-      array_distinct(portableShingleHashes(col(textCol), shingleN)).as("__hs"))
-      .filter(size(col("__hs")) > 0)
-      .localCheckpoint(false)
+    // pipeline — the lineage cut materializes it once instead of
+    // recomputing the hash pass per reference (cf. connectedComponents).
+    // Checkpoints.cut picks reliable checkpointing when the caller has
+    // configured a checkpoint dir (deployment), localCheckpoint otherwise.
+    val base = Checkpoints.cut(
+      df.select(col(idCol),
+          array_distinct(portableShingleHashes(col(textCol), shingleN)).as("__hs"))
+        .filter(size(col("__hs")) > 0),
+      eager = false)
     // Banding fans out KEYS ONLY — compact (band, bkey, id) triples, never
     // the shingle-hash arrays: carrying __hs here duplicates every
     // document's hash set bands× through the corpus-wide shuffle and was
@@ -273,9 +275,10 @@ object TextDedup {
     * O(log diameter) rounds, not O(diameter): a 1M-document near-dup chain
     * converges in ~20 rounds instead of 1M. Each round is two equi-joins
     * + an aggregate (plain shuffles, AQE-splittable); lineage is cut per
-    * round so the plan does not grow with the iteration count (at
-    * deployment scale use a checkpoint dir on shared storage instead).
-    * Converged when no label changes.
+    * round so the plan does not grow with the iteration count — via
+    * `Checkpoints.cut`, so a configured checkpoint dir upgrades every
+    * cut to a reliable one (deployment mode). Converged when no label
+    * changes.
     *
     * Cost discipline (ONE Spark job per round, measured round 5; the
     * round-4 shape paid three — an eager checkpoint job, a separate
@@ -291,15 +294,17 @@ object TextDedup {
     *     an every-round convergence check free, so no every-2nd-round
     *     staleness is needed). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(false)
+    val sym = Checkpoints.cut(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      eager = false)
     // materializing the labels checkpoint computes `sym`'s lazy checkpoint
     // in the same job — one setup job for both cuts
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.cut(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")),
+      eager = true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -312,14 +317,15 @@ object TextDedup {
       val step1 = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("cluster").as("__old"),
           coalesce(least(col("cluster"), col("__nc")), col("cluster")).as("cluster"))
-      val jumped = step1.as("a")
-        .join(step1.select(col("id").as("__cid"), col("cluster").as("__cparent")),
-          col("a.cluster") === col("__cid"), "left")
-        .select(col("a.id").as("id"), col("a.__old").as("__old"),
-          coalesce(col("__cparent"), col("a.cluster")).as("cluster"))
-        .select(col("id"), col("cluster"),
-          (col("cluster") =!= col("__old")).cast("long").as("__chg"))
-        .localCheckpoint(false)
+      val jumped = Checkpoints.cut(
+        step1.as("a")
+          .join(step1.select(col("id").as("__cid"), col("cluster").as("__cparent")),
+            col("a.cluster") === col("__cid"), "left")
+          .select(col("a.id").as("id"), col("a.__old").as("__old"),
+            coalesce(col("__cparent"), col("a.cluster")).as("cluster"))
+          .select(col("id"), col("cluster"),
+            (col("cluster") =!= col("__old")).cast("long").as("__chg")),
+        eager = false)
       changed = jumped.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
       labels = jumped.select("id", "cluster")
       i += 1

@@ -39,6 +39,13 @@ object ClusterCheck {
       .config("spark.executor.extraJavaOptions", addOpens)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // deployment-mode proof: with SPARK_GRAFT_CHECKPOINT_DIR set, every
+    // Checkpoints.cut in the iterative operators (q74/q82/q97) goes
+    // through RELIABLE checkpointing against this shared dir instead of
+    // executor-local blocks — run `ClusterCheck q74_neardup_clusters
+    // q82_minhash_portable q97_embed_clusters` with it set to prove the
+    // reliable path end-to-end on real executor JVMs
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     val ids = if (args.toSeq == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
     else if (args.nonEmpty) args.toSeq else Seq(
       "q04_agg_rank", "q11_join4_chain", "q16_topn_window", "q29_not_in_anti",

@@ -19,10 +19,16 @@ class DocsTallySpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
   }
 
-  private def firstInt(path: String, re: scala.util.matching.Regex): Int =
-    re.findFirstMatchIn(read(path))
-      .getOrElse(fail(s"$path: no text matching ${re.pattern}"))
-      .group(1).toInt
+  private def firstInt(path: String, re: scala.util.matching.Regex): Int = {
+    val ms = re.findAllMatchIn(read(path)).toSeq
+    assert(ms.nonEmpty, s"$path: no text matching ${re.pattern}")
+    // a second occurrence (e.g. a changelog line quoting an old round's
+    // tally) would make "first match" validate the wrong number silently —
+    // fail loudly instead so the doc gets an anchored spelling
+    assert(ms.size == 1,
+      s"$path: ${ms.size} occurrences of ${re.pattern} — guard needs a unique anchor")
+    ms.head.group(1).toInt
+  }
 
   private val declaredOracle = SparkEntry.oracleSql.size
   private val declaredRowsOnly = SparkEntry.queries.size - declaredOracle

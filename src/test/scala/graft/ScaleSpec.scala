@@ -68,6 +68,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(drift.count(_ == 0).toDouble / exact.size > 0.9, "≥90% exact agreement")
   }
 
+  test("ntileByQuantiles handles FLOAT and SHORT value columns (boundary types)") {
+    // percentile_approx returns boundaries typed like the input column;
+    // the former match covered Double/BigDecimal/Long/Integer only and
+    // threw MatchError on a float/short column (round-6 verdict hygiene)
+    val f = Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f).toDF("v")
+    val fb = Scale.ntileByQuantiles(f, "v", 4, "nt").collect().map(_.getInt(1)).toSeq
+    assert(fb.toSet == Set(1, 2, 3, 4))
+    val s = Seq[Short](1, 2, 3, 4, 5, 6, 7, 8).toDF("v")
+    val sb = Scale.ntileByQuantiles(s, "v", 4, "nt").collect().map(_.getInt(1)).toSeq
+    assert(sb.toSet == Set(1, 2, 3, 4))
+  }
+
   test("ntileExact equals window NTILE on a unique total order, with no Window node") {
     Tables.register(spark, TestSpark.sf0001)
     val monetary = spark.sql(
