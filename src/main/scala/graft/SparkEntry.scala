@@ -40,19 +40,30 @@ object SparkEntry {
     "documents" -> Seq("doc_id", "lang", "source", "n_chars"),
     "embeddings" -> Seq("vec_id", "label"),
     "events" -> Seq("event_id", "user_id", "event_type"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate", "l_extendedprice"),
     "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
-    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority", "o_totalprice"),
     "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
     "region" -> Seq("r_regionkey", "r_name"),
     "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"))
 
   private val profileDateCols: Set[String] = Set("o_orderdate", "l_shipdate")
 
+  /** Money (double) columns profiled as exact BIGINT cents (round 7):
+    * raw doubles are the float-render hash hazard, but the corpus's own
+    * DECIMAL(18,2)·100 trick makes their ranges hash-safe. */
+  private val profileCentsCols: Set[String] = Set("o_totalprice", "l_extendedprice")
+
   /** q84/q97's verification threshold — ≈ cosine 0.25 on unit-norm vectors
     * after the ×10⁴ quantization. One constant for the Spark entries AND
     * both DuckDB texts. */
   private val EmbedMinScore = 25000000L
+
+  /** q101's per-language mix quotas in basis points — one constant for the
+    * Spark entry AND the generated DuckDB text (documents.lang takes
+    * exactly these five values, FIXTURES.md). */
+  private val MixQuotasBp: Map[String, Int] =
+    Map("de" -> 9000, "en" -> 5000, "es" -> 2500, "fr" -> 10000, "zh" -> 1000)
 
   /** Shared CTE chain replaying the portable embedding-LSH pipeline in
     * DuckDB (q84 pair check, q97 clustering): quantized integer vectors,
@@ -459,6 +470,18 @@ object SparkEntry {
       graft.operators.Scale.upsertLatest(base, updates, "doc_id", "version")
         .orderBy("doc_id").limit(100)
     },
+    // Deterministic stratified corpus mix (round 7): per-language quotas
+    // applied by md5-key-hash threshold — the promotable twin of
+    // weightedMix/stratifiedSample (seeded rand is engine-specific; the
+    // hash mix gives every engine the IDENTICAL surviving key set, the
+    // q69 discipline). The report is the per-stratum kept-count — what a
+    // curation run logs after composing a training mixture.
+    "q101_corpus_mix" -> { (spark, dir) =>
+      graft.operators.Scale.hashStratifiedMix(
+          Tables.table(spark, dir, "documents"), "lang", "doc_id", MixQuotasBp)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang").limit(100)
+    },
     // Whole-corpus table profiling (widened round 6): nulls /
     // cardinalities / ranges for every int/string/date column of all 10
     // testdata tables — one pruned one-column scan per branch, unioned;
@@ -469,7 +492,7 @@ object SparkEntry {
     "q80_profile" -> { (spark, dir) =>
       graft.operators.TableProfile.profileTables(
           profileSpec.map { case (t, cols) => (t, Tables.table(spark, dir, t), cols) },
-          dateCols = profileDateCols)
+          dateCols = profileDateCols, centsCols = profileCentsCols)
         .orderBy("col_name").limit(100)
     }
   )
@@ -622,6 +645,17 @@ object SparkEntry {
           "r AS (SELECT doc_id, version, n_tokens, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM allr) " +
           "SELECT doc_id, CAST(version AS BIGINT) AS version, CAST(n_tokens AS BIGINT) AS n_tokens " +
           "FROM r WHERE rn = 1 ORDER BY doc_id LIMIT 100"),
+      // round 7: the mix replayed on the same md5 integers — quotas
+      // interpolated from MixQuotasBp (one source of truth; cf. q69's
+      // '0x'||hex CAST dual spelling of Spark's conv(substr(md5(…))))
+      "q101_corpus_mix" -> {
+        val cases = MixQuotasBp.toSeq.sortBy(_._1)
+          .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }.mkString(" ")
+        "SELECT lang, COUNT(*) AS n_kept FROM documents " +
+          "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || lang), 1, 8)) AS BIGINT) % 10000 " +
+          s"< (CASE $cases ELSE 0 END) " +
+          "GROUP BY lang ORDER BY lang LIMIT 100"
+      },
       // per-column profile over all 10 tables (round 6) — min/max exposed
       // as strings so heterogeneous types share one schema; dates
       // normalized to DATE strings. The branch list is GENERATED from
@@ -630,11 +664,14 @@ object SparkEntry {
       "q80_profile" -> {
         val branches = profileSpec.flatMap { case (t, cols) =>
           cols.map { c =>
-            val (minE, maxE) =
-              if (profileDateCols(c))
-                (s"CAST(CAST(MIN($c) AS DATE) AS VARCHAR)", s"CAST(CAST(MAX($c) AS DATE) AS VARCHAR)")
-              else (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
-            s"SELECT '$t.$c' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_null, " +
+            val (label, minE, maxE) =
+              if (profileCentsCols(c)) {
+                val cents = s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                (s"${c}_cents", s"CAST(MIN($cents) AS VARCHAR)", s"CAST(MAX($cents) AS VARCHAR)")
+              } else if (profileDateCols(c))
+                (c, s"CAST(CAST(MIN($c) AS DATE) AS VARCHAR)", s"CAST(CAST(MAX($c) AS DATE) AS VARCHAR)")
+              else (c, s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+            s"SELECT '$t.$label' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_null, " +
               s"COUNT(DISTINCT $c) AS n_distinct, $minE AS min_v, $maxE AS max_v FROM $t"
           }
         }

@@ -222,4 +222,29 @@ object Scale {
   def stratifiedSample(df: DataFrame, strataCol: String,
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Deterministic stratified corpus mix by KEY HASH — the promotable
+    * form of `weightedMix`/`stratifiedSample` (whose seeded `rand`/
+    * `sampleBy` draws are engine-specific, hence unit-only): a row
+    * survives iff md5int(key || '#' || stratum) % 10000 < its stratum's
+    * basis-point quota. The md5-derived integer is the q69 dual-spelling
+    * trick, so any engine derives the IDENTICAL surviving key set — the
+    * same discipline that makes train/test splits replayable — and the
+    * same key keeps its fate across runs, machines and scale factors
+    * (re-sampling a grown corpus only adds rows, never re-deals old
+    * ones). The stratum is salted into the hash so one key's draws are
+    * independent across strata. Scan-local filter: no shuffle, prunes to
+    * (key, stratum) at the scan. Strata absent from `fractionsBp` are
+    * dropped (quota 0). */
+  def hashStratifiedMix(df: DataFrame, strataCol: String, keyCol: String,
+                        fractionsBp: Map[String, Int]): DataFrame = {
+    require(fractionsBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      "fractions are basis points in [0, 10000]")
+    val quota = fractionsBp.toSeq.sortBy(_._1).foldRight(lit(0): Column) {
+      case ((s, bp), acc) => when(col(strataCol) === s, lit(bp)).otherwise(acc)
+    }
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"), lit("#"), col(strataCol))), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(pmod(h, lit(10000L)) < quota)
+  }
 }

@@ -27,17 +27,28 @@ object TableProfile {
   /** Profile `cols` of `df`. Each output row:
     * (col_name, n_rows, n_null, n_distinct, min_v, max_v).
     * Pass a date/timestamp column through `dateCols` to normalize its
-    * range to DATE strings (yyyy-MM-dd — engine-neutral rendering). */
-  def profile(df: DataFrame, cols: Seq[String], dateCols: Set[String] = Set.empty): DataFrame = {
+    * range to DATE strings (yyyy-MM-dd — engine-neutral rendering).
+    * Pass a money (double) column through `centsCols` to expose its
+    * range as exact BIGINT cents — CAST(x AS DECIMAL(18,2)) * 100, the
+    * corpus-standard trick that keeps floats out of hashed output; the
+    * row is labeled `<col>_cents`. n_distinct stays on the raw value
+    * (a pure count is engine-neutral; only RENDERED cells need the
+    * integer spelling). */
+  def profile(df: DataFrame, cols: Seq[String], dateCols: Set[String] = Set.empty,
+              centsCols: Set[String] = Set.empty): DataFrame = {
     val parts = cols.map { c =>
-      val ranged: Column = if (dateCols(c)) col(c).cast("date") else col(c)
+      val ranged: Column =
+        if (centsCols(c)) (col(c).cast("decimal(18,2)") * 100).cast("long")
+        else if (dateCols(c)) col(c).cast("date")
+        else col(c)
+      val label = if (centsCols(c)) c + "_cents" else c
       df.select(col(c)).agg(
           count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col(c))).as("n_null"),
           count_distinct(col(c)).as("n_distinct"),
           min(ranged).cast("string").as("min_v"),
           max(ranged).cast("string").as("max_v"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+        .select(lit(label).as("col_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_v"), col("max_v"))
     }
     parts.reduce(_ unionByName _)
@@ -48,9 +59,10 @@ object TableProfile {
     * every branch is a one-column pruned scan, output metadata-sized
     * (rows = total profiled columns, not data). */
   def profileTables(tables: Seq[(String, DataFrame, Seq[String])],
-                    dateCols: Set[String] = Set.empty): DataFrame =
+                    dateCols: Set[String] = Set.empty,
+                    centsCols: Set[String] = Set.empty): DataFrame =
     tables.map { case (name, df, cols) =>
-      profile(df, cols, dateCols)
+      profile(df, cols, dateCols, centsCols)
         .withColumn("col_name", concat(lit(name + "."), col("col_name")))
     }.reduce(_ unionByName _)
 }

@@ -68,6 +68,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(drift.count(_ == 0).toDouble / exact.size > 0.9, "≥90% exact agreement")
   }
 
+  test("hashStratifiedMix is deterministic, quota-accurate and a subset of its input") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Tables.table(spark, TestSpark.sf01, "documents")
+    val quotas = Map("de" -> 9000, "en" -> 5000, "es" -> 2500, "fr" -> 10000, "zh" -> 0)
+    val once = Scale.hashStratifiedMix(docs, "lang", "doc_id", quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Scale.hashStratifiedMix(docs, "lang", "doc_id", quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once === again, "same keys must survive on every run")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once.subsetOf(all))
+    // quota accuracy: fr keeps everything, zh keeps nothing, en ≈ 50%
+    val perLang = Scale.hashStratifiedMix(docs, "lang", "doc_id", quotas)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang("fr") === totals("fr"), "10000 bp keeps the whole stratum")
+    assert(!perLang.contains("zh"), "0 bp drops the whole stratum")
+    val enShare = perLang("en").toDouble / totals("en")
+    assert(enShare > 0.4 && enShare < 0.6, s"en share $enShare should be ≈ 0.5")
+    // unmapped strata are dropped too
+    val dropped = Scale.hashStratifiedMix(docs, "lang", "doc_id", Map("en" -> 10000))
+      .filter(c("lang") =!= "en").count()
+    assert(dropped === 0L)
+  }
+
   test("ntileByQuantiles handles FLOAT and SHORT value columns (boundary types)") {
     // percentile_approx returns boundaries typed like the input column;
     // the former match covered Double/BigDecimal/Long/Integer only and
