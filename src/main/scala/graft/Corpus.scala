@@ -526,6 +526,79 @@ object Corpus {
     // window: the denominator is a broadcast scalar subquery, so no
     // single-partition Window node (PlanGuard) — shares in exact basis
     // points over BIGINT cents.
+    // ——— round-7 surface extensions ———
+
+    // Q102 — correlated LATERAL join (top-2 customers per nation): the
+    // decorrelated per-group top-N shape. The comma-LATERAL spelling is
+    // SHARED (both engines parse it; Spark decorrelates the inner
+    // ORDER BY+LIMIT to a partitioned window — no cartesian, no global
+    // window). Money as BIGINT cents per the q04 rule.
+    DeclaredQuery("q102_lateral",
+      "SELECT n.n_name, c.c_custkey, c.cents FROM nation n, LATERAL (" +
+        "SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+        "FROM customer WHERE c_nationkey = n.n_nationkey " +
+        "ORDER BY cents DESC, c_custkey LIMIT 2) c " +
+        "ORDER BY n.n_name, c.cents DESC, c.c_custkey LIMIT 100"),
+
+    // Q103 — array-function breadth (S54 umbrella): position / membership
+    // / element access / sort+slice+join, the list toolkit a tokenized
+    // corpus leans on. Dual text: Spark array_* vs DuckDB list_*;
+    // array_position returns 0 when absent, list_position NULL →
+    // COALESCE; booleans CAST to INT (never hash raw booleans).
+    DeclaredQuery("q103_array_funcs",
+      "SELECT doc_id, " +
+        "CAST(array_position(split(text, ' '), 'the') AS BIGINT) AS pos_the, " +
+        "CAST(array_contains(split(text, ' '), 'data') AS INT) AS has_data, " +
+        "element_at(split(text, ' '), 1) AS first_tok, " +
+        "array_join(slice(sort_array(array_distinct(split(text, ' '))), 1, 3), ',') AS top3 " +
+        "FROM documents ORDER BY doc_id LIMIT 100",
+      Some("SELECT doc_id, " +
+        "CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the, " +
+        "CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS has_data, " +
+        "string_split(text, ' ')[1] AS first_tok, " +
+        "array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS top3 " +
+        "FROM documents ORDER BY doc_id LIMIT 100")),
+
+    // Q104 — regexp_extract_all (S54 umbrella): all long-word matches per
+    // document, count + first-5 join. Dual text: Spark needs the group
+    // index and array_join renders empty arrays as '' while DuckDB's
+    // slice of an empty list stringifies to NULL → COALESCE.
+    DeclaredQuery("q104_regexp_all",
+      "SELECT doc_id, " +
+        "CAST(size(regexp_extract_all(text, '[a-z]{7,}', 0)) AS BIGINT) AS n_long, " +
+        "array_join(slice(regexp_extract_all(text, '[a-z]{7,}', 0), 1, 5), ',') AS first5 " +
+        "FROM documents ORDER BY doc_id LIMIT 100",
+      Some("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_long, " +
+        "COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{7,}')[1:5], ','), '') AS first5 " +
+        "FROM documents ORDER BY doc_id LIMIT 100")),
+
+    // Q105 — bit/bool aggregate breadth (S16-S24 umbrella): bit_and /
+    // bit_or / bit_xor / bool_and / bool_or share one spelling in both
+    // engines; booleans CAST to INT for the hash. (bit_xor is also the
+    // repo-standard ANSI-safe checksum aggregate — cf. CLAUDE.md.)
+    DeclaredQuery("q105_bit_bool_agg",
+      "SELECT o_orderstatus, " +
+        "CAST(bit_and(o_orderkey) AS BIGINT) AS k_and, " +
+        "CAST(bit_or(o_orderkey) AS BIGINT) AS k_or, " +
+        "CAST(bit_xor(o_orderkey) AS BIGINT) AS k_xor, " +
+        "CAST(bool_and(o_totalprice > 1000) AS INT) AS all_gt1k, " +
+        "CAST(bool_or(o_totalprice > 300000) AS INT) AS any_gt300k " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 100"),
+
+    // Q106 — DENSE_RANK (S28 umbrella; q17 covers RANK): nations ranked
+    // by customer count WITHIN their region — partitioned window (no
+    // global Window, PlanGuard). Ties share a dense rank (deterministic
+    // VALUES either way); the outer sort adds the unique tie-break.
+    DeclaredQuery("q106_dense_rank",
+      "SELECT r_name, n_name, cust_cnt, " +
+        "CAST(DENSE_RANK() OVER (PARTITION BY r_name ORDER BY cust_cnt DESC) AS BIGINT) AS dr " +
+        "FROM (SELECT r.r_name, n.n_name, COUNT(*) AS cust_cnt FROM customer c " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY r.r_name, n.n_name) t " +
+        "ORDER BY r_name, dr, n_name LIMIT 100"),
+
     DeclaredQuery("q100_pct_of_total",
       "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
         "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +
