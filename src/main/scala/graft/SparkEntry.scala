@@ -289,6 +289,27 @@ object SparkEntry {
           (col("session_value") * 100).cast("long").as("value_cents"))
         .orderBy("user_id", "session_start").limit(100)
     },
+    // Stream-static dimension enrichment run to completion on the closed
+    // input (round 7): the events STREAM broadcast-joins the static
+    // customer→nation dimension (no join state, no stream shuffle) and
+    // aggregates per nation — hash-checked against the DuckDB batch
+    // join, the same closed-input contract as q51/q65/q89.
+    "q107_stream_static" -> { (spark, dir) =>
+      val cust = Tables.table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val dim = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val enriched = graft.streaming.StreamOps.enrichAgainstStatic(
+        graft.streaming.StreamOps.eventsStream(spark, dir), dim, "user_id", "c_custkey")
+      graft.streaming.StreamOps.runToCompletion(spark,
+        enriched.groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("total")),
+        s"q107_mem_${math.abs(dir.hashCode)}")
+        .select(col("n_name"), col("n_events"),
+          (col("total") * 100).cast("long").as("value_cents"))
+        .orderBy("n_name").limit(100)
+    },
     // Stream-stream interval join (attribution: purchases within 30 min of
     // a click, same user) run to completion on the closed input —
     // hash-checked against the DuckDB batch join (same contract as q51)
@@ -779,6 +800,14 @@ object SparkEntry {
           "SELECT user_id, MIN(ts2) AS session_start, MAX(ts2) + INTERVAL 30 MINUTE AS session_end, " +
           "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents " +
           "FROM t2 GROUP BY user_id, sid ORDER BY user_id, session_start LIMIT 100"),
+      // the stream-static enrichment must equal the batch join on the
+      // closed input — DuckDB computes the batch answer directly
+      "q107_stream_static" ->
+        ("SELECT n.n_name, COUNT(*) AS n_events, " +
+          "CAST(SUM(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents " +
+          "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+          "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+          "GROUP BY n.n_name ORDER BY n_name LIMIT 100"),
       "q65_stream_join" ->
         ("SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id " +
           "FROM events a JOIN events b ON a.user_id = b.user_id " +

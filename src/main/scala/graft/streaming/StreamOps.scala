@@ -129,6 +129,20 @@ object StreamOps {
       .select(col("id_a"), col("id_b"), col("u_a").as("user_id"))
   }
 
+  /** Stream-static join (the dimension-enrichment shape): the streaming
+    * fact side joins a STATIC dimension frame. Unlike stream-stream
+    * joins this keeps NO join state at all — Spark re-evaluates the
+    * static side per micro-batch — and with `broadcast` on the (small
+    * by definition) dimension the stream never shuffles for the join:
+    * at 100 TB/day of events the per-batch cost is one broadcast probe
+    * per row, the same plan a batch enrichment gets. Inner join;
+    * downstream aggregates compose as usual (the q107 entry aggregates
+    * per dimension attribute and hash-checks against the DuckDB batch
+    * join — the same closed-input contract as q51/q65/q89). */
+  def enrichAgainstStatic(stream: DataFrame, dim: DataFrame,
+                          streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Streaming parquet sink with checkpointing — the durable-output path
     * (memory sink is test-only). Append mode; returns after all available
     * input is processed. At scale the checkpoint directory lives on

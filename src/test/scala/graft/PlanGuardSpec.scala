@@ -18,7 +18,8 @@ class PlanGuardSpec extends AnyFunSuite {
   private val eager = Set("q51_stream_hourly", "q65_stream_join",
     "q73_ntile_dist", "q74_neardup_clusters", "q75_seq_pack",
     "q89_stream_sessions", // runs the session stream to completion at build
-    "q97_embed_clusters")  // iterative fixpoint: checkpoint + head() actions at build
+    "q97_embed_clusters",  // iterative fixpoint: checkpoint + head() actions at build
+    "q107_stream_static")  // runs the stream-static enrichment to completion at build
 
   // intentional broadcast cross joins: a tiny side (query set, centroid
   // set, benchmark set) against the corpus — BNL with a broadcast build

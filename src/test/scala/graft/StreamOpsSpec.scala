@@ -36,6 +36,23 @@ class StreamOpsSpec extends AnyFunSuite {
     q32.foreach { case (k, n) => assert(streamed(k) == n, s"bucket $k") }
   }
 
+  test("stream-static enrichment equals the batch join on closed input") {
+    val dim = Tables.table(spark, TestSpark.sf0001, "customer")
+      .join(Tables.table(spark, TestSpark.sf0001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    def agg(events: org.apache.spark.sql.DataFrame) =
+      StreamOps.enrichAgainstStatic(events, dim, "user_id", "c_custkey")
+        .groupBy("n_name").agg(count(lit(1)).as("n_events"))
+    val streamed = StreamOps.runToCompletion(spark,
+      agg(StreamOps.eventsStream(spark, TestSpark.sf0001)), "stream_static")
+      .orderBy("n_name").collect()
+    val batch = agg(Tables.table(spark, TestSpark.sf0001, "events"))
+      .orderBy("n_name").collect()
+    assert(streamed.length == batch.length && batch.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("stream-stream attribution join equals the batch join on closed input") {
     val streamed = StreamOps.runAppend(spark,
       StreamOps.attributionPairs(
