@@ -599,6 +599,51 @@ object Corpus {
         "GROUP BY r.r_name, n.n_name) t " +
         "ORDER BY r_name, dr, n_name LIMIT 100"),
 
+    // Q108 — GROUPING flags on ROLLUP (S25 umbrella; q55/q70/q71 cover
+    // the set shapes): the standard way to tell a subtotal row's NULL
+    // from a data NULL. Shared spelling; flags CAST to INT (Spark emits
+    // TINYINT/BIGINT internally).
+    DeclaredQuery("q108_grouping",
+      "SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
+        "COALESCE(o_orderpriority, 'ALL') AS prio, " +
+        "CAST(GROUPING(o_orderstatus) AS INT) AS g_status, " +
+        "CAST(GROUPING(o_orderpriority) AS INT) AS g_prio, " +
+        "COUNT(*) AS n " +
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+        "ORDER BY g_status, g_prio, status, prio LIMIT 100"),
+
+    // Q109 — null-handling breadth (S6 umbrella beyond CASE): NULLIF /
+    // IFNULL / IS DISTINCT FROM / COALESCE chains — the NULL algebra ETL
+    // texts lean on. Shared spelling; the boolean CAST to INT. NULLs are
+    // manufactured by NULLIF and immediately backfilled, so no NULL cell
+    // reaches the hashed output (the comparator renders None vs NaN
+    // differently — CLAUDE.md).
+    DeclaredQuery("q109_null_funcs",
+      "SELECT o_orderkey, " +
+        "NULLIF(o_orderstatus, 'F') AS not_f, " +
+        "IFNULL(NULLIF(o_orderstatus, 'F'), 'was_f') AS backfilled, " +
+        "CAST(o_orderstatus IS DISTINCT FROM 'F' AS INT) AS isnt_f, " +
+        "COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS prio2 " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100"),
+
+    // Q110 — date-function breadth (S47-S51 umbrella): last_day (shared),
+    // day arithmetic and day-diff (dual: Spark date_add/datediff vs
+    // DuckDB date + n / date_diff('day', …)). o_orderdate is a timestamp
+    // in parquet → CAST to DATE first in both texts. DATE columns are
+    // exposed as yyyy-MM-dd STRINGS: the comparator reads a Spark DATE
+    // as a python date ('1998-10-31') but a DuckDB DATE as datetime64
+    // ('1998-10-31 00:00:00') — raw DATE cells can never hash-match
+    // (TIMESTAMPs are fine, cf. q76/q95; this is DATE-specific).
+    DeclaredQuery("q110_date_funcs",
+      "SELECT o_orderkey, CAST(last_day(o_orderdate) AS STRING) AS eom, " +
+        "CAST(date_add(CAST(o_orderdate AS DATE), 30) AS STRING) AS plus30, " +
+        "CAST(datediff(last_day(o_orderdate), CAST(o_orderdate AS DATE)) AS BIGINT) AS days_left " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100",
+      Some("SELECT o_orderkey, CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR) AS eom, " +
+        "CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(last_day(o_orderdate) AS DATE)) AS BIGINT) AS days_left " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100")),
+
     DeclaredQuery("q100_pct_of_total",
       "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
         "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +
