@@ -644,6 +644,28 @@ object Corpus {
         "CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(last_day(o_orderdate) AS DATE)) AS BIGINT) AS days_left " +
         "FROM orders ORDER BY o_orderkey LIMIT 100")),
 
+    // Q111 — TRY_CAST (ANSI-safety surface): Spark 4 runs ANSI mode ON,
+    // so a bad CAST throws — TRY_CAST is the documented escape hatch a
+    // generated-SQL engine must support (the reference's LLM emits
+    // unvalidated casts). NULL results backfilled via IFNULL (no NULL
+    // cells in hashed output). Shared spelling.
+    DeclaredQuery("q111_try_cast",
+      "SELECT o_orderkey, " +
+        "IFNULL(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT), -1) AS prio_num, " +
+        "IFNULL(TRY_CAST(o_orderstatus AS INT), -1) AS status_num, " +
+        "IFNULL(TRY_CAST('not a number' AS INT), -1) AS junk " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100"),
+
+    // Q112 — LIKE-family breadth (S8 umbrella): ILIKE (case-insensitive),
+    // NOT LIKE, LIKE … ESCAPE (one-char escape — DuckDB rejects longer
+    // escape strings). Booleans CAST to INT. Shared spelling.
+    DeclaredQuery("q112_like_breadth",
+      "SELECT p_partkey, p_type, " +
+        "CAST(p_type ILIKE '%brass%' AS INT) AS is_brass_ci, " +
+        "CAST(p_type NOT LIKE '%STEEL%' AS INT) AS not_steel, " +
+        "CAST(p_name LIKE '%a!_%' ESCAPE '!' AS INT) AS has_underscore " +
+        "FROM part ORDER BY p_partkey LIMIT 100"),
+
     DeclaredQuery("q100_pct_of_total",
       "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
         "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +
