@@ -42,6 +42,38 @@ class SinksSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("csv round-trip is content-exact under hostile strings (commas, quotes, newlines)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "comma, separated, values"),
+      (3L, "a \"quoted\" phrase"),
+      (4L, "line\nbreak and \"q, uote\""),
+      (5L, ""))
+    val df = rows.toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_hostile").toString
+    Sinks.writeCsvDistributed(df, dir)
+    // read back with the multiLine option hostile newlines require, and an
+    // explicit schema (inferSchema on an empty-string cell would flip types)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .schema(df.schema).csv(dir)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""))).toSet
+    assert(back === rows.toSet, "csv quoting/escaping must round-trip content exactly")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("json source round-trips content exactly") {
+    import spark.implicits._
+    val rows = Seq((1L, "plain"), (2L, "uniçode \"quoted\""), (3L, "tab\tand\nnewline"))
+    val df = rows.toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    df.write.mode("overwrite").json(dir)
+    val back = Sources.json(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).toSet
+    assert(back === rows.toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sorted parquet layout: files cover disjoint ascending ranges") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_sorted").toString
