@@ -20,6 +20,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same deployment knob as ClusterCheck/Verify (default: local cuts)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     Tables.register(spark, sfDir) // catalog work outside the per-query timers
     // one untimed action: JVM/codegen/scheduler warmup is session init,
     // not query cost — without it the alphabetically-first query pays it
