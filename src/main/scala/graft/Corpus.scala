@@ -666,6 +666,63 @@ object Corpus {
         "CAST(p_name LIKE '%a!_%' ESCAPE '!' AS INT) AS has_underscore " +
         "FROM part ORDER BY p_partkey LIMIT 100"),
 
+    // Q113 — UNPIVOT (S-breadth: wide→long reshaping, the inverse of
+    // q61's PIVOT): SQL-standard `UNPIVOT (val FOR metric IN (…))` parses
+    // identically in Spark 3.4+ and DuckDB. Values pre-cast to BIGINT in
+    // the subquery so both branches of the unpivoted column share a type
+    // (money as cents per the comparator constraint). (o_orderkey,
+    // metric) is a unique total order.
+    DeclaredQuery("q113_unpivot",
+      "SELECT o_orderkey, metric, val FROM " +
+        "(SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents FROM orders) " +
+        "UNPIVOT (val FOR metric IN (cust, cents)) " +
+        "ORDER BY o_orderkey, metric LIMIT 100"),
+
+    // Q114 — exact ordered-set percentiles (S31 umbrella; q20 covers the
+    // window emulation, q88 the moment stats): percentile_disc WITHIN
+    // GROUP picks an ACTUAL input value, so on BIGINT cents both engines
+    // return the identical integer — no float/decimal render hazard
+    // (percentile_cont interpolates to DOUBLE and is excluded for that
+    // reason). Shared spelling; 5 priority groups, one hash-agg pass.
+    DeclaredQuery("q114_percentile_disc",
+      "SELECT o_orderpriority, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS med_cents, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS p90_cents " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 100"),
+
+    // Q115 — document-length histogram (LLM-curation row: the length
+    // distribution per language is the first chart in any corpus report,
+    // and the standard basis for truncation/packing decisions). Fixed-width
+    // integer binning via integer division — scan-local math, then one
+    // partial→final aggregate on (lang, bucket); zero extra shuffles at
+    // any corpus size. Dual text for the division spelling only (Spark
+    // DIV vs DuckDB //).
+    DeclaredQuery("q115_doclen_hist",
+      "SELECT lang, length(text) DIV 200 AS bucket, COUNT(*) AS n, " +
+        "CAST(MIN(length(text)) AS BIGINT) AS min_len, " +
+        "CAST(MAX(length(text)) AS BIGINT) AS max_len " +
+        "FROM documents GROUP BY lang, bucket ORDER BY lang, bucket LIMIT 100",
+      Some("SELECT lang, length(text) // 200 AS bucket, COUNT(*) AS n, " +
+        "CAST(MIN(length(text)) AS BIGINT) AS min_len, " +
+        "CAST(MAX(length(text)) AS BIGINT) AS max_len " +
+        "FROM documents GROUP BY lang, bucket ORDER BY lang, bucket LIMIT 100")),
+
+    // Q116 — cume_dist alongside percent_rank (S30 umbrella: q85 covers
+    // percent_rank; cume_dist — rows_le/n, a RANGE-frame count — was the
+    // remaining uncovered rank-ratio function). PARTITION BY c_mktsegment
+    // keeps the Window partitioned (PlanGuard forbids the global-Window
+    // single-partition shape; the unpartitioned spelling is q18's
+    // documented exception). Both functions return DOUBLE — hashed as
+    // FLOOR(x*10000) basis points because both engines compute the same
+    // IEEE-754 ratio ((rank-1)/(n-1), rows_le/n) and FLOOR is exact,
+    // while a bare CAST would round in DuckDB but truncate in Spark.
+    DeclaredQuery("q116_percent_rank",
+      "SELECT c_custkey, c_mktsegment, " +
+        "CAST(FLOOR(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) * 10000) AS BIGINT) AS pr_bp, " +
+        "CAST(FLOOR(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) * 10000) AS BIGINT) AS cd_bp " +
+        "FROM customer ORDER BY c_custkey LIMIT 100"),
+
     DeclaredQuery("q100_pct_of_total",
       "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
         "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +
