@@ -723,6 +723,49 @@ object Corpus {
         "CAST(FLOOR(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) * 10000) AS BIGINT) AS cd_bp " +
         "FROM customer ORDER BY c_custkey LIMIT 100"),
 
+    // Q117 — conditional aggregation via the SQL-standard FILTER clause
+    // (S16-S24 umbrella: the CASE-WHEN-inside-SUM idiom every report
+    // query uses, in its standard spelling — parses identically in Spark
+    // and DuckDB). Still one partial→final hash aggregate: FILTER is a
+    // per-row predicate on the input, not an extra pass. Money as cents;
+    // COUNT FILTER never returns NULL (empty set → 0), and the cents SUM
+    // is over a status that exists in every priority group at tested SFs
+    // — no NULL cells reach the hashed output.
+    DeclaredQuery("q117_filter_agg",
+      "SELECT o_orderpriority, " +
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) " +
+        "FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 100"),
+
+    // Q118 — GREATEST/LEAST n-ary comparison (S49 umbrella: the
+    // clamp/cap idiom — price floors, date caps — in its standard
+    // spelling; shared). Pure per-row expressions: scan-local, no
+    // shuffle beyond the trailing top-N.
+    DeclaredQuery("q118_greatest_least",
+      "SELECT o_orderkey, GREATEST(o_custkey, 100) AS hi_clamp, " +
+        "LEAST(o_custkey, 100) AS lo_clamp, " +
+        "GREATEST(o_orderkey, o_custkey, 50) AS g3 " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100"),
+
+    // Q119 — month arithmetic + quarter extract (S47-S51 umbrella beyond
+    // q110's day arithmetic) [dual: Spark add_months vs DuckDB date +
+    // INTERVAL n MONTH — month-end clamping verified identical
+    // (1997-01-31 +3m → 1997-04-30 in both)]. Dates exposed as
+    // yyyy-MM-dd strings per the comparator's DATE-render constraint.
+    DeclaredQuery("q119_add_months",
+      "SELECT o_orderkey, " +
+        "CAST(add_months(CAST(o_orderdate AS DATE), 3) AS STRING) AS plus3m, " +
+        "CAST(add_months(CAST(o_orderdate AS DATE), -18) AS STRING) AS minus18m, " +
+        "CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100",
+      Some("SELECT o_orderkey, " +
+        "CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m, " +
+        "CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 18 MONTH AS DATE) AS VARCHAR) AS minus18m, " +
+        "CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100")),
+
     DeclaredQuery("q100_pct_of_total",
       "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
         "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +

@@ -36,11 +36,13 @@ class CorpusSpec extends AnyFunSuite {
     // q103: array_* vs list_* toolkit (+ position 0-vs-NULL on absent);
     // q104: regexp_extract_all group-index arg + empty-slice '' vs NULL;
     // q110: date_add/datediff vs date + n / date_diff('day', …);
-    // q115: integer division (Spark DIV vs DuckDB //)
+    // q115: integer division (Spark DIV vs DuckDB //);
+    // q119: add_months vs date + INTERVAL n MONTH
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
       "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode",
       "q99_source_stats", "q100_pct_of_total", "q103_array_funcs",
-      "q104_regexp_all", "q110_date_funcs", "q115_doclen_hist"))
+      "q104_regexp_all", "q110_date_funcs", "q115_doclen_hist",
+      "q119_add_months"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
