@@ -81,8 +81,12 @@ object SparkEntry {
     "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
       s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
       "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
-      "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
-      "pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
+      "bk0 AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
+      // bsz ≤ cap mirrors the Spark degenerate-bucket guard
+      // (TextDedup.DefaultMaxBucketSize)
+      "bk AS (SELECT *, COUNT(*) OVER (PARTITION BY t, bkt) AS bsz FROM bk0), " +
+      "pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id " +
+      s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
       "v AS (SELECT id_a, id_b, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
       "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b)"
   }
@@ -465,12 +469,14 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("cluster"))
         .orderBy("vec_id").limit(100)
     },
-    // Portable SimHash near-dup pairs (round 5): 32-bit sign-sum
-    // signatures from md5 token hashes, 4×8-bit pigeonhole banding,
-    // exact-hamming verification — all integer arithmetic, so the whole
-    // pipeline hash-checks (production 64-bit SimHash64 stays q41,
-    // rows-only; the 32-bit twin is noisier — hamming ≤ 3 of 32 admits
-    // weaker matches — which the oracle doesn't mind: it checks
+    // Portable SimHash near-dup pairs (round 5; combination banding round
+    // 8): 32-bit sign-sum signatures from md5 token hashes, 5-of-8-chunk
+    // combination banding (TextDedup.SimhashChunks — kills the 2^8
+    // bucket-cardinality ceiling; the verified pair set is pigeonhole-
+    // identical), exact-hamming verification — all integer arithmetic, so
+    // the whole pipeline hash-checks (production 64-bit SimHash64 stays
+    // q41, rows-only; the 32-bit twin is noisier — hamming ≤ 3 of 32
+    // admits weaker matches — which the oracle doesn't mind: it checks
     // determinism, not recall).
     "q83_simhash_portable" -> { (spark, dir) =>
       TextDedup.portableSimhashPairs(Tables.table(spark, dir, "documents"),
@@ -592,6 +598,7 @@ object SparkEntry {
         val nGram = graft.operators.TextDedup.PortableShingleN
         val numHashes = graft.operators.TextDedup.PortableNumHashes
         val bands = graft.operators.TextDedup.PortableBands
+        val maxBucket = graft.operators.TextDedup.DefaultMaxBucketSize
         val rpb = numHashes / bands
         val coeffs = graft.operators.TextDedup.affineCoeffs(numHashes)
         val aList = coeffs.map(_._1).mkString("[", ", ", "]")
@@ -604,9 +611,13 @@ object SparkEntry {
           // as 0/0 "near-dups"
           s"sigx AS (SELECT doc_id, hs, list_transform(range(1, ${numHashes + 1}), i -> " +
           s"list_min(list_transform(hs, h -> (h * ($aList)[i] + ($bList)[i]) % 2305843009213693951))) AS sig FROM hsx WHERE len(hs) > 0), " +
-          s"banded AS (SELECT doc_id, hs, b, array_to_string(sig[$rpb*b+1:$rpb*b+$rpb], '-') AS bkey FROM sigx, (SELECT unnest(range(0, $bands)) AS b) bs), " +
+          s"banded0 AS (SELECT doc_id, hs, b, array_to_string(sig[$rpb*b+1:$rpb*b+$rpb], '-') AS bkey FROM sigx, (SELECT unnest(range(0, $bands)) AS b) bs), " +
+          // bsz ≤ cap mirrors the Spark side's between(2, maxBucketSize)
+          // degenerate-bucket guard (TextDedup.DefaultMaxBucketSize — one
+          // constant for both texts; no tested-SF bucket comes near it)
+          "banded AS (SELECT *, COUNT(*) OVER (PARTITION BY b, bkey) AS bsz FROM banded0), " +
           "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.hs AS ha, c.hs AS hb " +
-          "FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id), " +
+          s"FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id WHERE a.bsz <= $maxBucket), " +
           "v AS (SELECT id_a, id_b, len(list_intersect(ha, hb)) AS n_inter, len(list_distinct(list_concat(ha, hb))) AS n_union FROM pairs) " +
           "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
           "FROM v WHERE n_inter * 10 >= n_union * 9 ORDER BY id_a, id_b LIMIT 100")
@@ -641,21 +652,44 @@ object SparkEntry {
           "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles, CAST(MAX(c) AS BIGINT) AS max_rep, " +
           "CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS rep_permille " +
           "FROM tf GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
-      // round 5: simhash replayed bit-for-bit — sign-sum per bit plane,
-      // pigeonhole chunks, bit_count(xor) hamming
-      "q83_simhash_portable" ->
+      // round 5 (rebanded round 8): simhash replayed bit-for-bit —
+      // sign-sum per bit plane, COMBINATION banding (every
+      // C(SimhashChunks, SimhashIntact) chunk subset — combos, chunk
+      // width and the bucket cap all interpolated from the SAME
+      // TextDedup constants the Spark side bands with), bit_count(xor)
+      // hamming. Pigeonhole completeness makes the verified pair set
+      // identical to single-chunk banding; the key space grows 2^8 →
+      // 2^20 (the round-7 cardinality ceiling).
+      "q83_simhash_portable" -> {
+        val chunkBits = 32 / graft.operators.TextDedup.SimhashChunks
+        val nChunks = graft.operators.TextDedup.SimhashChunks
+        val mask = (1L << chunkBits) - 1
+        val comboVals = graft.operators.TextDedup.simhashCombos.zipWithIndex
+          .map { case (cs, j) => s"($j, ${cs.mkString("[", ", ", "]")})" }.mkString(", ")
+        val minCombo = graft.operators.TextDedup.simhashMinComboByMask
+          .mkString("[", ", ", "]")
         ("WITH th AS (SELECT doc_id, list_distinct(list_transform(string_split(text, ' '), " +
           "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS hs FROM documents), " +
           "sig AS (SELECT doc_id, list_sum(list_transform(range(0, 32), b -> " +
           "CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) >= 0 " +
           "THEN (1::BIGINT << b) ELSE 0 END)) AS sim FROM th), " +
-          "chunks AS (SELECT doc_id, sim, c, (sim >> (8 * c)) & 255 AS ckey " +
-          "FROM sig, (SELECT unnest(range(0, 4)) AS c) cs), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
-          "FROM chunks a JOIN chunks b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id) " +
+          s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
+          "chunks0 AS (SELECT doc_id, sim, j, array_to_string(list_transform(cs, " +
+          s"c -> CAST((sim >> ($chunkBits * c)) & $mask AS VARCHAR)), '-') AS ckey FROM sig, combos), " +
+          // bsz ≤ cap mirrors the Spark degenerate-bucket guard
+          // (TextDedup.DefaultMaxBucketSize); the min-combo condition
+          // mirrors simhashMinComboByMask's single-emission rule so the
+          // cap drops the SAME pairs in both engines
+          "chunks AS (SELECT *, COUNT(*) OVER (PARTITION BY j, ckey) AS bsz FROM chunks0), " +
+          "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
+          "FROM chunks a JOIN chunks b ON a.j = b.j AND a.ckey = b.ckey AND a.doc_id < b.doc_id " +
+          s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
+          s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
+          s"c -> CASE WHEN ((xor(a.sim, b.sim) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
           "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
           "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
-          "ORDER BY id_a, id_b LIMIT 100"),
+          "ORDER BY id_a, id_b LIMIT 100")
+      },
       // round 5: the merge replayed with a version-desc window (DuckDB's
       // spelling of keep-latest); versions are unique per key by
       // construction so both forms agree

@@ -279,7 +279,8 @@ object Similarity {
   def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minScore: Long, tables: Int = 8, bits: Int = 6,
                          dim: Int = 64, seed: Long = 11L,
-                         scale: Int = 10000): DataFrame = {
+                         scale: Int = 10000,
+                         maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
     // __qv materialized in its own projection: the bucket expressions
     // reference it tables×bits times (CollapseProject, cf. signatureFrame)
@@ -296,11 +297,13 @@ object Similarity {
     // of in round 6). Vectors are joined back for surviving candidate
     // pairs only (candidates ≪ corpus × tables); re-deriving __qv on the
     // join sides is one cheap floor-cast pass over a pruned scan.
+    // between(2, maxBucketSize): degenerate-bucket guard (cf.
+    // TextDedup.DefaultMaxBucketSize), mirrored into the q84/q97 DuckDB text
     val pairs = q.select(col(idCol),
         posexplode(array(bucketCols: _*)).as(Seq("__t", "__bkt")))
       .groupBy("__t", "__bkt")
       .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
+      .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -318,7 +321,8 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, numTables: Int = 4,
                             bitsPerTable: Int = 8, dim: Int = 64,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L,
+                            maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
     // Single-pass bucketing (cf. TextDedup.minhashCandidates) with a
     // KEYS-ONLY exchange: (table, bucket, id) triples, members collected
@@ -328,10 +332,11 @@ object Similarity {
     // formulation would also recompute the signature projections per side).
     val bucketed = corpus.select(col(idCol),
       posexplode(allBuckets(col(vecCol), planes)).as(Seq("__table", "__bucket")))
+    // degenerate-bucket guard (cf. TextDedup.DefaultMaxBucketSize)
     val pairs = bucketed
       .groupBy("__table", "__bucket")
       .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
+      .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Degenerate-bucket cap shared by EVERY in-bucket pair generator in the
+    * repo (minhash, simhash, embedding-LSH — production and portable twins)
+    * and interpolated into the q82/q83/q84 DuckDB oracle texts: a single
+    * LSH bucket of m members materializes m² candidate pairs inside ONE
+    * collected-array task before any distinct/verification can help, and
+    * AQE cannot split a collected row — so a legitimate giant near-dup
+    * cluster (viral boilerplate, scraped nav bars) must be dropped, not
+    * paired. 1000 is ≥ 50× the largest bucket at every tested SF (pair
+    * sets unchanged) while capping the worst single task at ~10⁶ rows. */
+  val DefaultMaxBucketSize = 1000
+
   /** Whitespace tokenizer (documents.text is space-separated, FIXTURES.md). */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -92,7 +103,8 @@ object TextDedup {
     *        empty-text pathologies. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+                        bands: Int = 16,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = signatureFrame(df, idCol, textCol, shingleN, numHashes)
     val banded = sig
@@ -162,7 +174,52 @@ object TextDedup {
                         shingleN: Int = PortableShingleN,
                         numHashes: Int = PortableNumHashes,
                         bands: Int = PortableBands,
-                        seed: Long = 7L): DataFrame = {
+                        seed: Long = 7L,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val coeffs = affineCoeffs(numHashes, seed)
+    // __hs materialized in its own projection: affineSignature references
+    // it numHashes times (see signatureFrame's CollapseProject note).
+    // Empty shingle sets are dropped BEFORE banding: every such document
+    // shares the all-Long.MaxValue signature, so they land in one
+    // degenerate bucket and pair with each other as n_inter=0/n_union=0
+    // "90% near-dups" (0·10 ≥ 0·9). The filter is this path's analogue
+    // of minhashCandidates' maxBucketSize guard, mirrored in the q82
+    // DuckDB text.
+    // (id, __hs) is referenced THREE times downstream (signature
+    // derivation + both verification join sides) and the md5 string
+    // round-trip per shingle is the measured dominant cost of the whole
+    // pipeline — the lineage cut materializes it once instead of
+    // recomputing the hash pass per reference (cf. connectedComponents).
+    // Checkpoints.cut picks reliable checkpointing when the caller has
+    // configured a checkpoint dir (deployment), localCheckpoint otherwise.
+    val (base, banded) = portableBanded(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    // between(2, maxBucketSize): same degenerate-bucket guard as
+    // minhashCandidates, mirrored into the q82 DuckDB text (a legit
+    // m-doc boilerplate cluster otherwise materializes m² pair rows in
+    // one collected bucket; see DefaultMaxBucketSize)
+    val pairs = banded.groupBy("__band", "__bkey")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col(idCol).as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("__hs").as("__hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("n_inter"),
+        size(array_union(col("__ha"), col("__hb"))).cast("long").as("n_union"))
+  }
+
+  /** Shared banding stage of the portable minhash pipeline: returns
+    * (base = (id, __hs) distinct-shingle-hash sets, banded = (id, __band,
+    * __bkey) band-key triples). Factored out so `portableOversizeBuckets`
+    * audits the EXACT buckets `portablePairStats` pairs on. */
+  private def portableBanded(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, numHashes: Int, bands: Int,
+                             seed: Long): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val coeffs = affineCoeffs(numHashes, seed)
     // __hs materialized in its own projection: affineSignature references
@@ -197,19 +254,25 @@ object TextDedup {
       posexplode(array((0 until bands).map(b =>
         array_join(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), "-")): _*))
         .as(Seq("__band", "__bkey")))
-    val pairs = banded.groupBy("__band", "__bkey")
-      .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
-      .select(col("id_a"), explode(col("__ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    pairs
-      .join(base.select(col(idCol).as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("__hs").as("__hb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("n_inter"),
-        size(array_union(col("__ha"), col("__hb"))).cast("long").as("n_union"))
+    (base, banded)
+  }
+
+  /** Audit of what the `maxBucketSize` guard drops: every band bucket
+    * whose occupancy EXCEEDS the cap, as (band, bucket_key, bucket_size).
+    * Pair generators drop such buckets silently (pairing them is the m²
+    * blow-up the cap exists to prevent); a curation run executes this
+    * alongside `portablePairStats` when it needs the dropped boilerplate
+    * clusters on record. Aggregate-only — never collects bucket members. */
+  def portableOversizeBuckets(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = PortableShingleN,
+                              numHashes: Int = PortableNumHashes,
+                              bands: Int = PortableBands,
+                              seed: Long = 7L,
+                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (_, banded) = portableBanded(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    banded.groupBy(col("__band").as("band"), col("__bkey").as("bucket_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** Exact n-gram Jaccard similarity between two token-array columns. */
@@ -380,15 +443,59 @@ object TextDedup {
         lit(0L), (acc, x) => acc + x))
   }
 
-  /** Portable SimHash near-dup pairs: 32-bit signatures pigeonhole-banded
-    * into 4×8-bit chunks (hamming ≤ 3 ⇒ at least one chunk identical),
-    * verified by exact hamming distance — every integer derivable
-    * bit-exactly in any engine, so the q83 oracle hash-checks the whole
-    * pipeline (cf. `portablePairStats` for the MinHash family).
-    * Output: (id_a, id_b, hamming). */
+  /** Combination-banding layout shared by BOTH simhash pair generators and
+    * the q83 DuckDB text. The round-7 scheme banded on single chunks (4
+    * chunks of w bits ⇒ 2^w buckets per chunk: 2^8 for the portable 32-bit
+    * twin, 2^16 for production 64-bit) — a hard bucket-cardinality ceiling:
+    * occupancy grows linearly with corpus size, in-bucket pair candidates
+    * quadratically (measured: max 8-bit chunk bucket at sf0.1 is already
+    * 2,443 of 5,000 docs). Combination banding removes it: split into
+    * `SimhashChunks` = 8 chunks; hamming ≤ 3 dirties at most 3, so some
+    * `SimhashIntact` = 5-subset of chunks is guaranteed identical — banding
+    * on every C(8,5) = 56 subset keeps EXACT pigeonhole completeness (the
+    * verified pair set is provably unchanged) while the bucket key widens
+    * from one chunk to five (2^20 keys for the 32-bit twin, 2^40 for
+    * production). The fan-out cost is 56 vs 4 keys-only triples per doc;
+    * the payoff is per-bucket occupancy ~n/2^(5w/8·width) instead of
+    * n/2^(w/4·width). Residual oversize buckets are identical-signature
+    * clusters — genuine boilerplate, `DefaultMaxBucketSize`'s job. */
+  val SimhashChunks = 8
+  val SimhashIntact = 5
+
+  /** All C(SimhashChunks, SimhashIntact) chunk-index subsets, in
+    * deterministic lexicographic order (mirrored into the q83 text). */
+  def simhashCombos: Seq[Seq[Int]] =
+    (0 until SimhashChunks).combinations(SimhashIntact).map(_.toSeq).toSeq
+
+  /** Minimal combo index whose chunk subset is fully inside the
+    * intact-chunk mask, per 8-bit mask (−1 when fewer than SimhashIntact
+    * chunks are intact — such pairs never share any combo bucket). Pair
+    * emission is restricted to THIS combo, so each colliding pair is
+    * generated exactly once instead of once per shared combo (identical
+    * signatures share all 56 — measured 2× end-to-end at sf0.1 without
+    * the restriction), which also makes the pair stream unique by
+    * construction: no distinct() shuffle. Mirrored into the q83 DuckDB
+    * text so the bucket cap's drop semantics stay aligned across engines
+    * (a pair whose min-combo bucket is oversize is dropped in both, even
+    * if another combo's bucket survived). */
+  def simhashMinComboByMask: Seq[Int] = {
+    val combos = simhashCombos
+    (0 until (1 << SimhashChunks)).map { m =>
+      combos.indexWhere(cs => cs.forall(c => (m & (1 << c)) != 0))
+    }
+  }
+
+  /** Portable SimHash near-dup pairs: 32-bit signatures combination-banded
+    * over 8×4-bit chunks (hamming ≤ 3 ⇒ some 5 chunks intact ⇒ the pair
+    * shares that combo's bucket), verified by exact hamming distance —
+    * every integer derivable bit-exactly in any engine, so the q83 oracle
+    * hash-checks the whole pipeline (cf. `portablePairStats` for the
+    * MinHash family). Output: (id_a, id_b, hamming). */
   def portableSimhashPairs(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 chunks pigeonhole only guarantees hamming <= 3")
+                           maxHamming: Int = 3,
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming <= SimhashChunks - SimhashIntact,
+      s"$SimhashChunks chunks with $SimhashIntact intact only guarantee hamming <= ${SimhashChunks - SimhashIntact}")
     // token hashes materialized first: the 32 bit-folds of
     // portableSimhash32 each reference the array (CollapseProject note on
     // signatureFrame)
@@ -396,59 +503,84 @@ object TextDedup {
       array_distinct(transform(tokens(col(textCol)),
         t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))).as("__th"))
     val sigs = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
+    val chunkBits = 32 / SimhashChunks
+    val mask = (1L << chunkBits) - 1
+    // combo key = dash-joined decimal chunk values (exact string keys both
+    // engines spell identically, cf. q82's band keys)
     val chunks = sigs.select(
       col(idCol), col("__sim"),
-      posexplode(array((0 until 4).map { c =>
-        shiftrightunsigned(col("__sim"), 8 * c).bitwiseAND(lit(0xFFL))
-      }: _*)).as(Seq("__chunk", "__ckey")))
+      posexplode(array(simhashCombos.map { cs =>
+        concat_ws("-", cs.map(c =>
+          shiftrightunsigned(col("__sim"), chunkBits * c).bitwiseAND(lit(mask)).cast("string")): _*)
+      }: _*)).as(Seq("__combo", "__ckey")))
     // single-pass bucketing (cf. minhashCandidates): ONE shuffle of
-    // (chunk, key, id, sim) and in-bucket pairs by double explode — the
+    // (combo, key, id, sim) and in-bucket pairs by double explode — the
     // two-sided join shape recomputes the md5+signature subtree per side
     // (measured ~2× at sf0.1)
-    chunks
-      .groupBy("__chunk", "__ckey")
-      .agg(collect_list(struct(col(idCol).as("id"), col("__sim").as("sim"))).as("__m"))
-      .filter(size(col("__m")) >= 2)
-      .select(explode(col("__m")).as("a"), col("__m"))
-      .select(col("a"), explode(col("__m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // degenerate-bucket guard (cf. DefaultMaxBucketSize), mirrored into
+    // the q83 DuckDB text
+    simhashEmitPairs(chunks, chunkBits, maxHamming, maxBucketSize)
   }
 
-  /** SimHash near-dup: 64-bit signatures, pigeonhole-banded into 4×16-bit
-    * chunks (hamming ≤ 3 ⇒ at least one chunk identical), verified by exact
-    * hamming distance. Output: (id_a, id_b, hamming). */
+  /** Shared tail of both simhash pair generators: bucket, cap, double
+    * explode, min-combo single emission (simhashMinComboByMask — the pair
+    * stream is unique by construction, no distinct), exact-hamming
+    * verification. `chunks` = (__combo, __ckey, id-col, __sim). */
+  private def simhashEmitPairs(chunks: DataFrame, chunkBits: Int,
+                               maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val idCol = chunks.columns.filterNot(c => c.startsWith("__")).head
+    val mask = (1L << chunkBits) - 1
+    val intactMask = (0 until SimhashChunks).map { c =>
+      when(shiftrightunsigned(col("__xor"), chunkBits * c).bitwiseAND(lit(mask)) === 0,
+        lit(1 << c)).otherwise(lit(0))
+    }.reduce(_ + _)
+    chunks
+      .groupBy("__combo", "__ckey")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__sim").as("sim"))).as("__m"))
+      .filter(size(col("__m")).between(2, maxBucketSize))
+      .select(col("__combo"), explode(col("__m")).as("a"), col("__m"))
+      .select(col("__combo"), col("a"), explode(col("__m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("__xor", col("a.sim").bitwiseXOR(col("b.sim")))
+      .filter(col("__combo") ===
+        element_at(typedLit(simhashMinComboByMask), intactMask + 1))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(__xor)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup: 64-bit signatures combination-banded over 8×8-bit
+    * chunks (hamming ≤ 3 ⇒ some 5 chunks intact — see `SimhashChunks`),
+    * verified by exact hamming distance. Bucket keys are 40-bit integers
+    * (five 8-bit chunks packed by combo position), so key space scales to
+    * 10¹²-doc corpora. Output: (id_a, id_b, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 chunks pigeonhole only guarantees hamming <= 3")
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming <= SimhashChunks - SimhashIntact,
+      s"$SimhashChunks chunks with $SimhashIntact intact only guarantee hamming <= ${SimhashChunks - SimhashIntact}")
     graft.functions.SimHash64.register(df.sparkSession)
     val sigs = df.select(
       col(idCol),
       call_function("simhash64", tokens(col(textCol))).as("__sim"))
-    // chunk c = bits [16c, 16c+16): (sim >>> 16c) & 0xFFFF
+    val chunkBits = 64 / SimhashChunks
+    val mask = (1L << chunkBits) - 1
+    // combo key = the 5 chunk values packed into one 40-bit long (integer
+    // keys shuffle cheaper than strings; the portable twin keeps strings
+    // only because they mirror into SQL verbatim)
     val chunks = sigs.select(
       col(idCol), col("__sim"),
-      posexplode(array((0 until 4).map { c =>
-        shiftrightunsigned(col("__sim"), 16 * c).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("__chunk", "__ckey")))
+      posexplode(array(simhashCombos.map { cs =>
+        cs.zipWithIndex.map { case (c, i) =>
+          shiftrightunsigned(col("__sim"), chunkBits * c).bitwiseAND(lit(mask)) * lit(1L << (chunkBits * i))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("__combo", "__ckey")))
     // single-pass bucketing (cf. minhashCandidates / portableSimhashPairs):
-    // ONE shuffle of (chunk, key, id, sim) and in-bucket pairs by double
+    // ONE shuffle of (combo, key, id, sim) and in-bucket pairs by double
     // explode — the previous two-sided join recomputed the tokenize +
     // SimHash64 subtree once per side (the twin measured that shape ~2×
     // slower at sf0.1)
-    chunks
-      .groupBy("__chunk", "__ckey")
-      .agg(collect_list(struct(col(idCol).as("id"), col("__sim").as("sim"))).as("__m"))
-      .filter(size(col("__m")) >= 2)
-      .select(explode(col("__m")).as("a"), col("__m"))
-      .select(col("a"), explode(col("__m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // degenerate-bucket guard (cf. DefaultMaxBucketSize)
+    simhashEmitPairs(chunks, chunkBits, maxHamming, maxBucketSize)
   }
 }

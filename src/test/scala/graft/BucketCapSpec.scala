@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-boilerplate stress: a LEGITIMATE giant near-dup cluster (2,000
+  * copies of one document — the viral-boilerplate / scraped-nav-bar shape a
+  * 100 TB crawl contains) must NOT materialize m² pair rows inside one
+  * collected bucket. Every in-bucket pair generator applies the
+  * between(2, maxBucketSize) guard; this spec plants the cluster, asserts
+  * each pipeline completes with ZERO pairs from the dropped bucket while
+  * genuine small near-dup groups still pair, and that the oversize-bucket
+  * audit reports what was dropped. */
+class BucketCapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val boilerplate =
+    "subscribe to our newsletter terms of service privacy policy all rights " +
+      "reserved copyright two thousand follow us on social media home about " +
+      "contact careers press blog help center site map cookie settings"
+  private val docA =
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly " +
+      "behind the tall mountains casting long golden shadows across the valley"
+
+  /** 2,000 boilerplate copies (ids 10001+) + one genuine exact near-dup
+    * pair (ids 1, 2) + one unrelated doc (id 3). */
+  private lazy val docs = {
+    val planted = (1 to 2000).map(i => (10000L + i, boilerplate))
+    val genuine = Seq((1L, docA), (2L, docA),
+      (3L, "completely unrelated text about distributed query engines and columnar storage formats for analytical workloads at petabyte scale"))
+    (genuine ++ planted).toDF("doc_id", "text")
+  }
+
+  test("portablePairStats drops the 2000-doc boilerplate bucket, keeps genuine pairs, audit reports it") {
+    val pairs = TextDedup.portablePairStats(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // bounded: without the cap the planted cluster alone is ~2M pair rows
+    assert(pairs.length < 100, s"expected bounded pair count, got ${pairs.length}")
+    assert(!pairs.exists { case (a, b) => a > 10000L || b > 10000L },
+      "no pair may come from the dropped boilerplate bucket")
+    assert(pairs.contains((1L, 2L)), "the genuine near-dup pair must survive")
+    // the audit names the dropped buckets: one per band (identical docs
+    // share every band key), each of size 2000
+    val dropped = TextDedup.portableOversizeBuckets(docs, "doc_id", "text")
+      .select("band", "bucket_size").as[(Int, Long)].collect()
+    assert(dropped.length == TextDedup.PortableBands)
+    assert(dropped.forall(_._2 == 2000L), s"dropped=${dropped.toSeq}")
+  }
+
+  test("minhashCandidates (production path) drops the boilerplate bucket") {
+    val pairs = TextDedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(pairs.length < 100)
+    assert(!pairs.exists { case (a, b) => a > 10000L || b > 10000L })
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("portableSimhashPairs completes bounded under the planted cluster") {
+    val pairs = TextDedup.portableSimhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"got ${pairs.length}")
+    assert(!pairs.exists { case (a, b) => a > 10000L && b > 10000L },
+      "no boilerplate-boilerplate pair may survive the cap")
+    assert(pairs.contains((1L, 2L)), "identical docs pair in any non-dropped chunk")
+  }
+
+  test("simhashPairs (production 64-bit) completes bounded under the planted cluster") {
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"got ${pairs.length}")
+    assert(!pairs.exists { case (a, b) => a > 10000L && b > 10000L })
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  /** 2,000 identical vectors (ids 10001+) + a genuine identical pair
+    * (ids 1, 2) + one far vector (id 3). */
+  private lazy val vecs = {
+    val w = Array.tabulate(64)(i => (math.sin(i + 1) / 8.0).toFloat)
+    val a = Array.tabulate(64)(i => (math.cos(2 * i + 1) / 8.0).toFloat)
+    val far = Array.tabulate(64)(i => (math.sin(3 * i + 2) * (if (i % 2 == 0) -1 else 1) / 8.0).toFloat)
+    val planted = (1 to 2000).map(i => (10000L + i, w.toSeq))
+    (Seq((1L, a.toSeq), (2L, a.toSeq), (3L, far.toSeq)) ++ planted)
+      .toDF("vec_id", "embedding")
+  }
+
+  test("portableEmbedPairs drops the 2000-vector bucket, keeps the genuine pair") {
+    val pairs = Similarity.portableEmbedPairs(vecs, "vec_id", "embedding", minScore = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"got ${pairs.length}")
+    assert(!pairs.exists { case (a, b) => a > 10000L && b > 10000L })
+    assert(pairs.contains((1L, 2L)), "identical vector pair must survive")
+  }
+
+  test("embeddingNearDupPairs (production float path) completes bounded") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"got ${pairs.length}")
+    assert(!pairs.exists { case (a, b) => a > 10000L && b > 10000L })
+    assert(pairs.contains((1L, 2L)))
+  }
+}
