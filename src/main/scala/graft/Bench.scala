@@ -3,13 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Bench harness (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
-  * Timing is cold-start honest: one pass, codegen + planning included,
-  * single shared session (the engine's real serving shape). */
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query MEDIAN
+  * seconds over SPARK_GRAFT_BENCH_REPS runs (default 3). Three rounds of
+  * single-run driver artifacts (r3/r6/r7 — r7's q82 showed 115.7 s
+  * against a true ~4 s median) were host-noise-contaminated beyond use
+  * for regression scoring; medians make the artifact noise-immune at the
+  * source. Reps run back-to-back per query (rep 1 still pays codegen +
+  * planning — the median of 3 keeps one cold rep from dominating while
+  * not hiding a real cold-path regression across 116 entries). */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,22 +38,27 @@ object Bench {
     // not query cost — without it the alphabetically-first query pays it
     spark.sql("SELECT COUNT(*) FROM region").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // entries run serially in one session: localCheckpoint blocks from
+        // iterative/checkpointing entries (q74/q82/q97) would otherwise stay
+        // persisted and squat on block-manager memory during every LATER
+        // entry's timed window — release them outside the timer
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        if (ok) sec else -1.0
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // entries run serially in one session: localCheckpoint blocks from
-      // iterative/checkpointing entries (q74/q82/q97) would otherwise stay
-      // persisted and squat on block-manager memory during every LATER
-      // entry's timed window — release them outside the timer
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> (if (ok) sec else -1.0)
+      // any failed rep marks the query failed (-1): a flaky failure must
+      // never be median'd away into a plausible-looking number
+      name -> (if (runs.exists(_ < 0)) -1.0 else median(runs))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -729,14 +729,15 @@ object Corpus {
     // and DuckDB). Still one partial→final hash aggregate: FILTER is a
     // per-row predicate on the input, not an extra pass. Money as cents;
     // COUNT FILTER never returns NULL (empty set → 0), and the cents SUM
-    // is over a status that exists in every priority group at tested SFs
-    // — no NULL cells reach the hashed output.
+    // is COALESCEd to 0: a priority group with zero 'F' rows would
+    // otherwise put a NULL cell in hashed output — a structural guarantee
+    // instead of the tested-SF data-dependent one (round-7 ADVICE).
     DeclaredQuery("q117_filter_agg",
       "SELECT o_orderpriority, " +
         "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
         "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
-        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) " +
-        "FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f " +
+        "CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) " +
+        "FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 100"),
 
     // Q118 — GREATEST/LEAST n-ary comparison (S49 umbrella: the
