@@ -37,6 +37,27 @@ object Similarity {
     call_function("cosine_sim", a, b)
   }
 
+  /** Sizing rule for hyperplane-LSH signature width: with n corpus
+    * vectors and b bits per table, expected bucket occupancy is n/2^b, so
+    * b ≈ log₂(n / targetOccupancy). Occupancy is the knob that matters:
+    * candidate generation is quadratic per bucket (and verification cost
+    * linear in candidates), so bits must GROW with log₂(n) — a fixed b
+    * that is right at 10⁶ vectors is 2¹⁰× over-occupied at 10⁹. Targets
+    * used by the defaults here: ~32 for near-dup pair generation
+    * (recall-leaning — exact verification prunes false candidates) and
+    * ~8 for top-k search (per-query candidate cost). The oracle twins pin
+    * bits (q84: 6 ≈ recommendedBits(2000, 32)) because the DuckDB replay
+    * interpolates the same constants; production callers should derive
+    * from a corpus count. Clamped to [4, 24]: below 4 bits buckets are
+    * meaningless, above 24 empty-bucket overhead dominates and more
+    * tables (not more bits) buy recall. */
+  def recommendedBits(corpusSize: Long, targetOccupancy: Long = 32): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    val raw = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.max(4, math.min(24, raw))
+  }
+
   /** Deterministic unit-free hyperplanes: numTables × bitsPerTable × dim. */
   def hyperplanes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
     val rng = new scala.util.Random(seed)

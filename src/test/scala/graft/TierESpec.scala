@@ -413,6 +413,19 @@ class TierESpec extends AnyFunSuite {
     assert(planted.exists(_._1 == firstId), "identical vector must pair with its source")
   }
 
+  test("recommendedBits: occupancy-targeted LSH width grows with log2(n)") {
+    // the pinned oracle defaults are the rule's output at the tested scale
+    assert(Similarity.recommendedBits(2000, 32) == 6,
+      "portableEmbedPairs' bits=6 default = rule at sf0.1's 2,000 vectors")
+    assert(Similarity.recommendedBits(2000, 8) == 8,
+      "lshTopK's bits=8 default = rule at search occupancy 8")
+    // 1000x the corpus needs ~log2(1000) = 10 more bits, same occupancy
+    assert(Similarity.recommendedBits(2L * 1000 * 1000, 32) == 16)
+    // clamped at both ends
+    assert(Similarity.recommendedBits(1, 32) == 4)
+    assert(Similarity.recommendedBits(2L * 1000 * 1000 * 1000, 32) == 24)
+  }
+
   test("upsertLatest keeps the highest version per key and passes base rows through") {
     val base = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "v", "payload")
     val upd = Seq((2L, 2L, "b2"), (3L, 3L, "c3"), (4L, 1L, "d")).toDF("k", "v", "payload")
