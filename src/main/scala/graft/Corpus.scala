@@ -767,6 +767,69 @@ object Corpus {
         "CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr " +
         "FROM orders ORDER BY o_orderkey LIMIT 100")),
 
+    // Q120 — document chunking with overlap (LLM-pipeline row: fixed-width
+    // character windows, stride < width, the standard pre-embedding /
+    // context-packing step). The chunk starts come from an integer series
+    // per document — scan-local explode, no shuffle beyond the trailing
+    // top-N — so the plan is a one-pass flatMap at any corpus size [dual:
+    // Spark LATERAL VIEW explode(sequence(…)) vs DuckDB
+    // unnest(generate_series(…)) — DuckDB's table-function form rejects
+    // lateral column arguments, so the series moves into the select list].
+    // (doc_id, c_start) is a unique total order.
+    DeclaredQuery("q120_chunk_overlap",
+      "SELECT doc_id, CAST(c_start AS BIGINT) AS c_start, " +
+        "substr(text, c_start, 200) AS chunk, " +
+        "CAST(length(substr(text, c_start, 200)) AS BIGINT) AS chunk_len FROM " +
+        "(SELECT doc_id, text, c_start FROM documents " +
+        "LATERAL VIEW explode(sequence(1, length(text), 150)) t AS c_start " +
+        "WHERE doc_id < 50) ORDER BY doc_id, c_start LIMIT 100",
+      Some("SELECT doc_id, CAST(c_start AS BIGINT) AS c_start, " +
+        "substr(text, CAST(c_start AS INT), 200) AS chunk, " +
+        "CAST(length(substr(text, CAST(c_start AS INT), 200)) AS BIGINT) AS chunk_len FROM " +
+        "(SELECT doc_id, text, unnest(generate_series(1, length(text), 150)) AS c_start " +
+        "FROM documents WHERE doc_id < 50) ORDER BY doc_id, c_start LIMIT 100")),
+
+    // Q121 — deterministic per-stratum exact-k sample (LLM-pipeline row:
+    // the reproducible "k docs per language" eval split — q69 splits by
+    // hash threshold (ratio), q101 mixes by quota; this is the exact-k
+    // reservoir shape). Ordering by the md5 hex STRING of the id is
+    // engine-portable (both emit lowercase hex) and uniform; rn ≤ k keeps
+    // the Window partitioned per stratum — WindowGroupLimit prunes to the
+    // top-k per group before the sort at scale [dual: the id→string cast
+    // spelling only — Spark CAST(… AS STRING) vs DuckDB VARCHAR].
+    DeclaredQuery("q121_stratified_k",
+      "SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM " +
+        "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 20 ORDER BY lang, rn LIMIT 100",
+      Some("SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM " +
+        "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 20 ORDER BY lang, rn LIMIT 100")),
+
+    // Q122 — gap-fill / last-observation-carried-forward via IGNORE NULLS
+    // (S30 umbrella: the remaining window-function modifier — sparse
+    // sensor/state columns densified by carrying the last non-NULL value
+    // forward). NULLs are manufactured by the CASE and consumed inside the
+    // window; COALESCE backfills the leading gap so no NULL cell reaches
+    // hashed output. Per-customer partitions only — no global Window
+    // [dual: modifier placement only — Spark `last_value(x) IGNORE NULLS
+    // OVER …` (outside the parens) vs DuckDB `last_value(x IGNORE NULLS)
+    // OVER …` (inside)].
+    DeclaredQuery("q122_ignore_nulls",
+      "SELECT o_custkey, o_orderkey, " +
+        "COALESCE(last_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) IGNORE NULLS OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_f_ok, " +
+        "COALESCE(first_value(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) IGNORE NULLS OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS first_o_ok " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100",
+      Some("SELECT o_custkey, o_orderkey, " +
+        "COALESCE(last_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END IGNORE NULLS) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_f_ok, " +
+        "COALESCE(first_value(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END IGNORE NULLS) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS first_o_ok " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100")),
+
     DeclaredQuery("q100_pct_of_total",
       "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
         "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +

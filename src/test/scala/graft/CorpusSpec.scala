@@ -37,12 +37,17 @@ class CorpusSpec extends AnyFunSuite {
     // q104: regexp_extract_all group-index arg + empty-slice '' vs NULL;
     // q110: date_add/datediff vs date + n / date_diff('day', …);
     // q115: integer division (Spark DIV vs DuckDB //);
-    // q119: add_months vs date + INTERVAL n MONTH
+    // q119: add_months vs date + INTERVAL n MONTH;
+    // q120: LATERAL VIEW explode(sequence) vs unnest(generate_series)
+    //       (DuckDB's generate_series table function rejects lateral args);
+    // q121: CAST(… AS STRING) vs CAST(… AS VARCHAR);
+    // q122: IGNORE NULLS outside (Spark) vs inside (DuckDB) the parens
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
       "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode",
       "q99_source_stats", "q100_pct_of_total", "q103_array_funcs",
       "q104_regexp_all", "q110_date_funcs", "q115_doclen_hist",
-      "q119_add_months"))
+      "q119_add_months", "q120_chunk_overlap", "q121_stratified_k",
+      "q122_ignore_nulls"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
