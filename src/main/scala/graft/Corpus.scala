@@ -830,6 +830,36 @@ object Corpus {
         "PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS first_o_ok " +
         "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100")),
 
+    // Q123 — share within parent group via a window OVER an aggregate
+    // (the drill-down report shape: each nation's revenue as basis points
+    // of its REGION, not of the grand total — q100 covers the global
+    // share via a broadcast scalar subquery; this is the
+    // Window-after-Aggregate plan Catalyst handles with one extra
+    // exchange on the 25-row aggregate, not on the fact table).
+    // Partitioned window (5 regions) — no global Window node. Exact
+    // integer basis points over BIGINT cents [dual: integer division —
+    // Spark DIV vs DuckDB //, whose HUGEINT window sum also needs the
+    // outer CAST].
+    DeclaredQuery("q123_share_in_region",
+      "SELECT r_name, n_name, cents, " +
+        "cents * 10000 DIV SUM(cents) OVER (PARTITION BY r_name) AS share_bp " +
+        "FROM (SELECT r.r_name, n.n_name, " +
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY r.r_name, n.n_name) " +
+        "ORDER BY r_name, n_name LIMIT 100",
+      Some("SELECT r_name, n_name, cents, " +
+        "CAST(cents * 10000 // SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_bp " +
+        "FROM (SELECT r.r_name, n.n_name, " +
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY r.r_name, n.n_name) " +
+        "ORDER BY r_name, n_name LIMIT 100")),
+
     DeclaredQuery("q100_pct_of_total",
       "SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents, " +
         "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000 DIV " +

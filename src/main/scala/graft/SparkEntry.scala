@@ -91,6 +91,46 @@ object SparkEntry {
       "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b)"
   }
 
+  /** q124's corpus/batch boundary: doc_id < split = "existing corpus",
+    * doc_id ≥ split = "incoming batch". One constant for the Spark entry
+    * AND the DuckDB text. */
+  private val IncrementalSplitId = 400L
+
+  /** Shared DuckDB CTE chain replaying the portable MinHash+LSH pipeline
+    * (q82 symmetric pairs, q124 incremental cross pairs): md5 shingle
+    * hashes, affine-permutation signatures, string band keys, total-
+    * occupancy bucket cap, distinct-set verification. Every LSH parameter
+    * interpolated from the SAME constants the Spark side uses
+    * (TextDedup.Portable*, DefaultMaxBucketSize, affineCoeffs) — changing
+    * a default cannot silently desynchronize the texts. Ends with CTE
+    * `v(id_a, id_b, n_inter, n_union)` over pairs with id_a < id_b. */
+  private def minhashReplayCtes: String = {
+    val nGram = graft.operators.TextDedup.PortableShingleN
+    val numHashes = graft.operators.TextDedup.PortableNumHashes
+    val bands = graft.operators.TextDedup.PortableBands
+    val maxBucket = graft.operators.TextDedup.DefaultMaxBucketSize
+    val rpb = numHashes / bands
+    val coeffs = graft.operators.TextDedup.affineCoeffs(numHashes)
+    val aList = coeffs.map(_._1).mkString("[", ", ", "]")
+    val bList = coeffs.map(_._2).mkString("[", ", ", "]")
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"hsx AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - $nGram, 0) + 1), " +
+      s"i -> CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+$nGram], ' ')), 1, 8)) AS BIGINT))) AS hs FROM t), " +
+      // empty shingle sets dropped before banding (mirrors the Spark
+      // guard): they share one degenerate all-sentinel bucket and pair
+      // as 0/0 "near-dups"
+      s"sigx AS (SELECT doc_id, hs, list_transform(range(1, ${numHashes + 1}), i -> " +
+      s"list_min(list_transform(hs, h -> (h * ($aList)[i] + ($bList)[i]) % 2305843009213693951))) AS sig FROM hsx WHERE len(hs) > 0), " +
+      s"banded0 AS (SELECT doc_id, hs, b, array_to_string(sig[$rpb*b+1:$rpb*b+$rpb], '-') AS bkey FROM sigx, (SELECT unnest(range(0, $bands)) AS b) bs), " +
+      // bsz ≤ cap mirrors the Spark side's between(2, maxBucketSize)
+      // degenerate-bucket guard (TextDedup.DefaultMaxBucketSize — one
+      // constant for both texts; no tested-SF bucket comes near it)
+      "banded AS (SELECT *, COUNT(*) OVER (PARTITION BY b, bkey) AS bsz FROM banded0), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.hs AS ha, c.hs AS hb " +
+      s"FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id WHERE a.bsz <= $maxBucket), " +
+      "v AS (SELECT id_a, id_b, len(list_intersect(ha, hb)) AS n_inter, len(list_distinct(list_concat(ha, hb))) AS n_union FROM pairs)"
+  }
+
   /** P-layer behaviors exercised through the engine path (Runner). */
   private def behaviorEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q24 — duplicate-output-column rename (db_utils.py:169-177): the
@@ -446,6 +486,20 @@ object SparkEntry {
         .filter(col("n_inter") * 10 >= col("n_union") * 9)
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
+    // deduped AGAINST the existing corpus (doc_id < split) without
+    // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
+    // replays the SYMMETRIC pipeline restricted to cross pairs, so
+    // hash-equality proves the asymmetric plan finds exactly them.
+    "q124_incremental_neardup" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      TextDedup.portableCrossPairStats(
+          docs.filter(col("doc_id") < IncrementalSplitId),
+          docs.filter(col("doc_id") >= IncrementalSplitId),
+          "doc_id", "text")
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // Portable embedding-LSH near-dup pairs (round 5): quantized integer
     // vectors + ±1 integer hyperplanes make bucket signs AND verification
     // scores exact integers — the whole embedding near-dup pipeline
@@ -453,6 +507,18 @@ object SparkEntry {
     // minScore 25M ≈ cosine 0.25 on unit-norm vectors, matching q43's τ.
     "q84_embedlsh_portable" -> { (spark, dir) =>
       Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", minScore = EmbedMinScore)
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // Incremental embedding near-dup (round 8): the vector analogue of
+    // q124 — an incoming batch (vec_id ≥ split) deduped against the
+    // existing index (vec_id < split); oracle = the symmetric q84 replay
+    // restricted to cross pairs.
+    "q125_incremental_embed" -> { (spark, dir) =>
+      val vecs = Tables.table(spark, dir, "embeddings")
+      Similarity.portableCrossEmbedPairs(
+          vecs.filter(col("vec_id") < IncrementalSplitId),
+          vecs.filter(col("vec_id") >= IncrementalSplitId),
           "vec_id", "embedding", minScore = EmbedMinScore)
         .orderBy("id_a", "id_b").limit(100)
     },
@@ -591,37 +657,20 @@ object SparkEntry {
       // texts share one source of truth; banding uses exact string band
       // keys (no engine-specific band hash), so candidate sets match
       // bit-for-bit and the oracle checks banding itself
-      "q82_minhash_portable" -> {
-        // every LSH parameter interpolated from the SAME constants the
-        // Spark side uses (TextDedup.Portable*) — changing a default can
-        // no longer silently desynchronize the two texts
-        val nGram = graft.operators.TextDedup.PortableShingleN
-        val numHashes = graft.operators.TextDedup.PortableNumHashes
-        val bands = graft.operators.TextDedup.PortableBands
-        val maxBucket = graft.operators.TextDedup.DefaultMaxBucketSize
-        val rpb = numHashes / bands
-        val coeffs = graft.operators.TextDedup.affineCoeffs(numHashes)
-        val aList = coeffs.map(_._1).mkString("[", ", ", "]")
-        val bList = coeffs.map(_._2).mkString("[", ", ", "]")
-        ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-          s"hsx AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - $nGram, 0) + 1), " +
-          s"i -> CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+$nGram], ' ')), 1, 8)) AS BIGINT))) AS hs FROM t), " +
-          // empty shingle sets dropped before banding (mirrors the Spark
-          // guard): they share one degenerate all-sentinel bucket and pair
-          // as 0/0 "near-dups"
-          s"sigx AS (SELECT doc_id, hs, list_transform(range(1, ${numHashes + 1}), i -> " +
-          s"list_min(list_transform(hs, h -> (h * ($aList)[i] + ($bList)[i]) % 2305843009213693951))) AS sig FROM hsx WHERE len(hs) > 0), " +
-          s"banded0 AS (SELECT doc_id, hs, b, array_to_string(sig[$rpb*b+1:$rpb*b+$rpb], '-') AS bkey FROM sigx, (SELECT unnest(range(0, $bands)) AS b) bs), " +
-          // bsz ≤ cap mirrors the Spark side's between(2, maxBucketSize)
-          // degenerate-bucket guard (TextDedup.DefaultMaxBucketSize — one
-          // constant for both texts; no tested-SF bucket comes near it)
-          "banded AS (SELECT *, COUNT(*) OVER (PARTITION BY b, bkey) AS bsz FROM banded0), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.hs AS ha, c.hs AS hb " +
-          s"FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id WHERE a.bsz <= $maxBucket), " +
-          "v AS (SELECT id_a, id_b, len(list_intersect(ha, hb)) AS n_inter, len(list_distinct(list_concat(ha, hb))) AS n_union FROM pairs) " +
+      "q82_minhash_portable" ->
+        (s"WITH $minhashReplayCtes " +
           "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
-          "FROM v WHERE n_inter * 10 >= n_union * 9 ORDER BY id_a, id_b LIMIT 100")
-      },
+          "FROM v WHERE n_inter * 10 >= n_union * 9 ORDER BY id_a, id_b LIMIT 100"),
+      // round 8: incremental near-dup — the SAME replay restricted to
+      // pairs straddling the id split. Equality proves the asymmetric
+      // Spark plan (portableCrossPairStats — incoming banded against
+      // existing, combined-occupancy cap) finds exactly the symmetric
+      // pipeline's cross pairs.
+      "q124_incremental_neardup" ->
+        (s"WITH $minhashReplayCtes " +
+          "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
+          s"FROM v WHERE n_inter * 10 >= n_union * 9 AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId " +
+          "ORDER BY id_a, id_b LIMIT 100"),
       // round 5: embedding LSH replayed relationally — hyperplanes as a
       // VALUES table generated from Similarity.portableHyperplanes (one
       // source of truth), buckets via SUM of sign bits, verification by
@@ -629,6 +678,13 @@ object SparkEntry {
       "q84_embedlsh_portable" ->
         (s"WITH $embedLshReplayCtes " +
           s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore ORDER BY id_a, id_b LIMIT 100"),
+      // round 8: incremental embedding near-dup — the same replay
+      // restricted to pairs straddling the vec_id split (cf. q124)
+      "q125_incremental_embed" ->
+        (s"WITH $embedLshReplayCtes " +
+          s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore " +
+          s"AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId " +
+          "ORDER BY id_a, id_b LIMIT 100"),
       // round 6: transitive clustering ON TOP of the hash-checked q84 pair
       // pipeline — connected components (Spark: pointer-jumping hash-min,
       // cf. q74) vs DuckDB's recursive closure over the same verified

@@ -297,20 +297,30 @@ object Similarity {
     * shuffle of (table, bucket, id, qv), in-bucket pairs by double
     * explode. `minScore` is the quantized-dot threshold (≈ cosine·10^8
     * for unit-norm inputs). Output: (id_a, id_b, score BIGINT). */
+  /** Quantized-vector frame (id, __qv) — materialized in its own
+    * projection: the bucket expressions reference __qv tables×bits times
+    * (CollapseProject, cf. signatureFrame). */
+  private def portableQuantized(df: DataFrame, idCol: String, vecCol: String,
+                                scale: Int): DataFrame =
+    df.select(col(idCol), quantize(col(vecCol), scale).as("__qv"))
+
+  /** One integer bucket id per table from the ±1 hyperplane sign bits of
+    * a quantized frame's __qv column. */
+  private def portableBucketCols(planes: Seq[Seq[Array[Long]]]): Seq[Column] =
+    planes.map { tbl =>
+      tbl.zipWithIndex.map { case (p, b) =>
+        when(intDot(col("__qv"), typedLit(p.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
   def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minScore: Long, tables: Int = 8, bits: Int = 6,
                          dim: Int = 64, seed: Long = 11L,
                          scale: Int = 10000,
                          maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
-    // __qv materialized in its own projection: the bucket expressions
-    // reference it tables×bits times (CollapseProject, cf. signatureFrame)
-    val q = corpus.select(col(idCol), quantize(col(vecCol), scale).as("__qv"))
-    val bucketCols = planes.map { tbl =>
-      tbl.zipWithIndex.map { case (p, b) =>
-        when(intDot(col("__qv"), typedLit(p.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    val q = portableQuantized(corpus, idCol, vecCol, scale)
+    val bucketCols = portableBucketCols(planes)
     // Bucketing fans out KEYS ONLY — compact (t, bkt, id) triples, never
     // the vectors: carrying __qv here duplicates every vector tables×
     // through the corpus-wide bucket exchange and leaves collected buckets
@@ -332,6 +342,45 @@ object Similarity {
     pairs
       .join(q.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
       .join(q.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
+  /** Incremental embedding near-dup: candidate pairs between an EXISTING
+    * vector corpus and an INCOMING batch — the embedding analogue of
+    * `TextDedup.portableCrossPairStats` (same daily-crawl shape, same
+    * guarantees): both sides bucketed with the SAME hyperplanes, combined
+    * per-key occupancy capped, keys-only joins with the small incoming
+    * side AQE-broadcast so the corpus never shuffles, vectors joined back
+    * for surviving pairs only. Pair set equals `portableEmbedPairs` on
+    * the concatenated corpus restricted to cross pairs (the q125 oracle).
+    * Output: (id_a ∈ existing, id_b ∈ incoming, score BIGINT). */
+  def portableCrossEmbedPairs(existing: DataFrame, incoming: DataFrame,
+                              idCol: String, vecCol: String,
+                              minScore: Long, tables: Int = 8, bits: Int = 6,
+                              dim: Int = 64, seed: Long = 11L,
+                              scale: Int = 10000,
+                              maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val planes = portableHyperplanes(dim, tables, bits, seed)
+    val bucketCols = portableBucketCols(planes)
+    val qOld = portableQuantized(existing, idCol, vecCol, scale)
+    val qNew = portableQuantized(incoming, idCol, vecCol, scale)
+    def keys(q: DataFrame) = q.select(col(idCol),
+      posexplode(array(bucketCols: _*)).as(Seq("__t", "__bkt")))
+    val bOld = keys(qOld)
+    val bNew = keys(qNew)
+    val eligible = bOld.groupBy("__t", "__bkt").agg(count(lit(1)).as("__no"))
+      .join(bNew.groupBy("__t", "__bkt").agg(count(lit(1)).as("__nn")), Seq("__t", "__bkt"))
+      .filter(col("__no") + col("__nn") <= maxBucketSize)
+      .select("__t", "__bkt")
+    val cands = bOld.join(eligible, Seq("__t", "__bkt"))
+      .select(col("__t"), col("__bkt"), col(idCol).as("id_a"))
+      .join(bNew.select(col("__t"), col("__bkt"), col(idCol).as("id_b")), Seq("__t", "__bkt"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
+      .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
       .filter(col("score") >= minScore)
   }

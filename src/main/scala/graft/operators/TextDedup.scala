@@ -275,6 +275,54 @@ object TextDedup {
       .filter(col("bucket_size") > maxBucketSize)
   }
 
+  /** Incremental near-dup: candidate pairs between an EXISTING corpus and
+    * an INCOMING batch — the daily-crawl shape, where recomputing all
+    * intra-corpus pairs per batch is the scale mistake. Both sides are
+    * banded with the SAME affine coefficients, so a cross pair surfaces
+    * iff the symmetric pipeline would have surfaced it; only (band, key,
+    * id) triples meet at the join, and the incoming side is typically
+    * orders of magnitude smaller than the corpus — AQE broadcasts it, so
+    * the corpus never shuffles. (A production deployment additionally
+    * PERSISTS the existing side's signature table between batches;
+    * banding is per-document, so stored signatures stay valid.)
+    *
+    * The degenerate-bucket guard caps COMBINED (existing + incoming)
+    * occupancy per key — exactly the symmetric pipelines' total-bucket
+    * cap, so the pair set equals `portablePairStats` on the concatenated
+    * corpus restricted to cross pairs (which is what the q124 oracle
+    * replays). Output: (id_a ∈ existing, id_b ∈ incoming, n_inter,
+    * n_union). */
+  def portableCrossPairStats(existing: DataFrame, incoming: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleN: Int = PortableShingleN,
+                             numHashes: Int = PortableNumHashes,
+                             bands: Int = PortableBands,
+                             seed: Long = 7L,
+                             maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (baseOld, bandedOld) = portableBanded(existing, idCol, textCol, shingleN, numHashes, bands, seed)
+    val (baseNew, bandedNew) = portableBanded(incoming, idCol, textCol, shingleN, numHashes, bands, seed)
+    // keys eligible for cross pairs: present on BOTH sides, combined
+    // occupancy within the cap (counts are metadata-sized aggregates —
+    // the guard never touches ids or payloads)
+    val eligible = bandedOld.groupBy("__band", "__bkey").agg(count(lit(1)).as("__no"))
+      .join(bandedNew.groupBy("__band", "__bkey").agg(count(lit(1)).as("__nn")),
+        Seq("__band", "__bkey"))
+      .filter(col("__no") + col("__nn") <= maxBucketSize)
+      .select("__band", "__bkey")
+    val cands = bandedOld.join(eligible, Seq("__band", "__bkey"))
+      .select(col("__band"), col("__bkey"), col(idCol).as("id_a"))
+      .join(bandedNew.select(col("__band"), col("__bkey"), col(idCol).as("id_b")),
+        Seq("__band", "__bkey"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(baseOld.select(col(idCol).as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
+      .join(baseNew.select(col(idCol).as("id_b"), col("__hs").as("__hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("n_inter"),
+        size(array_union(col("__ha"), col("__hb"))).cast("long").as("n_union"))
+  }
+
   /** Exact n-gram Jaccard similarity between two token-array columns. */
   def jaccard(aToks: Column, bToks: Column): Column = {
     val ad = array_distinct(aToks)

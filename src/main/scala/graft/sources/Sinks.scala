@@ -37,6 +37,31 @@ object Sinks {
     ()
   }
 
+  /** Sharded JSONL export — the training-data interchange format (one
+    * JSON object per line; what tokenizer/loader stacks consume).
+    * `maxRecordsPerShard` bounds every file via Spark's per-task file
+    * rolling (`maxRecordsPerFile`), so shard sizing needs no repartition
+    * and no extra shuffle — each task just rolls files as it writes.
+    * `compression` "gzip"/"zstd"/"none"; compressed shards stay
+    * line-splittable for re-reading at the FILE level (one shard = one
+    * read task), which is why bounding shard size matters more for JSONL
+    * than for parquet. */
+  def writeJsonlShards(df: DataFrame, path: String, maxRecordsPerShard: Long,
+                       compression: String = "none"): Unit = {
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerShard)
+      .option("compression", compression)
+      .json(path)
+    ()
+  }
+
+  /** ORC sink (columnar alternative with the same pushdown/statistics
+    * contract as parquet — some warehouse stacks are ORC-native). */
+  def writeOrc(df: DataFrame, path: String): Unit = {
+    df.write.mode("overwrite").orc(path)
+    ()
+  }
+
   /** Layout-sorted parquet for data skipping: range-partition then sort
     * within partitions on the filter columns, so each row group's min/max
     * statistics cover a narrow value range and a selective reader skips

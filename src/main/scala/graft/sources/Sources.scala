@@ -68,6 +68,23 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** JSONL with an explicit schema — the production corpus-ingest path:
+    * schema inference is an extra full pass over 100 TB and silently
+    * widens types on dirty data; an explicit schema is one pass and makes
+    * malformed lines an explicit policy (PERMISSIVE null-fill here;
+    * corrupt records land in `_corrupt_record` if the caller adds it). */
+  def jsonl(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text ingest: one row per line (`value` column), the lowest
+    * common denominator for scraped corpora; `wholetext=true` gives one
+    * row per FILE instead (document-per-file layouts). */
+  def textLines(spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
   /** Register every table of a remote database under its own name, the
     * Spark analogue of the reference's introspection loop
     * (db_utils.py:122-136): the remote information_schema drives

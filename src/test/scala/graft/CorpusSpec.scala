@@ -41,13 +41,14 @@ class CorpusSpec extends AnyFunSuite {
     // q120: LATERAL VIEW explode(sequence) vs unnest(generate_series)
     //       (DuckDB's generate_series table function rejects lateral args);
     // q121: CAST(… AS STRING) vs CAST(… AS VARCHAR);
-    // q122: IGNORE NULLS outside (Spark) vs inside (DuckDB) the parens
+    // q122: IGNORE NULLS outside (Spark) vs inside (DuckDB) the parens;
+    // q123: integer division (Spark DIV vs DuckDB // + HUGEINT CAST)
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
       "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode",
       "q99_source_stats", "q100_pct_of_total", "q103_array_funcs",
       "q104_regexp_all", "q110_date_funcs", "q115_doclen_hist",
       "q119_add_months", "q120_chunk_overlap", "q121_stratified_k",
-      "q122_ignore_nulls"))
+      "q122_ignore_nulls", "q123_share_in_region"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {

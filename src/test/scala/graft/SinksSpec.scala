@@ -121,6 +121,54 @@ class SinksSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("jsonl shards: every shard respects the record cap, content round-trips via explicit schema") {
+    import spark.implicits._
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Sinks.writeJsonlShards(docs, dir, maxRecordsPerShard = 100)
+    val shards = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    assert(shards.length >= 5, s"500 docs / cap 100 needs >= 5 shards, got ${shards.length}")
+    shards.foreach { f =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath).size
+      assert(lines <= 100, s"${f.getName} has $lines > 100 lines")
+    }
+    // explicit-schema re-read (the production ingest path — no inference pass)
+    val back = Sources.jsonl(spark, dir, docs.schema)
+    assert(back.schema == docs.schema)
+    val pair = back.select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(pair == docs.select("doc_id", "text").as[(Long, String)].collect().toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("orc sink/source round-trips exactly, with predicate pushdown in the scan") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Sinks.writeOrc(docs, s"$dir/docs")
+    val back = Sources.orc(spark, s"$dir/docs")
+    assert(back.count() == docs.count())
+    val filtered = back.filter(col("doc_id") < 100).select("doc_id")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(doc_id,100)"),
+      s"ORC scan must push the predicate:\n$plan")
+    assert(filtered.count() == 100)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("textLines reads one row per line, or one row per file with wholeFile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.txt"),
+      "line one\nline two\nline three".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.txt"),
+      "solo".getBytes("UTF-8"))
+    assert(Sources.textLines(spark, dir).count() == 4)
+    val whole = Sources.textLines(spark, dir, wholeFile = true)
+    assert(whole.count() == 2)
+    assert(whole.collect().map(_.getString(0)).toSet ==
+      Set("line one\nline two\nline three", "solo"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("zValue interleaves quantized bits") {
     import spark.implicits._
     // 2-bit quantization over [0,3]×[0,3]: z(x=2=b10, y=1=b01)

@@ -362,6 +362,45 @@ class TierESpec extends AnyFunSuite {
     assert(stats._1 == 75L && stats._2 == 81L, s"stats $stats")
   }
 
+  test("portableCrossPairStats equals the symmetric pipeline restricted to cross pairs (q124 oracle path)") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val split = 400L
+    val sym = TextDedup.portablePairStats(docs, "doc_id", "text")
+      .filter(col("id_a") < split && col("id_b") >= split)
+      .select("id_a", "id_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val cross = TextDedup.portableCrossPairStats(
+        docs.filter(col("doc_id") < split), docs.filter(col("doc_id") >= split),
+        "doc_id", "text")
+      .select("id_a", "id_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cross.nonEmpty, "the sf0.001 corpus must contain cross-split candidates")
+    assert(cross == sym, s"asymmetric pair set diverged: only-cross=${cross -- sym}, only-sym=${sym -- cross}")
+    // a planted incoming near-dup of an existing doc is found
+    val existing = docs.filter(col("doc_id") < split)
+    val planted = docs.filter(col("doc_id") === 0L)
+      .select(lit(999999L).as("doc_id"), col("text"))
+    val found = TextDedup.portableCrossPairStats(existing, planted, "doc_id", "text")
+      .filter(col("n_inter") === col("n_union")) // identical text → J = 1
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 999999L)), s"planted dup not found: $found")
+  }
+
+  test("portableCrossEmbedPairs equals the symmetric pipeline restricted to cross pairs (q125 oracle path)") {
+    val vecs = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val split = 400L
+    val sym = graft.operators.Similarity.portableEmbedPairs(vecs, "vec_id", "embedding",
+        minScore = 25000000L)
+      .filter(col("id_a") < split && col("id_b") >= split)
+      .select("id_a", "id_b", "score").as[(Long, Long, Long)].collect().toSet
+    val cross = graft.operators.Similarity.portableCrossEmbedPairs(
+        vecs.filter(col("vec_id") < split), vecs.filter(col("vec_id") >= split),
+        "vec_id", "embedding", minScore = 25000000L)
+      .select("id_a", "id_b", "score").as[(Long, Long, Long)].collect().toSet
+    assert(cross.nonEmpty, "the sf0.001 embeddings must contain cross-split candidates")
+    assert(cross == sym, s"asymmetric pair set diverged: only-cross=${(cross -- sym).take(5)}, only-sym=${(sym -- cross).take(5)}")
+  }
+
   test("portableSimhashPairs: near-identical docs pair, disjoint docs don't (q83 oracle path)") {
     // an APPENDED token shifts each bit's sign-sum by ±1 (a swapped one
     // shifts ±2 and with these fixed hashes lands at hamming 4 — just
