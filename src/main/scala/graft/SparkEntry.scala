@@ -510,6 +510,27 @@ object SparkEntry {
           "vec_id", "embedding", minScore = EmbedMinScore)
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Streaming ingest dedup run to completion on the closed input
+    // (round 8): the incoming half STREAMED and deduped per micro-batch
+    // against the static corpus index — stateless (no watermark, no join
+    // state; banding is per-row expression work, both joins
+    // stream-static). Hash-checked against the same DuckDB batch replay
+    // as q124: streaming output = batch answer on closed input (the
+    // q51/q89 contract, now for the dedup pipeline).
+    "q126_stream_dedup" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < IncrementalSplitId)
+      val (base, banded) = TextDedup.portableIndexFrames(corpus, "doc_id", "text")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      graft.streaming.StreamOps.runAppend(spark,
+          graft.streaming.StreamOps.dedupAgainstCorpus(stream, base, banded, "doc_id", "text"),
+          s"q126_mem_${math.abs(dir.hashCode)}")
+        .distinct() // documented multiset output: one row per matching band
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // Incremental embedding near-dup (round 8): the vector analogue of
     // q124 — an incoming batch (vec_id ≥ split) deduped against the
     // existing index (vec_id < split); oracle = the symmetric q84 replay
@@ -667,6 +688,13 @@ object SparkEntry {
       // existing, combined-occupancy cap) finds exactly the symmetric
       // pipeline's cross pairs.
       "q124_incremental_neardup" ->
+        (s"WITH $minhashReplayCtes " +
+          "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
+          s"FROM v WHERE n_inter * 10 >= n_union * 9 AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId " +
+          "ORDER BY id_a, id_b LIMIT 100"),
+      // round 8: the STREAMING ingest-dedup entry must equal the same
+      // batch answer on closed input (q51/q89 contract) — same replay
+      "q126_stream_dedup" ->
         (s"WITH $minhashReplayCtes " +
           "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
           s"FROM v WHERE n_inter * 10 >= n_union * 9 AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId " +

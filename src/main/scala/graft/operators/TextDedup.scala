@@ -275,6 +275,20 @@ object TextDedup {
       .filter(col("bucket_size") > maxBucketSize)
   }
 
+  /** Public corpus-index frames for incremental/streaming dedup:
+    * base = (id, __hs distinct shingle-hash set), banded = (id, __band,
+    * __bkey). A production pipeline computes these ONCE per corpus
+    * snapshot and persists both (banding is per-document, so stored
+    * frames stay valid as batches arrive); `portableCrossPairStats`
+    * re-derives them per call only because its oracle needs the
+    * self-contained form. */
+  def portableIndexFrames(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = PortableShingleN,
+                          numHashes: Int = PortableNumHashes,
+                          bands: Int = PortableBands,
+                          seed: Long = 7L): (DataFrame, DataFrame) =
+    portableBanded(df, idCol, textCol, shingleN, numHashes, bands, seed)
+
   /** Incremental near-dup: candidate pairs between an EXISTING corpus and
     * an INCOMING batch — the daily-crawl shape, where recomputing all
     * intra-corpus pairs per batch is the scale mistake. Both sides are

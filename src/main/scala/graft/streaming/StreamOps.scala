@@ -143,6 +143,64 @@ object StreamOps {
                           streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  /** Streaming ingest dedup: every micro-batch of incoming documents is
+    * near-dup-checked AGAINST a static corpus index — the streaming form
+    * of `TextDedup.portableCrossPairStats` (same coefficients, same band
+    * keys), and the shape a 24/7 crawl pipeline actually runs.
+    *
+    * Entirely STATELESS: banding is per-row expression work (shingle
+    * hashes → affine signature → band keys, one `posexplode`), and both
+    * joins are stream-static (no join state, no watermark, unbounded
+    * uptime — Spark re-binds the static side per micro-batch, so a
+    * corpus-index refresh is picked up on the next batch). Callers pass
+    * the PERSISTED index frames from `TextDedup.portableIndexFrames`;
+    * at scale the static side is partitioned storage the (small) batch
+    * shuffles to — no broadcast hint here on purpose.
+    *
+    * Two documented deltas vs the batch operator: the degenerate-bucket
+    * cap can only see CORPUS-side occupancy (per-batch stream occupancy
+    * is unknowable pre-aggregation and bounded by batch size anyway),
+    * and the output is a MULTISET — a pair matching in k bands emits k
+    * identical rows, because per-pair dedup would be a stateful
+    * aggregate; distinct() it batch-side or in foreachBatch (one narrow
+    * shuffle over matches only). The stream side carries its shingle-hash
+    * set through the band join — batch-sized payload against a
+    * keys-only static side, the right side of the keys-only trade.
+    *
+    * Output: (id_a ∈ corpus, id_b ∈ stream, n_inter, n_union); threshold
+    * on n_inter/n_union is the caller's (integer cross-multiply). */
+  def dedupAgainstCorpus(docStream: DataFrame,
+                         corpusBase: DataFrame, corpusBanded: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = graft.operators.TextDedup.PortableShingleN,
+                         numHashes: Int = graft.operators.TextDedup.PortableNumHashes,
+                         bands: Int = graft.operators.TextDedup.PortableBands,
+                         seed: Long = 7L,
+                         maxBucketSize: Int = graft.operators.TextDedup.DefaultMaxBucketSize): DataFrame = {
+    import graft.operators.TextDedup
+    val rpb = numHashes / bands
+    val coeffs = TextDedup.affineCoeffs(numHashes, seed)
+    val streamBanded = docStream
+      .select(col(idCol).as("id_b"),
+        array_distinct(TextDedup.portableShingleHashes(col(textCol), shingleN)).as("__hb"))
+      .filter(size(col("__hb")) > 0)
+      .withColumn("__sig", TextDedup.affineSignature(col("__hb"), coeffs))
+      .select(col("id_b"), col("__hb"),
+        posexplode(array((0 until bands).map(b =>
+          array_join(slice(col("__sig"), b * rpb + 1, rpb), "-")): _*))
+          .as(Seq("__band", "__bkey")))
+    val eligible = corpusBanded
+      .join(corpusBanded.groupBy("__band", "__bkey").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize), Seq("__band", "__bkey"))
+      .select(col("__band"), col("__bkey"), col(idCol).as("id_a"))
+    streamBanded
+      .join(eligible, Seq("__band", "__bkey"))
+      .join(corpusBase.select(col(idCol).as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("n_inter"),
+        size(array_union(col("__ha"), col("__hb"))).cast("long").as("n_union"))
+  }
+
   /** Streaming parquet sink with checkpointing — the durable-output path
     * (memory sink is test-only). Append mode; returns after all available
     * input is processed. At scale the checkpoint directory lives on

@@ -53,6 +53,36 @@ class StreamOpsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming ingest dedup equals the batch incremental operator on closed input") {
+    import graft.operators.TextDedup
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val split = 400L
+    val corpus = docs.filter(col("doc_id") < split)
+    val (corpusBase, corpusBanded) = TextDedup.portableIndexFrames(corpus, "doc_id", "text")
+    // closed streaming input: the same parquet files, streamed, filtered
+    // to the "incoming batch" half
+    // the file source requires a directory; scope it to the documents file
+    val docStream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(TestSpark.sf0001)
+      .filter(col("doc_id") >= split)
+    val streamed = StreamOps.runAppend(spark,
+      StreamOps.dedupAgainstCorpus(docStream, corpusBase, corpusBanded, "doc_id", "text"),
+      "stream_ingest_dedup")
+      // output is a documented multiset (one row per matching band) —
+      // distinct batch-side
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = TextDedup.portableCrossPairStats(corpus, docs.filter(col("doc_id") >= split),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // equality holds while no band bucket approaches the cap (true at all
+    // tested SFs): the streaming guard sees corpus-side occupancy only
+    assert(streamed.nonEmpty, "closed stream must surface cross candidates")
+    assert(streamed == batch,
+      s"stream diverged: only-stream=${(streamed -- batch).take(5)}, only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("stream-stream attribution join equals the batch join on closed input") {
     val streamed = StreamOps.runAppend(spark,
       StreamOps.attributionPairs(
