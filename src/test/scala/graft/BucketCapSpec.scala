@@ -74,6 +74,56 @@ class BucketCapSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("portableCrossPairStats caps COMBINED existing+incoming occupancy (each side alone under the cap)") {
+    // 600 boilerplate copies per side: either side alone is under the
+    // 1000 cap — only the combined existing+incoming guard can drop the
+    // bucket. The genuine pair straddles the split and must survive.
+    val existing = ((1 to 600).map(i => (10000L + i, boilerplate)) :+ (1L -> docA)).toDF("doc_id", "text")
+    val incoming = ((1 to 600).map(i => (20000L + i, boilerplate)) :+ (2L -> docA)).toDF("doc_id", "text")
+    val pairs = TextDedup.portableCrossPairStats(existing, incoming, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"expected bounded pair count, got ${pairs.length}")
+    assert(!pairs.exists { case (a, b) => a > 10000L && b > 20000L },
+      "no cross boilerplate pair may survive the combined cap")
+    assert(pairs.contains((1L, 2L)), "the genuine cross-split pair must survive")
+  }
+
+  test("streaming dedupAgainstCorpus drops corpus-side oversize buckets") {
+    // corpus-side bucket over the cap → its keys are ineligible; the
+    // genuine doc still matches. (The streaming guard sees corpus-side
+    // occupancy only — documented delta vs the batch combined cap.)
+    val corpus = ((1 to 1100).map(i => (10000L + i, boilerplate)) :+ (1L -> docA)).toDF("doc_id", "text")
+    val (base, banded) = TextDedup.portableIndexFrames(corpus, "doc_id", "text")
+    val incoming = Seq((2L, docA), (20001L, boilerplate)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamcap").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val matches = graft.streaming.StreamOps.runAppend(spark,
+        graft.streaming.StreamOps.dedupAgainstCorpus(stream, base, banded, "doc_id", "text"),
+        "stream_cap_probe")
+      .distinct()
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(matches.contains((1L, 2L)), s"genuine match must survive, got ${matches.take(5).toSeq}")
+    assert(!matches.exists { case (a, b) => a > 10000L && b == 20001L },
+      "the oversize corpus bucket must be ineligible for stream matches")
+    // drop the memory-sink view: CatalogSpec asserts the exact table set
+    spark.catalog.dropTempView("stream_cap_probe")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("portableCrossEmbedPairs caps COMBINED occupancy (each side alone under the cap)") {
+    val w = Array.tabulate(64)(i => (math.sin(i + 1) / 8.0).toFloat)
+    val a = Array.tabulate(64)(i => (math.cos(2 * i + 1) / 8.0).toFloat)
+    val existing = ((1 to 600).map(i => (10000L + i, w.toSeq)) :+ (1L -> a.toSeq)).toDF("vec_id", "embedding")
+    val incoming = ((1 to 600).map(i => (20000L + i, w.toSeq)) :+ (2L -> a.toSeq)).toDF("vec_id", "embedding")
+    val pairs = Similarity.portableCrossEmbedPairs(existing, incoming, "vec_id", "embedding", minScore = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"got ${pairs.length}")
+    assert(!pairs.exists { case (a0, b) => a0 > 10000L && b > 20000L },
+      "no cross boilerplate-vector pair may survive the combined cap")
+    assert(pairs.contains((1L, 2L)), "the genuine cross-split vector pair must survive")
+  }
+
   /** 2,000 identical vectors (ids 10001+) + a genuine identical pair
     * (ids 1, 2) + one far vector (id 3). */
   private lazy val vecs = {
