@@ -872,7 +872,136 @@ object Corpus {
         "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) FROM orders) AS BIGINT) AS share_bp " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
         "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
-        "GROUP BY n.n_name ORDER BY n.n_name LIMIT 100"))
+        "GROUP BY n.n_name ORDER BY n.n_name LIMIT 100")),
+
+    // Q127 — cross-document boilerplate removal (LLM-pipeline row: the
+    // CCNet/C4 cleanup step — drop text blocks that recur across ≥2
+    // distinct documents; nav bars, license headers, scraped templates).
+    // Blocks are non-overlapping 8-token windows keyed by md5, so both
+    // the recurrence GROUP BY and the join back to documents shuffle
+    // 32-hex-char keys + ids, never token payloads (the banding-exchange
+    // discipline of q82 applied to chunks). Per-doc report: chunks seen,
+    // chunks dropped, retained basis points [dual: split/size/slice/
+    // array_join/sequence-explode and DIV vs the DuckDB list spellings].
+    // (n_boiler DESC, doc_id) is a unique total order.
+    DeclaredQuery("q127_boilerplate_strip",
+      "WITH toks AS (" +
+        "SELECT doc_id, t FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) WHERE size(t) >= 8" +
+        "), chunks AS (" +
+        "SELECT doc_id, md5(array_join(slice(t, g, 8), ' ')) AS ch " +
+        "FROM toks LATERAL VIEW explode(sequence(1, size(t) - 7, 8)) s AS g" +
+        "), rep AS (SELECT ch FROM chunks GROUP BY ch HAVING COUNT(DISTINCT doc_id) >= 2) " +
+        "SELECT c.doc_id, COUNT(*) AS n_chunks, COUNT(r.ch) AS n_boiler, " +
+        "(COUNT(*) - COUNT(r.ch)) * 10000 DIV COUNT(*) AS kept_bp " +
+        "FROM chunks c LEFT JOIN rep r ON c.ch = r.ch " +
+        "GROUP BY c.doc_id ORDER BY n_boiler DESC, doc_id LIMIT 100",
+      Some("WITH toks AS (" +
+        "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 8" +
+        "), chunks AS (" +
+        "SELECT doc_id, md5(array_to_string(t[g:g+7], ' ')) AS ch " +
+        "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7, 8)) AS g FROM toks)" +
+        "), rep AS (SELECT ch FROM chunks GROUP BY ch HAVING COUNT(DISTINCT doc_id) >= 2) " +
+        "SELECT c.doc_id, COUNT(*) AS n_chunks, COUNT(r.ch) AS n_boiler, " +
+        "CAST((COUNT(*) - COUNT(r.ch)) * 10000 // COUNT(*) AS BIGINT) AS kept_bp " +
+        "FROM chunks c LEFT JOIN rep r ON c.ch = r.ch " +
+        "GROUP BY c.doc_id ORDER BY n_boiler DESC, doc_id LIMIT 100")),
+
+    // Q128 — corpus-frequency quality score (LLM-pipeline row: the
+    // KenLM-proxy filter — a document whose tokens have high average
+    // document frequency is common-word prose; gibberish and boilerplate
+    // code score low). Two passes over the exploded tokens: a df
+    // aggregate (token → distinct-doc count), then a token→df join and
+    // per-doc mean, exposed as exact basis points of the corpus size —
+    // integer sums and ONE integer division, so both engines agree
+    // bit-for-bit (no log/float in the hashed path). The df side is an
+    // aggregate of vocabulary size — broadcastable at any corpus scale
+    // [dual: explode vs unnest, DIV vs // with the HUGEINT-sum CAST].
+    DeclaredQuery("q128_df_quality",
+      "WITH toks AS (" +
+        "SELECT doc_id, tok FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok" +
+        "), df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok) " +
+        "SELECT t.doc_id, COUNT(*) AS n_toks, CAST(SUM(d.df) AS BIGINT) AS sum_df, " +
+        "SUM(d.df) * 10000 DIV (COUNT(*) * (SELECT COUNT(*) FROM documents)) AS mean_df_bp " +
+        "FROM toks t JOIN df d ON t.tok = d.tok " +
+        "GROUP BY t.doc_id ORDER BY mean_df_bp DESC, doc_id LIMIT 100",
+      Some("WITH toks AS (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents" +
+        "), df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok) " +
+        "SELECT t.doc_id, COUNT(*) AS n_toks, CAST(SUM(d.df) AS BIGINT) AS sum_df, " +
+        "CAST(SUM(d.df) * 10000 // (COUNT(*) * (SELECT COUNT(*) FROM documents)) AS BIGINT) AS mean_df_bp " +
+        "FROM toks t JOIN df d ON t.tok = d.tok " +
+        "GROUP BY t.doc_id ORDER BY mean_df_bp DESC, doc_id LIMIT 100")),
+
+    // Q129 — collocation mining (LLM-pipeline row: adjacent-bigram lift
+    // for tokenizer-merge candidates / stock-phrase detection). Bigrams
+    // come from a per-row array lambda — transform over an index
+    // sequence — NOT a positional self-join (the within-group-pairs
+    // anti-pattern); lift = c(ab)·N·100 / (c(a)·c(b)) in pure BIGINT
+    // arithmetic (one integer division, overflow-safe to ~1e6-token
+    // corpora per the comment in PLANS.md; shard the N factor for more).
+    // The unigram side is vocabulary-sized → broadcast joins. split_part
+    // is a shared spelling [dual: lambda + explode vs list_transform +
+    // unnest, element_at 1-based vs t[i], DIV vs //]. (w1, w2) is unique.
+    DeclaredQuery("q129_collocations",
+      "WITH toks AS (" +
+        "SELECT doc_id, t FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) WHERE size(t) >= 2" +
+        "), uni AS (" +
+        "SELECT tok, COUNT(*) AS c1 FROM toks LATERAL VIEW explode(t) x AS tok GROUP BY tok" +
+        "), bi AS (" +
+        "SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 " +
+        "FROM toks LATERAL VIEW explode(transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) b AS bg" +
+        "), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2) " +
+        "SELECT w1, w2, c2, " +
+        "c2 * (SELECT SUM(c1) FROM uni) * 100 DIV (ua.c1 * ub.c1) AS lift_c " +
+        "FROM big JOIN uni ua ON big.w1 = ua.tok JOIN uni ub ON big.w2 = ub.tok " +
+        "WHERE c2 >= 3 ORDER BY lift_c DESC, w1, w2 LIMIT 100",
+      Some("WITH toks AS (" +
+        "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
+        "), uni AS (" +
+        "SELECT tok, COUNT(*) AS c1 FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok" +
+        "), bi AS (" +
+        "SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 " +
+        "FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks)" +
+        "), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2) " +
+        "SELECT w1, w2, c2, " +
+        "CAST(c2 * (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) * 100 // (ua.c1 * ub.c1) AS BIGINT) AS lift_c " +
+        "FROM big JOIN uni ua ON big.w1 = ua.tok JOIN uni ub ON big.w2 = ub.tok " +
+        "WHERE c2 >= 3 ORDER BY lift_c DESC, w1, w2 LIMIT 100")),
+
+    // Q130 — per-language vocabulary coverage (LLM-pipeline row: the
+    // tokenizer-vocab selection curve — top-k terms per language with
+    // cumulative corpus share in basis points). The windows run over the
+    // (lang, tok) AGGREGATE output (vocabulary-sized, like q123's
+    // region window — never the exploded token stream) and are
+    // partitioned by lang, so no global Window node; WindowGroupLimit
+    // prunes to the top 25 per language before the final sort. All
+    // integer arithmetic [dual: explode vs unnest, DIV vs // plus the
+    // CAST on DuckDB's HUGEINT window sum]. (lang, r) is unique.
+    DeclaredQuery("q130_vocab_coverage",
+      "WITH toks AS (" +
+        "SELECT lang, tok FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok" +
+        "), uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok), " +
+        "ranked AS (" +
+        "SELECT lang, tok, cnt, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS r, " +
+        "SUM(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt, " +
+        "SUM(cnt) OVER (PARTITION BY lang) AS tot FROM uni) " +
+        "SELECT lang, CAST(r AS BIGINT) AS r, tok, cnt, CAST(cum_cnt AS BIGINT) AS cum_cnt, " +
+        "cum_cnt * 10000 DIV tot AS cum_bp " +
+        "FROM ranked WHERE r <= 25 ORDER BY lang, r LIMIT 100",
+      Some("WITH toks AS (" +
+        "SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents" +
+        "), uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok), " +
+        "ranked AS (" +
+        "SELECT lang, tok, cnt, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS r, " +
+        "SUM(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt, " +
+        "SUM(cnt) OVER (PARTITION BY lang) AS tot FROM uni) " +
+        "SELECT lang, CAST(r AS BIGINT) AS r, tok, cnt, CAST(cum_cnt AS BIGINT) AS cum_cnt, " +
+        "CAST(cum_cnt * 10000 // tot AS BIGINT) AS cum_bp " +
+        "FROM ranked WHERE r <= 25 ORDER BY lang, r LIMIT 100"))
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap

@@ -42,13 +42,18 @@ class CorpusSpec extends AnyFunSuite {
     //       (DuckDB's generate_series table function rejects lateral args);
     // q121: CAST(… AS STRING) vs CAST(… AS VARCHAR);
     // q122: IGNORE NULLS outside (Spark) vs inside (DuckDB) the parens;
-    // q123: integer division (Spark DIV vs DuckDB // + HUGEINT CAST)
+    // q123: integer division (Spark DIV vs DuckDB // + HUGEINT CAST);
+    // q127-q130: split/size/slice/array_join/explode(sequence)/lambda
+    //   transform vs the DuckDB list_* + unnest spellings, DIV vs //
+    //   (with CASTs where DuckDB's SUM/window-SUM yields HUGEINT)
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
       "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode",
       "q99_source_stats", "q100_pct_of_total", "q103_array_funcs",
       "q104_regexp_all", "q110_date_funcs", "q115_doclen_hist",
       "q119_add_months", "q120_chunk_overlap", "q121_stratified_k",
-      "q122_ignore_nulls", "q123_share_in_region"))
+      "q122_ignore_nulls", "q123_share_in_region",
+      "q127_boilerplate_strip", "q128_df_quality", "q129_collocations",
+      "q130_vocab_coverage"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
