@@ -1001,7 +1001,143 @@ object Corpus {
         "SUM(cnt) OVER (PARTITION BY lang) AS tot FROM uni) " +
         "SELECT lang, CAST(r AS BIGINT) AS r, tok, cnt, CAST(cum_cnt AS BIGINT) AS cum_cnt, " +
         "CAST(cum_cnt * 10000 // tot AS BIGINT) AS cum_bp " +
-        "FROM ranked WHERE r <= 25 ORDER BY lang, r LIMIT 100"))
+        "FROM ranked WHERE r <= 25 ORDER BY lang, r LIMIT 100")),
+
+    // Q132 — pairwise source-overlap matrix (LLM-pipeline row: which crawl
+    // sources duplicate each other — the input to source-level dedup and
+    // mixing decisions). Exact trigram-shingle Jaccard between every
+    // source pair: the shingle stream is reduced to DISTINCT (source,
+    // md5) rows, so the equality self-join shuffles 32-hex keys + source
+    // names only — never token payloads — and per-hash fanout is bounded
+    // by the SOURCE universe (≤ |sources|² pairs per hash), not corpus
+    // size; at an unbounded source count the KMV-sketch form replaces the
+    // exact join. (jaccard_bp DESC, src_a, src_b) is unique. [dual:
+    // split/size/slice/array_join/sequence-explode and DIV vs the DuckDB
+    // list spellings + // HUGEINT cast]
+    DeclaredQuery("q132_source_overlap",
+      "WITH toks AS (" +
+        "SELECT source, t FROM (SELECT source, split(text, ' ') AS t FROM documents) WHERE size(t) >= 3" +
+        "), sh AS (" +
+        "SELECT DISTINCT source, md5(array_join(slice(t, g, 3), ' ')) AS h " +
+        "FROM toks LATERAL VIEW explode(sequence(1, size(t) - 2)) s AS g" +
+        "), sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source), " +
+        "ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter " +
+        "FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY a.source, b.source) " +
+        "SELECT ix.src_a, ix.src_b, ix.n_inter, na.n AS n_a, nb.n AS n_b, " +
+        "ix.n_inter * 10000 DIV (na.n + nb.n - ix.n_inter) AS jaccard_bp " +
+        "FROM ix JOIN sz na ON na.source = ix.src_a JOIN sz nb ON nb.source = ix.src_b " +
+        "ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 100",
+      Some("WITH toks AS (" +
+        "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+        "), sh AS (" +
+        "SELECT DISTINCT source, md5(array_to_string(t[g:g+2], ' ')) AS h " +
+        "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+        "), sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source), " +
+        "ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter " +
+        "FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY a.source, b.source) " +
+        "SELECT ix.src_a, ix.src_b, ix.n_inter, na.n AS n_a, nb.n AS n_b, " +
+        "CAST(ix.n_inter * 10000 // (na.n + nb.n - ix.n_inter) AS BIGINT) AS jaccard_bp " +
+        "FROM ix JOIN sz na ON na.source = ix.src_a JOIN sz nb ON nb.source = ix.src_b " +
+        "ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 100")),
+
+    // Q133 — embedding centroid drift (LLM-pipeline row: per-label
+    // centroid separation — the monitor for label leakage / cluster
+    // collapse in an embedding table). Components quantize to exact
+    // basis-point integers (FLOOR(x·10⁴): float→double is exact, the
+    // multiply and FLOOR are correctly rounded IEEE — bit-identical in
+    // both engines, the q85/q116 rule); the per-(label,pos) centroid is
+    // an OFFSET-SHIFTED integer average ((S + 10⁴·n) DIV n − 10⁴, kept
+    // non-negative because Spark DIV truncates toward zero while DuckDB
+    // // floors — they agree only on non-negative operands); cosine needs
+    // no vector normalization (scale-invariant) and its only double math
+    // is one mul/div/SQRT chain over exact integers — correctly rounded
+    // and identical cross-engine, hashed via FLOOR bp. The explode
+    // shuffles (label, pos, int) triples — never float vectors; the pair
+    // join is over a |labels|·dim centroid table (broadcast-sized at any
+    // corpus scale). (cos_bp DESC, lab_a, lab_b) is unique. [dual:
+    // posexplode vs index join, DIV vs // with HUGEINT casts]
+    DeclaredQuery("q133_centroid_drift",
+      "WITH q AS (" +
+        "SELECT label, pos, CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS qv " +
+        "FROM (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings)" +
+        "), c AS (" +
+        "SELECT label, pos, (SUM(qv) + 10000 * COUNT(*)) DIV COUNT(*) - 10000 AS cq " +
+        "FROM q GROUP BY label, pos" +
+        "), p AS (" +
+        "SELECT a.label AS lab_a, b.label AS lab_b, " +
+        "SUM(a.cq * b.cq) AS dot, SUM(a.cq * a.cq) AS n1, SUM(b.cq * b.cq) AS n2 " +
+        "FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label " +
+        "GROUP BY a.label, b.label) " +
+        "SELECT lab_a, lab_b, dot, " +
+        "CAST(FLOOR(CAST(dot AS DOUBLE) * 10000 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS BIGINT) AS cos_bp " +
+        "FROM p ORDER BY cos_bp DESC, lab_a, lab_b LIMIT 100",
+      Some("WITH q AS (" +
+        "SELECT label, i AS pos, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qv " +
+        "FROM embeddings, (SELECT unnest(range(1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i) idx " +
+        "WHERE i <= len(embedding)" +
+        "), c AS (" +
+        "SELECT label, pos, " +
+        "CAST((CAST(SUM(qv) AS BIGINT) + 10000 * COUNT(*)) // COUNT(*) - 10000 AS BIGINT) AS cq " +
+        "FROM q GROUP BY label, pos" +
+        "), p AS (" +
+        "SELECT a.label AS lab_a, b.label AS lab_b, " +
+        "CAST(SUM(a.cq * b.cq) AS BIGINT) AS dot, " +
+        "CAST(SUM(a.cq * a.cq) AS BIGINT) AS n1, CAST(SUM(b.cq * b.cq) AS BIGINT) AS n2 " +
+        "FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label " +
+        "GROUP BY a.label, b.label) " +
+        "SELECT lab_a, lab_b, dot, " +
+        "CAST(FLOOR(CAST(dot AS DOUBLE) * 10000 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS BIGINT) AS cos_bp " +
+        "FROM p ORDER BY cos_bp DESC, lab_a, lab_b LIMIT 100")),
+
+    // Q134 — calendar-spine gap filling (time-series row: the dense hourly
+    // grid every monitoring/training-curve report needs — missing hours
+    // surface as explicit zero rows, not silent holes; 5 genuinely empty
+    // hours exist in the first 100 at sf0.01, so the fill path is
+    // hash-checked, not vacuous). The spine derives from the data's own
+    // MIN/MAX (scalar subqueries — no hardcoded range), the aggregate is
+    // one partial→final pass over the filtered scan, and the spine join
+    // is metadata-sized (hours, not events) at any corpus scale. Hours
+    // render as strings (raw DATE/ns rules). (hr) is unique. [dual:
+    // explode(sequence)/date_format vs unnest(generate_series)/strftime]
+    DeclaredQuery("q134_gap_fill",
+      "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events), " +
+        "agg AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n, " +
+        "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents " +
+        "FROM events WHERE event_type = 'error' GROUP BY date_trunc('hour', ts)), " +
+        "spine AS (SELECT explode(sequence((SELECT h0 FROM b), (SELECT h1 FROM b), interval 1 hour)) AS h) " +
+        "SELECT date_format(s.h, 'yyyy-MM-dd HH:00') AS hr, COALESCE(a.n, 0) AS n_events, " +
+        "COALESCE(a.cents, 0) AS cents " +
+        "FROM spine s LEFT JOIN agg a ON s.h = a.h ORDER BY hr LIMIT 100",
+      Some("WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events), " +
+        "agg AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type = 'error' GROUP BY date_trunc('hour', ts)), " +
+        "spine AS (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b), INTERVAL 1 HOUR)) AS h) " +
+        "SELECT strftime(s.h, '%Y-%m-%d %H:00') AS hr, COALESCE(a.n, 0) AS n_events, " +
+        "CAST(COALESCE(a.cents, 0) AS BIGINT) AS cents " +
+        "FROM spine s LEFT JOIN agg a ON s.h = a.h ORDER BY hr LIMIT 100")),
+
+    // Q135 — exact IQR outlier fences (data-quality row: the Tukey-fence
+    // anomaly count per event type). Quartiles via the shared
+    // percentile_disc WITHIN GROUP spelling (exact order statistics pick
+    // REAL cent values — no interpolation, the q114 rule), fences in pure
+    // integer arithmetic (2·x vs 2·q3 + 3·IQR avoids the 1.5 fraction),
+    // one broadcast-sized fence table joined back to a single counting
+    // pass. Shared text — both engines spell every construct identically;
+    // CASTs around SUM keep DuckDB's HUGEINT out of the dump.
+    // (event_type) is unique.
+    DeclaredQuery("q135_iqr_outliers",
+      "WITH v AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events), " +
+        "f AS (SELECT event_type AS etype, " +
+        "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY vc) AS BIGINT) AS q1c, " +
+        "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY vc) AS BIGINT) AS q3c " +
+        "FROM v GROUP BY event_type) " +
+        "SELECT v.event_type, f.q1c, f.q3c, COUNT(*) AS n_total, " +
+        "CAST(SUM(CASE WHEN 2 * v.vc > 2 * f.q3c + 3 * (f.q3c - f.q1c) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper, " +
+        "CAST(SUM(CASE WHEN 2 * v.vc < 2 * f.q1c - 3 * (f.q3c - f.q1c) THEN 1 ELSE 0 END) AS BIGINT) AS n_lower, " +
+        "MAX(v.vc) AS max_cents " +
+        "FROM v JOIN f ON v.event_type = f.etype " +
+        "GROUP BY v.event_type, f.q1c, f.q3c ORDER BY v.event_type LIMIT 100")
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap

@@ -439,6 +439,34 @@ object SparkEntry {
         .select("id_a", "id_b")
       TextDedup.nearDupClusters(pairs).orderBy("doc_id").limit(100)
     },
+    // Near-dup survivor selection (round 8): the dedup ACTION that q74's
+    // clustering feeds — keep ONE canonical document per near-dup cluster
+    // (longest text, doc_id tie-break) and report the post-dedup corpus
+    // budget per language. Same integer-jaccard edge set as q74 so the
+    // DuckDB recursive-closure oracle replays the identical clusters;
+    // singletons label themselves via COALESCE (no join fan-out). The
+    // window is PARTITIONED by cluster (never global) and the final
+    // aggregate is 5 rows — the whole selection adds one narrow shuffle
+    // of (doc_id, cluster, n_chars, lang) rows on top of the clustering.
+    "q131_dedup_survivors" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), array_distinct(split(col("text"), " ")).as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), array_distinct(split(col("text"), " ")).as("tb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+        .filter(size(array_intersect(col("ta"), col("tb"))) * 10 >=
+          size(array_union(col("ta"), col("tb"))) * 9)
+        .select("id_a", "id_b")
+      val labeled = d.join(TextDedup.nearDupClusters(pairs), Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("cluster"), col("doc_id")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy(col("n_chars").desc, col("doc_id"))
+      labeled.withColumn("rn", row_number().over(win))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") === 1, col("n_chars")).otherwise(0L)).as("chars_kept"))
+        .orderBy("lang").limit(100)
+    },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
     // replaying the identical sequential rule per shard.
@@ -979,6 +1007,30 @@ object SparkEntry {
           "SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst" +
           ") SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach " +
           "GROUP BY id ORDER BY doc_id LIMIT 100"),
+      // round 8: the same recursive closure extended with the survivor
+      // argmax (row_number over n_chars DESC, doc_id) and the per-lang
+      // post-dedup budget — the oracle for the distributed winner
+      // selection on top of connectedComponents
+      "q131_dedup_survivors" ->
+        ("WITH RECURSIVE pairs AS (" +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+          "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+          "WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' ')))) * 10 >= " +
+          "len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' '))))) * 9" +
+          "), edges AS (" +
+          "SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs" +
+          "), reach(id, lbl) AS (" +
+          "SELECT src, src FROM edges " +
+          "UNION " +
+          "SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst" +
+          "), comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id), " +
+          "lab AS (SELECT d.doc_id, d.lang, d.n_chars, COALESCE(c.cluster, d.doc_id) AS comp " +
+          "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id), " +
+          "rk AS (SELECT lang, n_chars, row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn FROM lab) " +
+          "SELECT lang, COUNT(*) AS n_docs, " +
+          "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept " +
+          "FROM rk GROUP BY lang ORDER BY lang LIMIT 100"),
       // new round 4: DuckDB's window NTILE is the oracle for the
       // distributed two-pass form (identical positional semantics over the
       // same unique total order)

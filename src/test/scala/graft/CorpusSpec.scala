@@ -45,7 +45,12 @@ class CorpusSpec extends AnyFunSuite {
     // q123: integer division (Spark DIV vs DuckDB // + HUGEINT CAST);
     // q127-q130: split/size/slice/array_join/explode(sequence)/lambda
     //   transform vs the DuckDB list_* + unnest spellings, DIV vs //
-    //   (with CASTs where DuckDB's SUM/window-SUM yields HUGEINT)
+    //   (with CASTs where DuckDB's SUM/window-SUM yields HUGEINT);
+    // q132: same list-toolkit split + DIV-vs-// divergence;
+    // q133: posexplode vs lateral index join, DIV vs // + HUGEINT CASTs;
+    // q134: explode(sequence)/date_format vs unnest(generate_series)/
+    //   strftime (q135 shares one text: percentile_disc WITHIN GROUP,
+    //   FLOOR and the integer fences spell identically in both engines)
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
       "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode",
       "q99_source_stats", "q100_pct_of_total", "q103_array_funcs",
@@ -53,7 +58,8 @@ class CorpusSpec extends AnyFunSuite {
       "q119_add_months", "q120_chunk_overlap", "q121_stratified_k",
       "q122_ignore_nulls", "q123_share_in_region",
       "q127_boilerplate_strip", "q128_df_quality", "q129_collocations",
-      "q130_vocab_coverage"))
+      "q130_vocab_coverage", "q132_source_overlap", "q133_centroid_drift",
+      "q134_gap_fill"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
