@@ -58,7 +58,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Full-precision line for the human/BASELINE.md record. At 130+
+    // entries this is ~4.4 KB — LONGER than the driver's 2000-char tail
+    // capture, which is why every BENCH_r*.json through r8 came back
+    // "parsed": null (the line's head was clipped out of the window).
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    // Compact line LAST so it lands complete inside the tail window:
+    // q-number keys (unique by construction), millisecond precision.
+    // Graceful degradation if the corpus outgrows the window: drop to
+    // centisecond precision rather than dropping entries.
+    def compact(dec: Int): String = {
+      val inner = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+      val tot = BigDecimal(total).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
+      s"""{"metric":"total","value":$tot,"unit":"sec","reps":$reps,"queries":$inner,"sf":"$sfDir"}"""
+    }
+    val line3 = compact(3)
+    println(if (line3.length <= 1850) line3 else compact(2))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Registers the driver testdata parquet files as temp views, mirroring the
   * reference's schema-introspection step (db_utils.py:116-156) collapsed to
@@ -36,9 +36,13 @@ object Tables {
     val key = System.identityHashCode(spark)
     if (!registered.get(key).contains(dir)) synchronized {
       if (!registered.get(key).contains(dir)) {
-        // `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4
-        // refuses outright; read nanos as long and truncate to µs (FIXTURES.md
-        // documents this as immaterial for the declared hour-granularity ops).
+        // `events.ts` has shipped as INT64 TIMESTAMP(NANOS) (rounds ≤8:
+        // Spark 4 refuses it outright, so read nanos as long under the
+        // legacy conf and truncate to µs) AND as tz-naive TIMESTAMP(MICROS)
+        // (round 9 regeneration: infers as TIMESTAMP_NTZ). Normalize both
+        // to TimestampType — session tz is UTC everywhere, so the NTZ→LTZ
+        // cast is value-identity, and every oracle text/plan rule was
+        // written against TimestampType ts (FIXTURES.md).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         names.foreach { t =>
           val path = s"$dir/$t.parquet"
@@ -47,6 +51,8 @@ object Tables {
             val df =
               if (t == "events" && raw.schema("ts").dataType == LongType)
                 raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              else if (t == "events" && raw.schema("ts").dataType != TimestampType)
+                raw.withColumn("ts", col("ts").cast(TimestampType))
               else raw
             df.createOrReplaceTempView(t)
           }

@@ -18,9 +18,15 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events.parquet writes ts as INT64 TIMESTAMP(NANOS); the stream schema
-    * reads it as long and converts to µs timestamps (same convention as
-    * graft.Tables). */
+  /** The events stream schema with `ts` as a raw long — the shape a
+    * TIMESTAMP(NANOS) events.parquet reads as under
+    * `spark.sql.legacy.parquet.nanosAsLong`. Testdata generations have
+    * shipped `ts` as BOTH nanos and micros (the driver regenerates the
+    * fixtures between rounds), so `eventsStream` sniffs the actual file
+    * type instead of assuming this schema — round 8's driver run silently
+    * double-divided a µs file by 1000 and collapsed every timestamp into
+    * 1970, which only the streaming path hit because the batch path
+    * (`Tables.register`) already guards on the inferred type. */
   val rawEventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -31,12 +37,23 @@ object StreamOps {
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sniff the footer through the batch reader (cheap, lazy scan): a
+    // NANOS file surfaces ts as LongType under the legacy conf, a MICROS
+    // file as TimestampType natively. Declare the stream schema to match
+    // what the reader will actually produce and convert only ns longs.
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(rawEventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     // the file source requires a directory; scope it to the events file
-    spark.readStream
-      .schema(rawEventsSchema)
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Normalize to TimestampType: watermarks reject TIMESTAMP_NTZ (the
+    // type a tz-naive MICROS file infers as). Session tz is UTC in every
+    // entrypoint, so the NTZ→LTZ cast is value-identity.
+    if (tsType == LongType) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling 1-hour windowed aggregate with a 10-minute watermark —
