@@ -514,6 +514,16 @@ object SparkEntry {
         .filter(col("n_inter") * 10 >= col("n_union") * 9)
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Edit-distance fuzzy-dup pairs (round 9): the character-level
+    // complement to minhash — prefix-16 blocking (each doc in exactly ONE
+    // block, so the pair stream is unique by construction), capped blocks,
+    // banded 3-arg levenshtein with early exit at the threshold. Text
+    // never crosses the blocking shuffle; it joins back for survivors.
+    "q136_edit_distance" -> { (spark, dir) =>
+      TextDedup.editDistancePairs(Tables.table(spark, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
     // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
@@ -990,6 +1000,20 @@ object SparkEntry {
           "FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1" +
           ") SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack " +
           "FROM packed ORDER BY doc_id LIMIT 100"),
+      // round 9: prefix-blocked Levenshtein replay — DuckDB computes the
+      // plain 2-arg distance with a WHERE threshold; the engine's banded
+      // 3-arg form returns the true distance for every pair it keeps, so
+      // the kept rowsets are identical. Constants interpolated from
+      // TextDedup (EditPrefixLen/EditMaxDist/DefaultMaxBucketSize).
+      "q136_edit_distance" ->
+        (s"WITH b AS (SELECT substr(text, 1, ${graft.operators.TextDedup.EditPrefixLen}) AS k, doc_id FROM documents), " +
+          s"el AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
+          "p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b a " +
+          "JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el e ON e.k = a.k), " +
+          "d AS (SELECT p.id_a, p.id_b, levenshtein(da.text, dc.text) AS dist " +
+          "FROM p JOIN documents da ON da.doc_id = p.id_a JOIN documents dc ON dc.doc_id = p.id_b) " +
+          s"SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM d WHERE dist <= ${graft.operators.TextDedup.EditMaxDist} " +
+          "ORDER BY id_a, id_b LIMIT 100"),
       // new round 4: the recursive-CTE transitive closure is the oracle
       // for the distributed connected-components operator (same integer
       // jaccard edge set, min-id labels)

@@ -124,6 +124,55 @@ object TextDedup {
       .distinct()
   }
 
+  /** Parameters shared by `editDistancePairs` and the q136 DuckDB oracle
+    * text (SparkEntry interpolates them) — one compile-time source of
+    * truth, same discipline as the Portable* constants. */
+  val EditPrefixLen = 16
+  val EditMaxDist = 64
+
+  /** Fuzzy-duplicate pairs by EDIT DISTANCE with prefix blocking — the
+    * character-level complement to set-similarity dedup (minhash catches
+    * reordered/shuffled token overlap; edit distance catches small
+    * insertions/typos/template fills that keep the character stream
+    * aligned). All-pairs Levenshtein is O(n²·len²) and unshippable, so
+    * candidates are blocked on the first `prefixLen` characters: only
+    * documents sharing an exact prefix are compared — the classic
+    * sorted-neighborhood/blocking trade (recall bounded by the blocking
+    * key, like LSH banding is by band width).
+    *
+    * Scale shape (the repo's standard pair-generator discipline):
+    *   - the blocking exchange carries (prefix, id) ONLY — document text
+    *     never crosses the bucket shuffle; it joins back for the
+    *     surviving candidate pairs;
+    *   - blocks are capped at `maxBucketSize` (m-doc boilerplate block →
+    *     m² pairs inside one collected task otherwise);
+    *   - the distance itself uses Spark's banded 3-arg `levenshtein`
+    *     (threshold form): the DP early-exits at `maxDist` band width, so
+    *     each comparison is O(len·maxDist) not O(len²), and mismatched
+    *     pairs cost the minimum. The DuckDB oracle spells the same
+    *     predicate as plain levenshtein ≤ maxDist — the 3-arg form
+    *     returns the true distance for every pair it keeps, so the kept
+    *     rowsets are identical.
+    * Output: (id_a, id_b, dist), id_a < id_b. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = EditPrefixLen,
+                        maxDist: Int = EditMaxDist,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val blocked = df.select(substring(col(textCol), 1, prefixLen).as("__k"), col(idCol))
+    val pairs = blocked.groupBy("__k")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    pairs
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // 3-arg levenshtein returns -1 above maxDist
+  }
+
   /** Portable shingle hashes: md5-derived 32-bit integers (the q69
     * dual-spelling trick) — the cross-engine twin of `shingleHashes`
     * (whose fused xxhash64 stays the production path). */

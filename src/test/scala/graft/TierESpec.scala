@@ -118,6 +118,43 @@ class TierESpec extends AnyFunSuite {
     assert(deduped.toSeq == Seq(1L, 3L))
   }
 
+  test("editDistancePairs matches a scalar Levenshtein reference (q136 oracle path)") {
+    // scalar reference: classic two-row DP
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cur
+        }
+      }
+      prev(b.length)
+    }
+    val prefix = "shared sixteen!! " // ≥ EditPrefixLen chars, identical
+    val docs = Seq(
+      (1L, prefix + "the quick brown fox jumps over the lazy dog"),
+      (2L, prefix + "the quick brown cat jumps over the lazy dog"), // small edit
+      (3L, prefix + ("completely different tail " * 8)),            // > maxDist away
+      (4L, "other prefix ---- never blocked with the rest"))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextDedup.editDistancePairs(df, "doc_id", "text")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // only same-prefix pairs within maxDist survive, with the exact distance
+    val byId = docs.toMap
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    assert(got((1L, 2L)) == lev(byId(1L), byId(2L)))
+    // doc 3 shares the block but is beyond the threshold; doc 4 never blocks
+    assert(lev(byId(1L), byId(3L)) > TextDedup.EditMaxDist)
+    // cap: a block larger than maxBucketSize is dropped whole
+    val flood = (10L to 20L).map(i => (i, prefix + s"filler $i")) :+ (30L, "lone doc")
+    val capped = TextDedup.editDistancePairs(flood.toDF("doc_id", "text"),
+      "doc_id", "text", maxBucketSize = 5)
+    assert(capped.count() == 0, "oversize block must be dropped, not paired")
+  }
+
   test("simhash expression matches scalar reference and codegen evaluates") {
     val texts = Seq("spark shuffles data across executors", "a b c", "")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
