@@ -1137,7 +1137,83 @@ object Corpus {
         "CAST(SUM(CASE WHEN 2 * v.vc < 2 * f.q1c - 3 * (f.q3c - f.q1c) THEN 1 ELSE 0 END) AS BIGINT) AS n_lower, " +
         "MAX(v.vc) AS max_cents " +
         "FROM v JOIN f ON v.event_type = f.etype " +
-        "GROUP BY v.event_type, f.q1c, f.q3c ORDER BY v.event_type LIMIT 100")
+        "GROUP BY v.event_type, f.q1c, f.q3c ORDER BY v.event_type LIMIT 100"),
+
+    // Q137 — lexical-diversity (type-token ratio) bands per language
+    // (LLM-pipeline row: the low-TTR gate — keyword-stuffed/template
+    // spam scores low, natural prose high; the doc-level complement to
+    // q128's corpus-frequency score). Per-doc TTR in exact basis points
+    // (distinct tokens ·10⁴ DIV total tokens — integers only), banded by
+    // the thousands digit; all math is scan-local per row, one aggregate
+    // exchange over (lang, band). split('',' ') yields [''] so the
+    // divisor is never 0. (lang, band) is unique. [dual: size/
+    // array_distinct/split + DIV vs len/list_distinct/string_split + //]
+    DeclaredQuery("q137_ttr_bands",
+      "WITH t AS (SELECT lang, " +
+        "size(array_distinct(split(text, ' '))) * 10000 DIV size(split(text, ' ')) AS ttr_bp " +
+        "FROM documents) " +
+        "SELECT lang, ttr_bp DIV 1000 AS band, COUNT(*) AS n_docs, " +
+        "MIN(ttr_bp) AS min_bp, MAX(ttr_bp) AS max_bp " +
+        "FROM t GROUP BY lang, ttr_bp DIV 1000 ORDER BY lang, band LIMIT 100",
+      Some("WITH t AS (SELECT lang, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) * 10000 // len(string_split(text, ' ')) AS BIGINT) AS ttr_bp " +
+        "FROM documents) " +
+        "SELECT lang, CAST(ttr_bp // 1000 AS BIGINT) AS band, COUNT(*) AS n_docs, " +
+        "MIN(ttr_bp) AS min_bp, MAX(ttr_bp) AS max_bp " +
+        "FROM t GROUP BY lang, ttr_bp // 1000 ORDER BY lang, band LIMIT 100")),
+
+    // Q138 — novelty scoring by first-seen bigrams (LLM-pipeline row:
+    // per-document contribution — what share of a doc's distinct bigrams
+    // has never appeared in any LOWER-id document; dedup-adjacent
+    // curation signal for ordering/pruning a crawl). Bigrams come from
+    // the q129 per-row lambda (no positional self-join) and are reduced
+    // to md5 KEYS before the first-seen aggregate and the join back —
+    // 32-hex keys + doc ids on every exchange, never token payloads
+    // (the q127 chunk discipline). (novel_bp DESC, doc_id) is unique.
+    // [dual: lambda/element_at/explode + DIV vs list_transform/t[i]/
+    // unnest + // with the HUGEINT CAST]
+    DeclaredQuery("q138_novelty",
+      "WITH toks AS (" +
+        "SELECT doc_id, t FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) WHERE size(t) >= 2" +
+        "), bi AS (" +
+        "SELECT DISTINCT doc_id, md5(bg) AS k " +
+        "FROM toks LATERAL VIEW explode(transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) b AS bg" +
+        "), fs AS (SELECT k, MIN(doc_id) AS first_doc FROM bi GROUP BY k) " +
+        "SELECT bi.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS novel_bp " +
+        "FROM bi JOIN fs ON bi.k = fs.k " +
+        "GROUP BY bi.doc_id ORDER BY novel_bp DESC, doc_id LIMIT 100",
+      Some("WITH toks AS (" +
+        "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
+        "), bi AS (" +
+        "SELECT DISTINCT doc_id, md5(bg) AS k " +
+        "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks)" +
+        "), fs AS (SELECT k, MIN(doc_id) AS first_doc FROM bi GROUP BY k) " +
+        "SELECT bi.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS novel_bp " +
+        "FROM bi JOIN fs ON bi.k = fs.k " +
+        "GROUP BY bi.doc_id ORDER BY novel_bp DESC, doc_id LIMIT 100")),
+
+    // Q139 — token-length distribution per language (LLM-pipeline row:
+    // the tokenizer-fertility proxy — long-tail token lengths predict
+    // subword splits per word; the curve feeds vocab-size decisions with
+    // q130). One exploded-token aggregate keyed by (lang, char length);
+    // distinct-token counts ride the same exchange. length() counts
+    // characters identically in both engines. (lang, tok_len) is unique.
+    // [dual: LATERAL VIEW explode vs unnest]
+    DeclaredQuery("q139_token_len",
+      "WITH toks AS (SELECT lang, tok FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok) " +
+        "SELECT lang, CAST(length(tok) AS BIGINT) AS tok_len, COUNT(*) AS n_toks, " +
+        "COUNT(DISTINCT tok) AS n_distinct " +
+        "FROM toks GROUP BY lang, length(tok) ORDER BY lang, tok_len LIMIT 100",
+      Some("WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "SELECT lang, CAST(length(tok) AS BIGINT) AS tok_len, COUNT(*) AS n_toks, " +
+        "COUNT(DISTINCT tok) AS n_distinct " +
+        "FROM toks GROUP BY lang, length(tok) ORDER BY lang, tok_len LIMIT 100"))
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap

@@ -514,6 +514,27 @@ object SparkEntry {
         .filter(col("n_inter") * 10 >= col("n_union") * 9)
         .orderBy("id_a", "id_b").limit(100)
     },
+    // End-to-end curation pipeline (round 9 capstone): exact dedup →
+    // lexical-quality gate → deterministic md5 train/test split → corpus
+    // budget report, composed from the ACTUAL operators (dedupExactByHash,
+    // hashSplit) — the full pre-training data path as one declared,
+    // hash-checked query. Every stage is the linear-shuffle shape its
+    // standalone entry proved (q35/q137/q69); composition adds nothing
+    // but the stages themselves.
+    "q140_pipeline" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val deduped = TextDedup.dedupExactByHash(docs, "doc_id", "text")
+      val scored = deduped
+        .withColumn("__t", split(col("text"), " "))
+        .withColumn("ttr_bp", expr("size(array_distinct(__t)) * 10000 DIV size(__t)"))
+        .filter(col("ttr_bp") >= 3000)
+      graft.operators.Scale.hashSplit(scored, "doc_id", 80, method = "md5")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(size(col("__t"))).cast("long").as("sum_toks"))
+        .orderBy("lang", "split").limit(100)
+    },
     // Edit-distance fuzzy-dup pairs (round 9): the character-level
     // complement to minhash — prefix-16 blocking (each doc in exactly ONE
     // block, so the pair stream is unique by construction), capped blocks,
@@ -1000,6 +1021,21 @@ object SparkEntry {
           "FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1" +
           ") SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack " +
           "FROM packed ORDER BY doc_id LIMIT 100"),
+      // round 9 capstone: the DuckDB replay of the composed pipeline —
+      // min-id-per-text dedup, the q137 TTR gate, the q69 md5 split
+      // spelling, one aggregate. Stage equivalences are individually
+      // proven by q35/q137/q69; this row proves the COMPOSITION.
+      "q140_pipeline" ->
+        ("WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+          "d AS (SELECT doc.* FROM documents doc JOIN keep k ON doc.doc_id = k.doc_id), " +
+          "s AS (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_toks, " +
+          "CAST(len(list_distinct(string_split(text, ' '))) * 10000 // len(string_split(text, ' ')) AS BIGINT) AS ttr_bp, " +
+          "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 " +
+          "THEN 'train' ELSE 'test' END AS split FROM d) " +
+          "SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(SUM(n_toks) AS BIGINT) AS sum_toks " +
+          "FROM s WHERE ttr_bp >= 3000 " +
+          "GROUP BY lang, split ORDER BY lang, split LIMIT 100"),
       // round 9: prefix-blocked Levenshtein replay — DuckDB computes the
       // plain 2-arg distance with a WHERE threshold; the engine's banded
       // 3-arg form returns the true distance for every pair it keeps, so

@@ -59,7 +59,10 @@ class CorpusSpec extends AnyFunSuite {
       "q122_ignore_nulls", "q123_share_in_region",
       "q127_boilerplate_strip", "q128_df_quality", "q129_collocations",
       "q130_vocab_coverage", "q132_source_overlap", "q133_centroid_drift",
-      "q134_gap_fill"))
+      "q134_gap_fill",
+      // q137/q138: integer division + list spellings (q139 duals only on
+      // explode vs unnest)
+      "q137_ttr_bands", "q138_novelty", "q139_token_len"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
