@@ -24,6 +24,55 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("eventsStream adapts to every ts physical layout the driver has shipped") {
+    // The driver regenerates /root/testdata between rounds and events.ts
+    // has shipped as INT64 TIMESTAMP(NANOS) (rounds ≤8; reads as a raw ns
+    // long under the legacy conf) and tz-naive TIMESTAMP(MICROS) (round 9;
+    // infers as TIMESTAMP_NTZ, which watermarks reject). Round 8's driver
+    // run went red exactly here: a hardcoded ns schema double-divided the
+    // µs file and collapsed every streaming timestamp into Jan 1970. Pin
+    // all three layouts (ns-long, µs-LTZ, µs-NTZ) to the same stream
+    // output so the NEXT drift fails `sbt test`, not the driver gate.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.DataFrame
+    val base = Seq(
+      (1L, 1704067200000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1704070800000000L, 11L, "purchase", 2.5, "{}"),
+      (3L, 1704074400000000L, 10L, "error", 0.5, "{}"))
+    def writeSingleFile(df: DataFrame, dir: String): Unit = {
+      val tmp = dir + "_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(dir))
+      Files.move(part.toPath, Paths.get(dir, "events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    import spark.implicits._
+    val root = Files.createTempDirectory("evts_layout").toString
+    // layout A: raw INT64 ns longs (what a NANOS file reads as)
+    writeSingleFile(base.map { case (id, us, u, t, v, p) => (id, us * 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), s"$root/ns")
+    // layout B: TimestampType (µs, UTC-adjusted)
+    writeSingleFile(base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts"))), s"$root/us")
+    // layout C: TIMESTAMP_NTZ (the round-9 driver layout)
+    writeSingleFile(base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz")), s"$root/ntz")
+    val results = Seq("ns", "us", "ntz").map { layout =>
+      val out = StreamOps.runToCompletion(spark,
+        StreamOps.hourlyByType(StreamOps.eventsStream(spark, s"$root/$layout")),
+        s"layout_$layout")
+        .orderBy("h", "event_type").collect().toSeq
+      assert(out.nonEmpty, s"layout $layout produced no rows")
+      layout -> out
+    }.toMap
+    assert(results("ns") == results("us"), "ns-long vs µs-LTZ stream output")
+    assert(results("us") == results("ntz"), "µs-LTZ vs µs-NTZ stream output")
+    // and the timestamps are the REAL hours, not a 1970 collapse
+    assert(results("us").head.getTimestamp(0).toInstant.toString.startsWith("2024-01-01"))
+  }
+
   test("streaming hourly matches the Q32 SQL corpus answer on counts") {
     Tables.register(spark, TestSpark.sf0001)
     val q32 = spark.sql(Corpus.byId("q32_time_bucket").sparkSql)
