@@ -545,6 +545,19 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Incremental edit-distance dedup (round 9): the q136 pipeline's
+    // daily-crawl form — incoming batch blocked against the existing
+    // corpus only, no intra-corpus recompute; combined-occupancy cap
+    // makes the pair set exactly the symmetric q136 restricted to cross
+    // pairs, which is what the oracle replays (the q124 discipline).
+    "q141_incremental_edit" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      TextDedup.editDistanceCrossPairs(
+          docs.filter(col("doc_id") < IncrementalSplitId),
+          docs.filter(col("doc_id") >= IncrementalSplitId),
+          "doc_id", "text")
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
     // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
@@ -1036,6 +1049,19 @@ object SparkEntry {
           "CAST(SUM(n_toks) AS BIGINT) AS sum_toks " +
           "FROM s WHERE ttr_bp >= 3000 " +
           "GROUP BY lang, split ORDER BY lang, split LIMIT 100"),
+      // round 9: the symmetric q136 replay restricted to cross pairs
+      // (id_a < split ≤ id_b) — hash-equality proves the asymmetric
+      // plan finds exactly them (the q124 oracle discipline)
+      "q141_incremental_edit" ->
+        (s"WITH b AS (SELECT substr(text, 1, ${graft.operators.TextDedup.EditPrefixLen}) AS k, doc_id FROM documents), " +
+          s"el AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
+          "p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b a " +
+          "JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el e ON e.k = a.k " +
+          s"WHERE a.doc_id < $IncrementalSplitId AND c.doc_id >= $IncrementalSplitId), " +
+          "d AS (SELECT p.id_a, p.id_b, levenshtein(da.text, dc.text) AS dist " +
+          "FROM p JOIN documents da ON da.doc_id = p.id_a JOIN documents dc ON dc.doc_id = p.id_b) " +
+          s"SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM d WHERE dist <= ${graft.operators.TextDedup.EditMaxDist} " +
+          "ORDER BY id_a, id_b LIMIT 100"),
       // round 9: prefix-blocked Levenshtein replay — DuckDB computes the
       // plain 2-arg distance with a WHERE threshold; the engine's banded
       // 3-arg form returns the true distance for every pair it keeps, so

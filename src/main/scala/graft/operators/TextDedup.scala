@@ -173,6 +173,40 @@ object TextDedup {
       .filter(col("dist") >= 0) // 3-arg levenshtein returns -1 above maxDist
   }
 
+  /** Incremental edit-distance dedup: fuzzy pairs between an EXISTING
+    * corpus and an INCOMING batch — `editDistancePairs`' daily-crawl
+    * form, completing the incremental family (minhash
+    * `portableCrossPairStats`, embedding `crossEmbedPairs`). Both sides
+    * are blocked on the same prefix key; the cap bounds COMBINED
+    * (existing + incoming) block occupancy, and since every document
+    * lands in exactly one block on exactly one side, combined occupancy
+    * EQUALS the symmetric operator's total block size — so the pair set
+    * is exactly `editDistancePairs` on the concatenated corpus
+    * restricted to cross pairs (what the q141 oracle replays). The
+    * existing side never self-pairs (intra-corpus work is not redone),
+    * keys + ids only cross the blocking exchanges, and the incoming
+    * side is typically small enough that AQE broadcasts it.
+    * Output: (id_a ∈ existing, id_b ∈ incoming, dist ≤ maxDist). */
+  def editDistanceCrossPairs(existing: DataFrame, incoming: DataFrame,
+                             idCol: String, textCol: String,
+                             prefixLen: Int = EditPrefixLen,
+                             maxDist: Int = EditMaxDist,
+                             maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val be = existing.select(substring(col(textCol), 1, prefixLen).as("__k"), col(idCol).as("id_a"))
+    val bi = incoming.select(substring(col(textCol), 1, prefixLen).as("__k"), col(idCol).as("id_b"))
+    val eligible = be.groupBy("__k").agg(count(lit(1)).as("__ne"))
+      .join(bi.groupBy("__k").agg(count(lit(1)).as("__ni")), Seq("__k"))
+      .filter(col("__ne") + col("__ni") <= maxBucketSize)
+      .select("__k")
+    be.join(eligible, Seq("__k")).join(bi, Seq("__k"))
+      .select("id_a", "id_b")
+      .join(existing.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(incoming.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** Portable shingle hashes: md5-derived 32-bit integers (the q69
     * dual-spelling trick) — the cross-engine twin of `shingleHashes`
     * (whose fused xxhash64 stays the production path). */

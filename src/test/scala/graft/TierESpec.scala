@@ -155,6 +155,21 @@ class TierESpec extends AnyFunSuite {
     assert(capped.count() == 0, "oversize block must be dropped, not paired")
   }
 
+  test("editDistanceCrossPairs equals the symmetric operator restricted to cross pairs") {
+    // real data, both SF slices: the q141 oracle contract in miniature
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val split = 400L
+    val sym = TextDedup.editDistancePairs(docs, "doc_id", "text")
+      .filter(col("id_a") < split && col("id_b") >= split)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val cross = TextDedup.editDistanceCrossPairs(
+        docs.filter(col("doc_id") < split), docs.filter(col("doc_id") >= split),
+        "doc_id", "text")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(cross == sym, s"cross=${cross.size} sym=${sym.size}")
+    assert(cross.nonEmpty, "fixture must contain cross-boundary fuzzy pairs")
+  }
+
   test("simhash expression matches scalar reference and codegen evaluates") {
     val texts = Seq("spark shuffles data across executors", "a b c", "")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
