@@ -558,6 +558,25 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Streaming edit-distance ingest run to completion on the closed
+    // input (round 9): the incoming half STREAMED and fuzzy-matched per
+    // micro-batch against the static corpus — stateless (one substring
+    // block key per row, stream-static join, no watermark/state store;
+    // single-block membership makes the output a set, no distinct).
+    // Hash-checked against the SAME oracle as q141: streaming output =
+    // batch answer on closed input (the q126 contract, now for the
+    // edit-distance family).
+    "q142_stream_edit" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < IncrementalSplitId)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      graft.streaming.StreamOps.runAppend(spark,
+          graft.streaming.StreamOps.editDistanceAgainstCorpus(stream, corpus, "doc_id", "text"),
+          s"q142_mem_${math.abs(dir.hashCode)}")
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
     // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
@@ -685,6 +704,22 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     corpusEntries ++ behaviorEntries ++ tierEEntries
+
+  /** Shared by q141 (batch) and q142 (streaming): the symmetric q136
+    * replay restricted to cross pairs. One text for both keys IS the
+    * streaming-equals-batch contract — the two entries must hash to the
+    * same answer on the closed input. Constants interpolated from the
+    * TextDedup compile-time source of truth. */
+  private lazy val incrementalEditOracle: String =
+    s"WITH b AS (SELECT substr(text, 1, ${graft.operators.TextDedup.EditPrefixLen}) AS k, doc_id FROM documents), " +
+      s"el AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
+      "p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b a " +
+      "JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el e ON e.k = a.k " +
+      s"WHERE a.doc_id < $IncrementalSplitId AND c.doc_id >= $IncrementalSplitId), " +
+      "d AS (SELECT p.id_a, p.id_b, levenshtein(da.text, dc.text) AS dist " +
+      "FROM p JOIN documents da ON da.doc_id = p.id_a JOIN documents dc ON dc.doc_id = p.id_b) " +
+      s"SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM d WHERE dist <= ${graft.operators.TextDedup.EditMaxDist} " +
+      "ORDER BY id_a, id_b LIMIT 100"
 
   def oracleSql: Map[String, String] =
     Corpus.queries.map(q => q.id -> q.duckSql).toMap ++ Map(
@@ -1052,16 +1087,11 @@ object SparkEntry {
       // round 9: the symmetric q136 replay restricted to cross pairs
       // (id_a < split ≤ id_b) — hash-equality proves the asymmetric
       // plan finds exactly them (the q124 oracle discipline)
-      "q141_incremental_edit" ->
-        (s"WITH b AS (SELECT substr(text, 1, ${graft.operators.TextDedup.EditPrefixLen}) AS k, doc_id FROM documents), " +
-          s"el AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
-          "p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b a " +
-          "JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el e ON e.k = a.k " +
-          s"WHERE a.doc_id < $IncrementalSplitId AND c.doc_id >= $IncrementalSplitId), " +
-          "d AS (SELECT p.id_a, p.id_b, levenshtein(da.text, dc.text) AS dist " +
-          "FROM p JOIN documents da ON da.doc_id = p.id_a JOIN documents dc ON dc.doc_id = p.id_b) " +
-          s"SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM d WHERE dist <= ${graft.operators.TextDedup.EditMaxDist} " +
-          "ORDER BY id_a, id_b LIMIT 100"),
+      "q141_incremental_edit" -> incrementalEditOracle,
+      // round 9: the STREAMING form hashes against the identical batch
+      // replay — streaming output = batch answer on closed input (the
+      // q126 contract for the edit-distance family)
+      "q142_stream_edit" -> incrementalEditOracle,
       // round 9: prefix-blocked Levenshtein replay — DuckDB computes the
       // plain 2-arg distance with a WHERE threshold; the engine's banded
       // 3-arg form returns the true distance for every pair it keeps, so

@@ -218,6 +218,42 @@ object StreamOps {
         size(array_union(col("__ha"), col("__hb"))).cast("long").as("n_union"))
   }
 
+  /** Streaming edit-distance ingest check: every micro-batch of incoming
+    * documents is fuzzy-matched AGAINST a static corpus by banded
+    * Levenshtein — the streaming form of
+    * `TextDedup.editDistanceCrossPairs` (same prefix blocking, same
+    * threshold), completing the streaming-dedup pair with
+    * `dedupAgainstCorpus` (minhash). Entirely STATELESS: the block key
+    * is one per-row `substring`, the join is stream-static, no
+    * watermark, no state store. Unlike multi-band LSH each document
+    * lands in exactly ONE block per side, so a pair meets in at most
+    * one block — the output is a true SET, no batch-side distinct
+    * needed. Same documented delta as `dedupAgainstCorpus`: the
+    * degenerate-block cap sees CORPUS-side occupancy only (per-batch
+    * stream occupancy is unknowable statelessly and bounded by batch
+    * size); at tested SFs no block approaches the cap, so the closed-
+    * input result equals the batch operator's combined-cap answer —
+    * the q126 contract. The stream side carries its text through the
+    * block join (batch-sized payload against a capped static side).
+    * Output: (id_a ∈ corpus, id_b ∈ stream, dist ≤ maxDist). */
+  def editDistanceAgainstCorpus(docStream: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                prefixLen: Int = graft.operators.TextDedup.EditPrefixLen,
+                                maxDist: Int = graft.operators.TextDedup.EditMaxDist,
+                                maxBucketSize: Int = graft.operators.TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val be = corpus.select(substring(col(textCol), 1, prefixLen).as("__k"),
+      col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val eligible = be.join(
+      be.groupBy("__k").agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize),
+      Seq("__k"))
+    docStream.select(substring(col(textCol), 1, prefixLen).as("__k"),
+        col(idCol).as("id_b"), col(textCol).as("__tb"))
+      .join(eligible, Seq("__k"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** Streaming parquet sink with checkpointing — the durable-output path
     * (memory sink is test-only). Append mode; returns after all available
     * input is processed. At scale the checkpoint directory lives on

@@ -102,6 +102,27 @@ class StreamOpsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming edit-distance ingest equals the batch incremental operator on closed input") {
+    import graft.operators.TextDedup
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val split = 400L
+    val corpus = docs.filter(col("doc_id") < split)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
+      .filter(col("doc_id") >= split)
+    val streamed = StreamOps.runAppend(spark,
+        StreamOps.editDistanceAgainstCorpus(stream, corpus, "doc_id", "text"),
+        "stream_edit")
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = TextDedup.editDistanceCrossPairs(
+        corpus, docs.filter(col("doc_id") >= split), "doc_id", "text")
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming ingest dedup equals the batch incremental operator on closed input") {
     import graft.operators.TextDedup
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")
