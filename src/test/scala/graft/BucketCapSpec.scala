@@ -111,6 +111,42 @@ class BucketCapSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("editDistanceCrossPairs caps COMBINED existing+incoming block occupancy") {
+    // 600 boilerplate copies per side share one 16-char prefix block:
+    // either side alone is under the 1000 cap — only the combined guard
+    // (= the symmetric operator's total block size) drops it. The
+    // genuine small-edit pair straddles the split and must survive.
+    val nearA = docA
+    val nearB = docA.replace("lazy dog", "lazy cat") // same 16-char prefix, dist ≤ 64
+    val existing = ((1 to 600).map(i => (10000L + i, boilerplate)) :+ (1L -> nearA)).toDF("doc_id", "text")
+    val incoming = ((1 to 600).map(i => (20000L + i, boilerplate)) :+ (2L -> nearB)).toDF("doc_id", "text")
+    val pairs = TextDedup.editDistanceCrossPairs(existing, incoming, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"only the genuine cross pair survives the combined cap, got ${pairs.length}")
+  }
+
+  test("streaming editDistanceAgainstCorpus drops corpus-side oversize blocks") {
+    // corpus-side block over the cap → ineligible; the genuine fuzzy
+    // match still surfaces (corpus-side-only cap — the documented
+    // q126-class delta vs the batch combined cap).
+    val nearB = docA.replace("lazy dog", "lazy cat")
+    val corpus = ((1 to 1100).map(i => (10000L + i, boilerplate)) :+ (1L -> docA)).toDF("doc_id", "text")
+    val incoming = Seq((2L, nearB), (20001L, boilerplate)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_editcap").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val matches = graft.streaming.StreamOps.runAppend(spark,
+        graft.streaming.StreamOps.editDistanceAgainstCorpus(stream, corpus, "doc_id", "text"),
+        "edit_cap_probe")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(matches.contains((1L, 2L)), s"genuine match must survive, got ${matches.take(5).toSeq}")
+    assert(!matches.exists { case (a, b) => a > 10000L && b == 20001L },
+      "the oversize corpus block must be ineligible for stream matches")
+    spark.catalog.dropTempView("edit_cap_probe")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("portableCrossEmbedPairs caps COMBINED occupancy (each side alone under the cap)") {
     val w = Array.tabulate(64)(i => (math.sin(i + 1) / 8.0).toFloat)
     val a = Array.tabulate(64)(i => (math.cos(2 * i + 1) / 8.0).toFloat)
