@@ -1213,7 +1213,23 @@ object Corpus {
       Some("WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
         "SELECT lang, CAST(length(tok) AS BIGINT) AS tok_len, COUNT(*) AS n_toks, " +
         "COUNT(DISTINCT tok) AS n_distinct " +
-        "FROM toks GROUP BY lang, length(tok) ORDER BY lang, tok_len LIMIT 100"))
+        "FROM toks GROUP BY lang, length(tok) ORDER BY lang, tok_len LIMIT 100")),
+
+    // Q143 — centered moving-window smoothing + GROUP BY ALL (surface
+    // breadth: the one OVER-frame family not yet pinned — a FOLLOWING
+    // bound — plus the modern GROUP BY ALL spelling both engines share).
+    // 5-hour centered moving sum of hourly event counts: the windows run
+    // per event_type over the HOURLY AGGREGATE (hundreds of rows), never
+    // the event stream — the q123/q130 window-over-aggregate discipline.
+    // Timestamps hash fine (both comparator paths render datetime64).
+    // (event_type, h) is unique. Shared text.
+    DeclaredQuery("q143_moving_window",
+      "WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n " +
+        "FROM events GROUP BY ALL) " +
+        "SELECT event_type, h, n, " +
+        "CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h " +
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS smooth5 " +
+        "FROM hourly ORDER BY event_type, h LIMIT 100")
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap
