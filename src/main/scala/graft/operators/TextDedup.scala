@@ -209,8 +209,21 @@ object TextDedup {
 
   /** Portable shingle hashes: md5-derived 32-bit integers (the q69
     * dual-spelling trick) — the cross-engine twin of `shingleHashes`
-    * (whose fused xxhash64 stays the production path). */
-  def portableShingleHashes(text: Column, n: Int): Column =
+    * (whose fused xxhash64 stays the production path). Round 9: computed
+    * by the fused native `PortableShingleHash` expression (digest bytes →
+    * long, no n-gram string / hex-render / base-16 parse per shingle —
+    * the composed form below is kept as the test reference and is what
+    * the DuckDB oracles still spell). */
+  def portableShingleHashes(text: Column, n: Int): Column = {
+    graft.functions.PortableShingleHash.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("portable_shingle_hash", tokens(text), lit(n))
+  }
+
+  /** The composed spelling of `portableShingleHashes` — the exact form
+    * the DuckDB oracle texts replay; kept as the bit-equality reference
+    * for the fused expression (TierESpec). */
+  def portableShingleHashesComposed(text: Column, n: Int): Column =
     transform(shingles(tokens(text), n),
       s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 

@@ -155,6 +155,22 @@ class TierESpec extends AnyFunSuite {
     assert(capped.count() == 0, "oversize block must be dropped, not paired")
   }
 
+  test("fused PortableShingleHash equals the composed md5 spelling bit-for-bit") {
+    // real documents at sf0.001 (incl. zh/multibyte text) + edge shapes —
+    // the fused digest-bytes expression must match the conv(substring(
+    // md5(s),1,8),16,10) form the DuckDB oracles replay, value for value
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "solo"), (90003L, "a b"),
+        (90004L, "exactly three toks")).toDF("doc_id", "text"))
+    val diff = docs.select(
+      TextDedup.portableShingleHashes(col("text"), TextDedup.PortableShingleN).as("fused"),
+      TextDedup.portableShingleHashesComposed(col("text"), TextDedup.PortableShingleN).as("composed"))
+      .filter(not(col("fused") === col("composed")))
+      .count()
+    assert(diff == 0L, s"$diff documents diverged between fused and composed hashing")
+  }
+
   test("editDistanceCrossPairs equals the symmetric operator restricted to cross pairs") {
     // real data, both SF slices: the q141 oracle contract in miniature
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")
