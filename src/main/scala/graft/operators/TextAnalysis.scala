@@ -106,9 +106,11 @@ object TextAnalysis {
     * result is hash-checkable cross-engine. xxhash64 `fingerprint` stays
     * the production default (one fused pass, no md5 string round-trip). */
   def fingerprintPortable(text: Column, shingleN: Int = 3, k: Int = 8): Column = {
-    val sh = TextDedup.shingles(tokens(text), shingleN)
+    // round 9: the fused PortableShingleHash expression replaces the
+    // conv(substring(md5)) per-shingle round-trip (bit-identical values;
+    // see TextDedup.portableShingleHashes)
     val hs = array_sort(array_distinct(
-      transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))))
+      TextDedup.portableShingleHashes(text, shingleN)))
     aggregate(slice(hs, 1, k), lit(0L), (acc, x) => acc + x)
   }
 
