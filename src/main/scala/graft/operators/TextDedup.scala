@@ -657,9 +657,11 @@ object TextDedup {
     // token hashes materialized first: the 32 bit-folds of
     // portableSimhash32 each reference the array (CollapseProject note on
     // signatureFrame)
+    // round 9: per-token md5 via the fused PortableShingleHash (n=1 ⇒
+    // the tokens themselves; bit-identical to the conv(substring(md5))
+    // spelling the q83 DuckDB text keeps)
     val th = df.select(col(idCol),
-      array_distinct(transform(tokens(col(textCol)),
-        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))).as("__th"))
+      array_distinct(portableShingleHashes(col(textCol), 1)).as("__th"))
     val sigs = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
     val chunkBits = 32 / SimhashChunks
     val mask = (1L << chunkBits) - 1
