@@ -932,43 +932,11 @@ object Corpus {
         "FROM toks t JOIN df d ON t.tok = d.tok " +
         "GROUP BY t.doc_id ORDER BY mean_df_bp DESC, doc_id LIMIT 100")),
 
-    // Q129 — collocation mining (LLM-pipeline row: adjacent-bigram lift
-    // for tokenizer-merge candidates / stock-phrase detection). Bigrams
-    // come from a per-row array lambda — transform over an index
-    // sequence — NOT a positional self-join (the within-group-pairs
-    // anti-pattern); lift = c(ab)·N·100 / (c(a)·c(b)) in pure BIGINT
-    // arithmetic (one integer division, overflow-safe to ~1e6-token
-    // corpora per the comment in PLANS.md; shard the N factor for more).
-    // The unigram side is vocabulary-sized → broadcast joins. split_part
-    // is a shared spelling [dual: lambda + explode vs list_transform +
-    // unnest, element_at 1-based vs t[i], DIV vs //]. (w1, w2) is unique.
-    DeclaredQuery("q129_collocations",
-      "WITH toks AS (" +
-        "SELECT doc_id, t FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) WHERE size(t) >= 2" +
-        "), uni AS (" +
-        "SELECT tok, COUNT(*) AS c1 FROM toks LATERAL VIEW explode(t) x AS tok GROUP BY tok" +
-        "), bi AS (" +
-        "SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 " +
-        "FROM toks LATERAL VIEW explode(transform(sequence(1, size(t) - 1), " +
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) b AS bg" +
-        "), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2) " +
-        "SELECT w1, w2, c2, " +
-        "c2 * (SELECT SUM(c1) FROM uni) * 100 DIV (ua.c1 * ub.c1) AS lift_c " +
-        "FROM big JOIN uni ua ON big.w1 = ua.tok JOIN uni ub ON big.w2 = ub.tok " +
-        "WHERE c2 >= 3 ORDER BY lift_c DESC, w1, w2 LIMIT 100",
-      Some("WITH toks AS (" +
-        "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
-        "), uni AS (" +
-        "SELECT tok, COUNT(*) AS c1 FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok" +
-        "), bi AS (" +
-        "SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 " +
-        "FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks)" +
-        "), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2) " +
-        "SELECT w1, w2, c2, " +
-        "CAST(c2 * (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) * 100 // (ua.c1 * ub.c1) AS BIGINT) AS lift_c " +
-        "FROM big JOIN uni ua ON big.w1 = ua.tok JOIN uni ub ON big.w2 = ub.tok " +
-        "WHERE c2 >= 3 ORDER BY lift_c DESC, w1, w2 LIMIT 100")),
+    // Q129 (collocation mining) moved to SparkEntry's tier-E entries in
+    // round 10: its scale-correct plan needs lineage cuts and hash-keyed
+    // exchanges a single SQL text cannot express (the round-9 verdict's
+    // "weak" row — GROUP BY raw bigram strings + a 3×-recomputed unigram
+    // CTE). The DuckDB oracle text lives beside the DataFrame program.
 
     // Q130 — per-language vocabulary coverage (LLM-pipeline row: the
     // tokenizer-vocab selection curve — top-k terms per language with
@@ -1003,42 +971,12 @@ object Corpus {
         "CAST(cum_cnt * 10000 // tot AS BIGINT) AS cum_bp " +
         "FROM ranked WHERE r <= 25 ORDER BY lang, r LIMIT 100")),
 
-    // Q132 — pairwise source-overlap matrix (LLM-pipeline row: which crawl
-    // sources duplicate each other — the input to source-level dedup and
-    // mixing decisions). Exact trigram-shingle Jaccard between every
-    // source pair: the shingle stream is reduced to DISTINCT (source,
-    // md5) rows, so the equality self-join shuffles 32-hex keys + source
-    // names only — never token payloads — and per-hash fanout is bounded
-    // by the SOURCE universe (≤ |sources|² pairs per hash), not corpus
-    // size; at an unbounded source count the KMV-sketch form replaces the
-    // exact join. (jaccard_bp DESC, src_a, src_b) is unique. [dual:
-    // split/size/slice/array_join/sequence-explode and DIV vs the DuckDB
-    // list spellings + // HUGEINT cast]
-    DeclaredQuery("q132_source_overlap",
-      "WITH toks AS (" +
-        "SELECT source, t FROM (SELECT source, split(text, ' ') AS t FROM documents) WHERE size(t) >= 3" +
-        "), sh AS (" +
-        "SELECT DISTINCT source, md5(array_join(slice(t, g, 3), ' ')) AS h " +
-        "FROM toks LATERAL VIEW explode(sequence(1, size(t) - 2)) s AS g" +
-        "), sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source), " +
-        "ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter " +
-        "FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY a.source, b.source) " +
-        "SELECT ix.src_a, ix.src_b, ix.n_inter, na.n AS n_a, nb.n AS n_b, " +
-        "ix.n_inter * 10000 DIV (na.n + nb.n - ix.n_inter) AS jaccard_bp " +
-        "FROM ix JOIN sz na ON na.source = ix.src_a JOIN sz nb ON nb.source = ix.src_b " +
-        "ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 100",
-      Some("WITH toks AS (" +
-        "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
-        "), sh AS (" +
-        "SELECT DISTINCT source, md5(array_to_string(t[g:g+2], ' ')) AS h " +
-        "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
-        "), sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source), " +
-        "ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter " +
-        "FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY a.source, b.source) " +
-        "SELECT ix.src_a, ix.src_b, ix.n_inter, na.n AS n_a, nb.n AS n_b, " +
-        "CAST(ix.n_inter * 10000 // (na.n + nb.n - ix.n_inter) AS BIGINT) AS jaccard_bp " +
-        "FROM ix JOIN sz na ON na.source = ix.src_a JOIN sz nb ON nb.source = ix.src_b " +
-        "ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 100")),
+    // Q132 (pairwise source-overlap) moved to SparkEntry's tier-E entries
+    // in round 10: the round-9 verdict's "weak" row — 32-hex md5 keys on
+    // the DISTINCT + self-join exchanges where fused 8-byte longs do the
+    // same job, plus a 3×-recomputed shingle CTE that needs a lineage
+    // cut. The DuckDB oracle text lives beside the DataFrame program;
+    // the KMV-sketch twin for unbounded source counts is q144.
 
     // Q133 — embedding centroid drift (LLM-pipeline row: per-label
     // centroid separation — the monitor for label leakage / cluster
@@ -1149,8 +1087,11 @@ object Corpus {
     // divisor is never 0. (lang, band) is unique. [dual: size/
     // array_distinct/split + DIV vs len/list_distinct/string_split + //]
     DeclaredQuery("q137_ttr_bands",
+      // 10000L keeps the multiply in BIGINT: ANSI Spark would throw on
+      // int×int past ~214k distinct tokens where DuckDB's len() is
+      // already BIGINT — an asymmetric-crash edge, not a hash edge.
       "WITH t AS (SELECT lang, " +
-        "size(array_distinct(split(text, ' '))) * 10000 DIV size(split(text, ' ')) AS ttr_bp " +
+        "size(array_distinct(split(text, ' '))) * 10000L DIV size(split(text, ' ')) AS ttr_bp " +
         "FROM documents) " +
         "SELECT lang, ttr_bp DIV 1000 AS band, COUNT(*) AS n_docs, " +
         "MIN(ttr_bp) AS min_bp, MAX(ttr_bp) AS max_bp " +
@@ -1162,41 +1103,12 @@ object Corpus {
         "MIN(ttr_bp) AS min_bp, MAX(ttr_bp) AS max_bp " +
         "FROM t GROUP BY lang, ttr_bp // 1000 ORDER BY lang, band LIMIT 100")),
 
-    // Q138 — novelty scoring by first-seen bigrams (LLM-pipeline row:
-    // per-document contribution — what share of a doc's distinct bigrams
-    // has never appeared in any LOWER-id document; dedup-adjacent
-    // curation signal for ordering/pruning a crawl). Bigrams come from
-    // the q129 per-row lambda (no positional self-join) and are reduced
-    // to md5 KEYS before the first-seen aggregate and the join back —
-    // 32-hex keys + doc ids on every exchange, never token payloads
-    // (the q127 chunk discipline). (novel_bp DESC, doc_id) is unique.
-    // [dual: lambda/element_at/explode + DIV vs list_transform/t[i]/
-    // unnest + // with the HUGEINT CAST]
-    DeclaredQuery("q138_novelty",
-      "WITH toks AS (" +
-        "SELECT doc_id, t FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) WHERE size(t) >= 2" +
-        "), bi AS (" +
-        "SELECT DISTINCT doc_id, md5(bg) AS k " +
-        "FROM toks LATERAL VIEW explode(transform(sequence(1, size(t) - 1), " +
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) b AS bg" +
-        "), fs AS (SELECT k, MIN(doc_id) AS first_doc FROM bi GROUP BY k) " +
-        "SELECT bi.doc_id, COUNT(*) AS n_bigrams, " +
-        "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
-        "SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS novel_bp " +
-        "FROM bi JOIN fs ON bi.k = fs.k " +
-        "GROUP BY bi.doc_id ORDER BY novel_bp DESC, doc_id LIMIT 100",
-      Some("WITH toks AS (" +
-        "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
-        "), bi AS (" +
-        "SELECT DISTINCT doc_id, md5(bg) AS k " +
-        "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks)" +
-        "), fs AS (SELECT k, MIN(doc_id) AS first_doc FROM bi GROUP BY k) " +
-        "SELECT bi.doc_id, COUNT(*) AS n_bigrams, " +
-        "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
-        "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS novel_bp " +
-        "FROM bi JOIN fs ON bi.k = fs.k " +
-        "GROUP BY bi.doc_id ORDER BY novel_bp DESC, doc_id LIMIT 100")),
+    // Q138 (novelty by first-seen bigrams) moved to SparkEntry's tier-E
+    // entries in round 10: the round-9 verdict flagged its md5-hex key
+    // class (32-hex strings on the DISTINCT / first-seen / join-back
+    // exchanges where the fused 8-byte PortableShingleHash long is 4×
+    // smaller), and the bi CTE is referenced twice — the lineage cut a
+    // SQL text cannot express. DuckDB oracle text beside the program.
 
     // Q139 — token-length distribution per language (LLM-pipeline row:
     // the tokenizer-fertility proxy — long-tail token lengths predict

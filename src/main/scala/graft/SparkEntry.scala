@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Checkpoints, Multimodal, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,27 @@ object SparkEntry {
     * brief): dedup, similarity search, text analysis, multimodal plumbing.
     * DataFrame-API implementations; DuckDB oracles where SQL-expressible,
     * rows-only otherwise (floats/engine-specific hashes never hashed). */
+  /** q74/q131's shared edge set: consecutive-id integer-jaccard ≥ 0.9
+    * pairs. Round 10: tokenize ONCE — the r9 verdict measured ~2 s of
+    * q131's time as recomputed `array_distinct(split(...))` because both
+    * sides of the shifted self-join re-derived it (the CLAUDE.md
+    * anti-pattern). The token frame is lineage-cut once; the self-join
+    * then reads the materialized blocks twice instead of re-splitting,
+    * and each side's exchange carries (shift key, tokens) exactly once.
+    * (A `lag` window would do it in one exchange but with no PARTITION BY
+    * — the single-partition shape that dies at scale; the keyed
+    * equi-join re-plans to N partitions.) */
+  private def adjacentJaccardPairs(d: DataFrame): DataFrame = {
+    val t = Checkpoints.cut(
+      d.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("__t")),
+      eager = false)
+    t.select(col("doc_id").as("id_a"), col("__t").as("ta"))
+      .join(t.select((col("doc_id") - 1).as("id_a"), col("__t").as("tb")), Seq("id_a"))
+      .filter(size(array_intersect(col("ta"), col("tb"))) * 10 >=
+        size(array_union(col("ta"), col("tb"))) * 9)
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+  }
+
   private def tierEEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON field extraction from events.props (Q34(E), dual text)
     "q34_json_extract" -> { (spark, dir) =>
@@ -431,13 +452,7 @@ object SparkEntry {
     // sf0.01 graph has chains up to length 4, so transitivity is real.
     "q74_neardup_clusters" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      val a = d.select(col("doc_id").as("id_a"), array_distinct(split(col("text"), " ")).as("ta"))
-      val b = d.select(col("doc_id").as("id_b"), array_distinct(split(col("text"), " ")).as("tb"))
-      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
-        .filter(size(array_intersect(col("ta"), col("tb"))) * 10 >=
-          size(array_union(col("ta"), col("tb"))) * 9)
-        .select("id_a", "id_b")
-      TextDedup.nearDupClusters(pairs).orderBy("doc_id").limit(100)
+      TextDedup.nearDupClusters(adjacentJaccardPairs(d)).orderBy("doc_id").limit(100)
     },
     // Near-dup survivor selection (round 8): the dedup ACTION that q74's
     // clustering feeds — keep ONE canonical document per near-dup cluster
@@ -450,13 +465,7 @@ object SparkEntry {
     // of (doc_id, cluster, n_chars, lang) rows on top of the clustering.
     "q131_dedup_survivors" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      val a = d.select(col("doc_id").as("id_a"), array_distinct(split(col("text"), " ")).as("ta"))
-      val b = d.select(col("doc_id").as("id_b"), array_distinct(split(col("text"), " ")).as("tb"))
-      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
-        .filter(size(array_intersect(col("ta"), col("tb"))) * 10 >=
-          size(array_union(col("ta"), col("tb"))) * 9)
-        .select("id_a", "id_b")
-      val labeled = d.join(TextDedup.nearDupClusters(pairs), Seq("doc_id"), "left")
+      val labeled = d.join(TextDedup.nearDupClusters(adjacentJaccardPairs(d)), Seq("doc_id"), "left")
         .withColumn("comp", coalesce(col("cluster"), col("doc_id")))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy("comp").orderBy(col("n_chars").desc, col("doc_id"))
@@ -466,6 +475,129 @@ object SparkEntry {
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("rn") === 1, col("n_chars")).otherwise(0L)).as("chars_kept"))
         .orderBy("lang").limit(100)
+    },
+    // Collocation mining (moved from the SQL corpus in round 10 — the r9
+    // verdict's worst plan: GROUP BY raw bigram strings plus a unigram
+    // CTE recomputed 3× by Catalyst CTE inlining; 5.0 s vs DuckDB 0.10 s
+    // at sf0.1). The plan now follows the repo's exchange discipline:
+    //   - tokenize ONCE (lineage cut; the unigram and bigram passes both
+    //     read the materialized frame);
+    //   - the bigram aggregate groups on (xxhash64(w1), xxhash64(w2)) —
+    //     16 bytes/row through the exchange, never token strings; the
+    //     strings ride back via two BROADCAST joins against the
+    //     vocabulary-sized unigram aggregate (64-bit collision over a
+    //     1e6-token vocab < 1e-7, and a collision would only merge two
+    //     unigram rows — the declared-semantics trade every portable-hash
+    //     entry already makes at 32 bits);
+    //   - N (total tokens) collects as ONE scalar (the Scale.scala
+    //     centroid precedent) and inlines as a literal — no scalar
+    //     subquery re-running the token scan;
+    //   - lift is DOUBLE hashed via the q85/q116 FLOOR rule (identical
+    //     IEEE expression tree both engines → bit-identical), replacing
+    //     the BIGINT c2·N·100 chain that was documented overflow-unsafe
+    //     past ~1e6 tokens — the r9 verdict's one shipped 100 TB
+    //     scale-killer. Doubles never overflow; every operand is an
+    //     exact integer < 2^53.
+    "q129_collocations" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val toks = Checkpoints.cut(
+        d.select(split(col("text"), " ").as("t")).filter(size(col("t")) >= 2),
+        eager = false)
+      val uni = Checkpoints.cut(
+        toks.select(explode(col("t")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c1"))
+          .withColumn("h", xxhash64(col("tok"))),
+        eager = false)
+      val totalTokens = uni.agg(sum(col("c1"))).head.getLong(0)
+      val big = toks
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> named_struct(" +
+            "'h1', xxhash64(element_at(t, i)), 'h2', xxhash64(element_at(t, i + 1))))")).as("bg"))
+        .select(col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 3)
+      big
+        .join(broadcast(uni.select(col("h").as("h1"), col("tok").as("w1"), col("c1").as("c1a"))), Seq("h1"))
+        .join(broadcast(uni.select(col("h").as("h2"), col("tok").as("w2"), col("c1").as("c1b"))), Seq("h2"))
+        .select(col("w1"), col("w2"), col("c2"),
+          expr(s"CAST(FLOOR(CAST(c2 AS DOUBLE) * 100 * CAST($totalTokens AS DOUBLE) / " +
+            "(CAST(c1a AS DOUBLE) * CAST(c1b AS DOUBLE))) AS BIGINT)").as("lift_c"))
+        .orderBy(col("lift_c").desc, col("w1"), col("w2")).limit(100)
+    },
+    // Pairwise source-overlap (moved from the SQL corpus in round 10 —
+    // r9 "weak": 32-hex md5 keys on the DISTINCT + self-join exchanges,
+    // shingle CTE recomputed 3×). Keys are now the fused 8-byte
+    // PortableShingleHash longs (4× smaller than hex, no per-shingle
+    // string/hex/parse round-trip), the distinct shingle stream is
+    // lineage-cut once, and the per-source size aggregate broadcasts.
+    // The DuckDB twin spells the identical 32-bit key via the documented
+    // '0x'||substr(md5(…),1,8) equivalence, so hash collisions (expected
+    // at 32 bits over a large shingle universe) are SHARED — the outputs
+    // are equal by construction, not by injectivity. The self-join
+    // exchanges (long, source) rows only; per-hash fanout is bounded by
+    // the source universe, not corpus size. The KMV-sketch twin for
+    // unbounded source counts is q144.
+    "q132_source_overlap" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val sh = Checkpoints.cut(
+        d.select(col("source"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 3)
+          .select(col("source"), explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+          .distinct(), eager = false)
+      val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val ix = sh.select(col("source").as("src_a"), col("h"))
+        .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      ix.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_inter"), col("n_a"), col("n_b"),
+          expr("n_inter * 10000 DIV (n_a + n_b - n_inter)").as("jaccard_bp"))
+        .orderBy(col("jaccard_bp").desc, col("src_a"), col("src_b")).limit(100)
+    },
+    // KMV-sketch source overlap (round 10): the q132 comment's promised
+    // scale path for UNBOUNDED source counts — per-source k-minimum-
+    // values sketches over the same 32-bit portable shingle keys, then
+    // pairwise Jaccard ESTIMATES from the sketches alone. Sketch
+    // construction is one windowed top-k over (source, long) rows
+    // (WindowGroupLimit prunes before the sort spills); candidate pairs
+    // come from an equi-join on sketch members (keys+ids only — never a
+    // nested-loop pair enumeration), and each surviving pair evaluates
+    // the estimator over two ≤k arrays. The DuckDB text replays the
+    // identical sketches and estimator, so the entry hash-checks exactly
+    // — the ERROR BOUND vs exact Jaccard is SketchesSpec's job.
+    "q144_kmv_overlap" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val sh = d.select(col("source"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 3)
+        .select(col("source"), explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+        .distinct()
+      graft.operators.Sketches.kmvJaccard(sh, "source", "h", graft.operators.Sketches.DefaultKmvK)
+        .orderBy(col("est_bp").desc, col("src_a"), col("src_b")).limit(100)
+    },
+    // Novelty scoring (moved from the SQL corpus in round 10 — r9
+    // "weak": same md5-hex key class as q132). First-seen bigrams now
+    // key on the fused PortableShingleHash long computed straight from
+    // the token array (no concat/md5-hex per bigram); the distinct
+    // (doc_id, key) stream is lineage-cut once and feeds both the
+    // first-seen aggregate and the join back — every exchange carries
+    // (long, doc_id) rows. The DuckDB twin spells the identical 32-bit
+    // key, so collisions are shared and outputs equal by construction.
+    "q138_novelty" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val bi = Checkpoints.cut(
+        d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(call_function("portable_shingle_hash", col("t"), lit(2))).as("k"))
+          .distinct(), eager = false)
+      val fs = bi.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
+      bi.join(fs, Seq("k"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          expr("n_novel * 10000 DIV n_bigrams").as("novel_bp"))
+        .orderBy(col("novel_bp").desc, col("doc_id")).limit(100)
     },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
@@ -526,7 +658,9 @@ object SparkEntry {
       val deduped = TextDedup.dedupExactByHash(docs, "doc_id", "text")
       val scored = deduped
         .withColumn("__t", split(col("text"), " "))
-        .withColumn("ttr_bp", expr("size(array_distinct(__t)) * 10000 DIV size(__t)"))
+        // 10000L: BIGINT multiply — ANSI int×int would throw past ~214k
+        // tokens where the DuckDB twin's len() is already BIGINT
+        .withColumn("ttr_bp", expr("size(array_distinct(__t)) * 10000L DIV size(__t)"))
         .filter(col("ttr_bp") >= 3000)
       graft.operators.Scale.hashSplit(scored, "doc_id", 80, method = "md5")
         .groupBy(col("lang"), col("split"))
@@ -705,25 +839,127 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     corpusEntries ++ behaviorEntries ++ tierEEntries
 
+  /** TWO-PASS edit-distance blocking replay (round 10), shared by the
+    * q136 / q141 / q142 oracle texts: pass 1 blocks on the first
+    * EditPrefixLen characters, pass 2 on the LAST EditPrefixLen (spelled
+    * as a positive-start substr with GREATEST clamping — `length`/
+    * `substr`/`greatest` count characters identically in both engines,
+    * unlike `reverse`, which DuckDB applies per grapheme cluster and
+    * Spark per code point). Pass 2 keeps only prefix-DIFFERING pairs, so
+    * the union is disjoint by construction — the exact rule the Spark
+    * operators (batch and stateless-streaming) implement. Caps apply per
+    * pass. `crossOnly` restricts each pass to (corpus, incoming) pairs —
+    * the q141/q142 form. Constants interpolated from the TextDedup
+    * compile-time source of truth. */
+  private def editPairReplay(crossOnly: Boolean): String = {
+    val P = graft.operators.TextDedup.EditPrefixLen
+    val M = graft.operators.TextDedup.DefaultMaxBucketSize
+    val D = graft.operators.TextDedup.EditMaxDist
+    val crossPred =
+      if (crossOnly) s" AND a.doc_id < $IncrementalSplitId AND c.doc_id >= $IncrementalSplitId"
+      else ""
+    s"WITH b1 AS (SELECT substr(text, 1, $P) AS k, doc_id FROM documents), " +
+      s"b2 AS (SELECT substr(text, GREATEST(length(text) - ${P - 1}, 1), $P) AS k, doc_id FROM documents), " +
+      s"el1 AS (SELECT k FROM b1 GROUP BY k HAVING COUNT(*) BETWEEN 2 AND $M), " +
+      s"el2 AS (SELECT k FROM b2 GROUP BY k HAVING COUNT(*) BETWEEN 2 AND $M), " +
+      "p1 AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b1 a " +
+      s"JOIN b1 c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el1 e ON e.k = a.k WHERE TRUE$crossPred), " +
+      "p2 AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b2 a " +
+      s"JOIN b2 c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el2 e ON e.k = a.k WHERE TRUE$crossPred), " +
+      "p AS (SELECT id_a, id_b FROM p1 UNION ALL " +
+      "SELECT p2.id_a, p2.id_b FROM p2 " +
+      "JOIN documents da ON da.doc_id = p2.id_a JOIN documents dc ON dc.doc_id = p2.id_b " +
+      s"WHERE substr(da.text, 1, $P) <> substr(dc.text, 1, $P)), " +
+      "d AS (SELECT p.id_a, p.id_b, levenshtein(da.text, dc.text) AS dist " +
+      "FROM p JOIN documents da ON da.doc_id = p.id_a JOIN documents dc ON dc.doc_id = p.id_b) " +
+      s"SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM d WHERE dist <= $D " +
+      "ORDER BY id_a, id_b LIMIT 100"
+  }
+
   /** Shared by q141 (batch) and q142 (streaming): the symmetric q136
     * replay restricted to cross pairs. One text for both keys IS the
     * streaming-equals-batch contract — the two entries must hash to the
-    * same answer on the closed input. Constants interpolated from the
-    * TextDedup compile-time source of truth. */
-  private lazy val incrementalEditOracle: String =
-    s"WITH b AS (SELECT substr(text, 1, ${graft.operators.TextDedup.EditPrefixLen}) AS k, doc_id FROM documents), " +
-      s"el AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
-      "p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b a " +
-      "JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el e ON e.k = a.k " +
-      s"WHERE a.doc_id < $IncrementalSplitId AND c.doc_id >= $IncrementalSplitId), " +
-      "d AS (SELECT p.id_a, p.id_b, levenshtein(da.text, dc.text) AS dist " +
-      "FROM p JOIN documents da ON da.doc_id = p.id_a JOIN documents dc ON dc.doc_id = p.id_b) " +
-      s"SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM d WHERE dist <= ${graft.operators.TextDedup.EditMaxDist} " +
-      "ORDER BY id_a, id_b LIMIT 100"
+    * same answer on the closed input. */
+  private lazy val incrementalEditOracle: String = editPairReplay(crossOnly = true)
 
   def oracleSql: Map[String, String] =
     Corpus.queries.map(q => q.id -> q.duckSql).toMap ++ Map(
       "q25_limit_inject" -> "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100",
+      // q129 (round 10): the oracle keeps the STRING-keyed spelling — the
+      // Spark side's 64-bit unigram hashes are injective on the corpus
+      // vocabulary, so the groupings coincide; the lift is the q85/q116
+      // FLOOR-double rule with the identical left-associated IEEE
+      // expression tree both engines evaluate bit-for-bit (every operand
+      // an exact integer < 2^53) — overflow-safe at any corpus size,
+      // unlike the retired BIGINT c2·N·100 chain.
+      "q129_collocations" ->
+        ("WITH toks AS (" +
+          "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
+          "), uni AS (" +
+          "SELECT tok, COUNT(*) AS c1 FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok" +
+          "), bi AS (" +
+          "SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 " +
+          "FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
+          "i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks)" +
+          "), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2) " +
+          "SELECT w1, w2, c2, " +
+          "CAST(FLOOR(CAST(c2 AS DOUBLE) * 100 * (SELECT CAST(SUM(c1) AS DOUBLE) FROM uni) / " +
+          "(CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE))) AS BIGINT) AS lift_c " +
+          "FROM big JOIN uni ua ON big.w1 = ua.tok JOIN uni ub ON big.w2 = ub.tok " +
+          "WHERE c2 >= 3 ORDER BY lift_c DESC, w1, w2 LIMIT 100"),
+      // q132 (round 10): the oracle spells the Spark side's fused 8-byte
+      // shingle key via the documented '0x'||substr(md5(…),1,8)
+      // equivalence — 32-bit collisions are SHARED, so the two engines
+      // agree by construction, not by injectivity.
+      "q132_source_overlap" ->
+        ("WITH toks AS (" +
+          "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+          "), sh AS (" +
+          "SELECT DISTINCT source, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
+          "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+          "), sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source), " +
+          "ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter " +
+          "FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY a.source, b.source) " +
+          "SELECT ix.src_a, ix.src_b, ix.n_inter, na.n AS n_a, nb.n AS n_b, " +
+          "CAST(ix.n_inter * 10000 // (na.n + nb.n - ix.n_inter) AS BIGINT) AS jaccard_bp " +
+          "FROM ix JOIN sz na ON na.source = ix.src_a JOIN sz nb ON nb.source = ix.src_b " +
+          "ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 100"),
+      // q144 (round 10): full KMV replay — identical sketches (k smallest
+      // distinct 32-bit keys per source), identical candidate rule (pairs
+      // sharing a sketch member), identical estimator arithmetic.
+      "q144_kmv_overlap" -> {
+        val k = graft.operators.Sketches.DefaultKmvK
+        "WITH toks AS (" +
+          "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+          "), sh AS (" +
+          "SELECT DISTINCT source, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
+          "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+          "), rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh), " +
+          s"sk AS (SELECT source, list_sort(list(h)) AS s FROM rk WHERE rn <= $k GROUP BY source), " +
+          "cand AS (SELECT DISTINCT a.source AS src_a, b.source AS src_b FROM rk a " +
+          s"JOIN rk b ON a.h = b.h AND a.source < b.source WHERE a.rn <= $k AND b.rn <= $k), " +
+          "est AS (SELECT src_a, src_b, " +
+          s"(list_sort(list_distinct(list_concat(sa.s, sb.s))))[1:$k] AS u, sa.s AS s_a, sb.s AS s_b " +
+          "FROM cand JOIN sk sa ON sa.source = cand.src_a JOIN sk sb ON sb.source = cand.src_b) " +
+          "SELECT src_a, src_b, CAST(len(u) AS BIGINT) AS k_union, " +
+          "CAST(len(list_intersect(list_intersect(s_a, s_b), u)) AS BIGINT) AS n_shared, " +
+          "CAST(len(list_intersect(list_intersect(s_a, s_b), u)) * 10000 // len(u) AS BIGINT) AS est_bp " +
+          "FROM est ORDER BY est_bp DESC, src_a, src_b LIMIT 100"
+      },
+      // q138 (round 10): same shared-32-bit-key posture as q132.
+      "q138_novelty" ->
+        ("WITH toks AS (" +
+          "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
+          "), bi AS (" +
+          "SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) AS k " +
+          "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1), " +
+          "i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks)" +
+          "), fs AS (SELECT k, MIN(doc_id) AS first_doc FROM bi GROUP BY k) " +
+          "SELECT bi.doc_id, COUNT(*) AS n_bigrams, " +
+          "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+          "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS novel_bp " +
+          "FROM bi JOIN fs ON bi.k = fs.k " +
+          "GROUP BY bi.doc_id ORDER BY novel_bp DESC, doc_id LIMIT 100"),
       // CAST the SUM: DuckDB SUM(BIGINT) is HUGEINT, which its pandas
       // path renders as float ("99111.0") — BIGINT renders like Spark's.
       "q34_json_extract" ->
@@ -1092,20 +1328,11 @@ object SparkEntry {
       // replay — streaming output = batch answer on closed input (the
       // q126 contract for the edit-distance family)
       "q142_stream_edit" -> incrementalEditOracle,
-      // round 9: prefix-blocked Levenshtein replay — DuckDB computes the
-      // plain 2-arg distance with a WHERE threshold; the engine's banded
-      // 3-arg form returns the true distance for every pair it keeps, so
-      // the kept rowsets are identical. Constants interpolated from
-      // TextDedup (EditPrefixLen/EditMaxDist/DefaultMaxBucketSize).
-      "q136_edit_distance" ->
-        (s"WITH b AS (SELECT substr(text, 1, ${graft.operators.TextDedup.EditPrefixLen}) AS k, doc_id FROM documents), " +
-          s"el AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
-          "p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM b a " +
-          "JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id JOIN el e ON e.k = a.k), " +
-          "d AS (SELECT p.id_a, p.id_b, levenshtein(da.text, dc.text) AS dist " +
-          "FROM p JOIN documents da ON da.doc_id = p.id_a JOIN documents dc ON dc.doc_id = p.id_b) " +
-          s"SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM d WHERE dist <= ${graft.operators.TextDedup.EditMaxDist} " +
-          "ORDER BY id_a, id_b LIMIT 100"),
+      // round 9 (two-pass since round 10): blocked Levenshtein replay —
+      // DuckDB computes the plain 2-arg distance with a WHERE threshold;
+      // the engine's banded 3-arg form returns the true distance for
+      // every pair it keeps, so the kept rowsets are identical.
+      "q136_edit_distance" -> editPairReplay(crossOnly = false),
       // new round 4: the recursive-CTE transitive closure is the oracle
       // for the distributed connected-components operator (same integer
       // jaccard edge set, min-id labels)

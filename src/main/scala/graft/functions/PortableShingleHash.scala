@@ -26,8 +26,18 @@ import org.apache.spark.sql.types._
 case class PortableShingleHash(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure("n must be >= 1")
+    case ArrayType(StringType, false) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckFailure("n must be >= 1")
+    // round 10: null elements are REJECTED at type check rather than
+    // silently hashed — the composed spelling's array_join drops a null
+    // AND its delimiter, while the byte loop would keep the separator,
+    // so the two forms diverge exactly there. split() arrays (the whole
+    // call surface) are containsNull = false; any other producer must
+    // strip nulls first.
+    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+      "portable_shingle_hash requires array<string> WITHOUT null elements " +
+        "(tokens from split(); null elements would diverge from the composed " +
+        "md5 spelling, whose array_join drops null + delimiter)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"portable_shingle_hash requires array<string>, got ${other.catalogString}")
   }
@@ -59,7 +69,15 @@ object PortableShingleHash {
   def compute(tokens: ArrayData, n: Int): ArrayData = {
     val md = md5Local.get()
     val total = tokens.numElements()
-    val count = math.max(total - n + 1, if (total == 0) 0 else 1)
+    // total == 0 mirrors the composed spelling exactly (round-10 advice:
+    // the registered SQL function must agree with the composed form on
+    // every input it admits, not just split() output, which is never
+    // empty): for n ≥ 2 shingles() emits ONE empty shingle on an empty
+    // array (sequence(0, greatest(size−n, 0)) = [0]) → one hash of "";
+    // for n == 1 it maps the tokens directly → zero hashes.
+    val count =
+      if (total == 0) { if (n == 1) 0 else 1 }
+      else math.max(total - n + 1, 1)
     val out = new Array[Long](count)
     var i = 0
     while (i < count) {

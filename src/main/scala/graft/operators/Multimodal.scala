@@ -9,13 +9,18 @@ import org.apache.spark.sql.types._
   * sample stages (build brief §multimodal).
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape, typed
-  * stages — is real and tested. The codec itself is STUBBED with a
-  * deterministic fake (`FakeCodec`): the container has no image/audio
-  * libraries, and the brief asks for exactly this split. Swapping
-  * `FakeCodec` for a real decoder (javacv, a JNI codec, …) changes no
-  * plan shape: `mapPartitions` keeps the decode columnar-batch-friendly and
-  * amortizes per-partition codec initialization, the Scala analogue of
-  * `mapInPandas` batching.
+  * stages — is real and tested. Round 10 promotes the codec past the
+  * all-fake stub: `RealCodec` parses three REAL container formats in pure
+  * JVM (no new deps) — 24-bpp BMP (BITMAPINFOHEADER), binary PPM (P6),
+  * and PCM WAV (RIFF) — computing width/height/frame-count/mean-intensity
+  * from the actual encoded bytes; `syntheticMedia` now EMITS real BMP and
+  * WAV containers (pixels/samples derived from document text, so the
+  * fixture stays deterministic). Only the video branch remains the
+  * declared deterministic stub (`FakeCodec` — no pure-JVM video container
+  * is honest to parse). Swapping in a full decoder (javacv, a JNI codec,
+  * …) changes no plan shape: `mapPartitions` keeps the decode
+  * columnar-batch-friendly and amortizes per-partition codec
+  * initialization, the Scala analogue of `mapInPandas` batching.
   *
   * Scale notes: media blobs dominate row size, so
   * `spark.sql.files.maxPartitionBytes` governs decode parallelism, and
@@ -61,8 +66,169 @@ object Multimodal {
       f.copy(width = w, height = h)
   }
 
-  /** Synthesize a deterministic media table from the documents table
-    * (text bytes stand in for encoded media) — the testdata carrier. */
+  /** REAL pure-JVM container codecs (round 10): byte-exact encoders and
+    * decoders for 24-bpp BMP, binary PPM (P6) and 8/16-bit PCM WAV. The
+    * decoders parse the actual headers (magic, dimensions, sample
+    * layout, data offset) and compute mean intensity over the real
+    * payload bytes — a malformed container throws, which the decode
+    * stage surfaces per row rather than faking. */
+  object RealCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** 24-bpp bottom-up BMP with BITMAPINFOHEADER; `pixel(x, y)` is a
+      * grayscale value written to all three channels. */
+    def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val rowSize = (width * 3 + 3) / 4 * 4
+      val dataSize = rowSize * height
+      val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54) // reserved, pixel-data offset
+      b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = height - 1
+      while (y >= 0) { // bottom-up row order
+        var x = 0
+        while (x < width) {
+          val v = (pixel(x, y) & 0xff).toByte
+          b.put(v).put(v).put(v)
+          x += 1
+        }
+        var p = width * 3
+        while (p < rowSize) { b.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      b.array()
+    }
+
+    /** (width, height, mean over pixel channel bytes, padding excluded). */
+    def decodeBmp(bytes: Array[Byte]): (Int, Int, Double) = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+      val dataOffset = b.getInt(10)
+      val width = b.getInt(18)
+      val height = math.abs(b.getInt(22)) // negative = top-down; size only
+      require(b.getShort(28) == 24, s"only 24-bpp BMP supported, got ${b.getShort(28)}")
+      val rowSize = (width * 3 + 3) / 4 * 4
+      var sum = 0L
+      var y = 0
+      while (y < height) {
+        var i = dataOffset + y * rowSize
+        val end = i + width * 3
+        while (i < end) { sum += (bytes(i) & 0xff); i += 1 }
+        y += 1
+      }
+      val n = width.toLong * height * 3
+      (width, height, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** Binary PPM: "P6 <w> <h> <max>\n" header then RGB triples. */
+    def encodePpm(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + width * height * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = header.length
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = (pixel(x, y) & 0xff).toByte
+          out(i) = v; out(i + 1) = v; out(i + 2) = v
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decodePpm(bytes: Array[Byte]): (Int, Int, Double) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+      var i = 2
+      def nextInt(): Int = {
+        while (i < bytes.length &&
+          (Character.isWhitespace(bytes(i)) || bytes(i) == '#')) {
+          if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = 0
+        while (i < bytes.length && !Character.isWhitespace(bytes(i))) {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val width = nextInt(); val height = nextInt(); nextInt() // maxval
+      i += 1 // single whitespace after maxval
+      var sum = 0L
+      val end = math.min(bytes.length, i + width * height * 3)
+      val start = i
+      while (i < end) { sum += (bytes(i) & 0xff); i += 1 }
+      val n = end - start
+      (width, height, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** Mono/stereo PCM WAV; samples(i) are 8-bit unsigned values. */
+    def encodeWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(44 + samples.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1) // PCM
+        .putShort(1).putInt(sampleRate).putInt(sampleRate) // mono, 8-bit
+        .putShort(1).putShort(8)
+      b.put("data".getBytes("US-ASCII")).putInt(samples.length).put(samples)
+      b.array()
+    }
+
+    /** (channels, bitsPerSample, frameCount, mean over sample bytes). */
+    def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 44 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+      val channels = b.getShort(22).toInt
+      val bits = b.getShort(34).toInt
+      // chunk walk from offset 12 to the data chunk (fmt may not be last)
+      var i = 12
+      var dataOff = -1
+      var dataLen = 0
+      while (i + 8 <= bytes.length && dataOff < 0) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val len = b.getInt(i + 4)
+        if (id == "data") { dataOff = i + 8; dataLen = len }
+        else i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(dataOff >= 0, "WAV without data chunk")
+      val blockAlign = channels * (bits / 8)
+      val frames = if (blockAlign == 0) 0 else dataLen / blockAlign
+      var sum = 0L
+      var j = dataOff
+      val end = math.min(bytes.length, dataOff + dataLen)
+      while (j < end) { sum += (bytes(j) & 0xff); j += 1 }
+      (channels, bits, frames, if (end == dataOff) 0.0 else sum.toDouble / (end - dataOff))
+    }
+
+    /** Sniff the container magic and decode for real; the video branch is
+      * the one remaining declared stub (FakeCodec). Feature mapping:
+      * images → (width, height, 1 frame); WAV audio → width = channels,
+      * height = bitsPerSample, n_frames = PCM frame count. */
+    def decode(row: MediaRow): MediaFeatures = {
+      val bs = row.content
+      if (bs.length >= 2 && bs(0) == 'B' && bs(1) == 'M') {
+        val (w, h, mean) = decodeBmp(bs)
+        MediaFeatures(row.media_id, row.media_type, w, h, 1, mean)
+      } else if (bs.length >= 2 && bs(0) == 'P' && bs(1) == '6') {
+        val (w, h, mean) = decodePpm(bs)
+        MediaFeatures(row.media_id, row.media_type, w, h, 1, mean)
+      } else if (bs.length >= 4 && new String(bs, 0, 4, "US-ASCII") == "RIFF") {
+        val (ch, bits, frames, mean) = decodeWav(bs)
+        MediaFeatures(row.media_id, row.media_type, ch, bits, frames, mean)
+      } else FakeCodec.decode(row)
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table —
+    * the testdata carrier. Round 10: image rows carry a REAL 24-bpp BMP
+    * and audio rows a REAL PCM WAV (pixels/samples derived from the
+    * document text bytes, dimensions from doc_id — deterministic);
+    * video rows keep opaque text bytes for the declared FakeCodec stub. */
   def syntheticMedia(spark: SparkSession, docsDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.register(spark, docsDir)
@@ -74,15 +240,31 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("content"),
         col("source"))
       .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val text = r.content
+        def px(x: Int, y: Int): Int =
+          if (text.isEmpty) 0 else text((x + y * 7) % text.length) & 0xff
+        r.media_type match {
+          case "image" =>
+            val w = 4 + (r.media_id % 13).toInt
+            val h = 3 + (r.media_id % 7).toInt
+            r.copy(content = RealCodec.encodeBmp(w, h, px))
+          case "audio" =>
+            r.copy(content = RealCodec.encodeWav(8000, text))
+          case _ => r // video: opaque bytes, FakeCodec stub decodes
+        }
+      })
   }
 
   /** Decode stage: per-partition batch decode (codec init once per
-    * partition — the mapInPandas-batch analogue in Scala). */
+    * partition — the mapInPandas-batch analogue in Scala). Dispatches on
+    * the container magic: BMP/PPM/WAV parse for real (RealCodec), video
+    * falls through to the declared deterministic stub. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codecs initialize libraries here, once per partition
-      it.map(FakeCodec.decode)
+      it.map(RealCodec.decode)
     }
   }
 

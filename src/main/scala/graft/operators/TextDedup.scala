@@ -130,22 +130,63 @@ object TextDedup {
   val EditPrefixLen = 16
   val EditMaxDist = 64
 
+  /** The PREFIX block key: first `prefixLen` characters. */
+  private[graft] def prefixKey(text: Column, prefixLen: Int): Column =
+    substring(text, 1, prefixLen)
+
+  /** The SUFFIX block key (round 10 — the second blocking pass closing
+    * the recall hole PLANS.md documents for prefix-only blocking): the
+    * LAST `prefixLen` characters, spelled as a positive-start substr —
+    * `substr(text, greatest(length(text) − prefixLen + 1, 1), prefixLen)`
+    * — because `length`/`substr`/`greatest` count characters identically
+    * in Spark and DuckDB, while string `reverse` does NOT (Spark reverses
+    * code points, DuckDB grapheme clusters — combining characters would
+    * diverge). Shorter-than-prefixLen documents key on their whole text,
+    * same clamping as the prefix pass. */
+  private[graft] def suffixKey(text: Column, prefixLen: Int): Column =
+    text.substr(greatest(length(text) - (prefixLen - 1), lit(1)), lit(prefixLen))
+
+  /** One blocking pass: capped same-key candidate pairs, ids only. */
+  private def blockPairs(df: DataFrame, idCol: String, key: Column,
+                         maxBucketSize: Int): DataFrame =
+    df.select(key.as("__k"), col(idCol))
+      .groupBy("__k")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+
   /** Fuzzy-duplicate pairs by EDIT DISTANCE with prefix blocking — the
     * character-level complement to set-similarity dedup (minhash catches
     * reordered/shuffled token overlap; edit distance catches small
     * insertions/typos/template fills that keep the character stream
     * aligned). All-pairs Levenshtein is O(n²·len²) and unshippable, so
-    * candidates are blocked on the first `prefixLen` characters: only
-    * documents sharing an exact prefix are compared — the classic
+    * candidates are blocked on exact-match keys — the classic
     * sorted-neighborhood/blocking trade (recall bounded by the blocking
-    * key, like LSH banding is by band width).
+    * keys, like LSH banding is by band width).
+    *
+    * TWO blocking passes (round 10 — prefix-only blocking missed every
+    * pair whose edits fall inside the first `prefixLen` characters, the
+    * exact templated-prefix case the cap exists for; PLANS.md documented
+    * the hole in r9): pass 1 blocks on the first `prefixLen` characters,
+    * pass 2 on the LAST `prefixLen`. A true fuzzy pair escapes both only
+    * when edits hit BOTH ends — the residual recall bound, documented
+    * rather than hidden. Pass 2 keeps ONLY pairs whose prefix keys
+    * DIFFER, so the union is disjoint BY CONSTRUCTION — no distinct()
+    * exchange, and (critically) the same rule is stateless in the
+    * streaming form (`StreamOps.editDistanceAgainstCorpus`), where a
+    * post-union dedup would need a state store.
     *
     * Scale shape (the repo's standard pair-generator discipline):
-    *   - the blocking exchange carries (prefix, id) ONLY — document text
+    *   - each blocking exchange carries (key, id) ONLY — document text
     *     never crosses the bucket shuffle; it joins back for the
     *     surviving candidate pairs;
-    *   - blocks are capped at `maxBucketSize` (m-doc boilerplate block →
-    *     m² pairs inside one collected task otherwise);
+    *   - blocks are capped at `maxBucketSize` PER PASS (m-doc
+    *     boilerplate block → m² pairs inside one collected task
+    *     otherwise); a same-prefix pair dropped by pass 1's cap does not
+    *     re-enter through pass 2 (the prefix-differs rule is
+    *     cap-independent, so the oracle replays it exactly);
     *   - the distance itself uses Spark's banded 3-arg `levenshtein`
     *     (threshold form): the DP early-exits at `maxDist` band width, so
     *     each comparison is O(len·maxDist) not O(len²), and mismatched
@@ -158,16 +199,14 @@ object TextDedup {
                         prefixLen: Int = EditPrefixLen,
                         maxDist: Int = EditMaxDist,
                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val blocked = df.select(substring(col(textCol), 1, prefixLen).as("__k"), col(idCol))
-    val pairs = blocked.groupBy("__k")
-      .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
-      .select(col("id_a"), explode(col("__ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-    pairs
+    val p1 = blockPairs(df, idCol, prefixKey(col(textCol), prefixLen), maxBucketSize)
+    val p2 = blockPairs(df, idCol, suffixKey(col(textCol), prefixLen), maxBucketSize)
+    def withText(pairs: DataFrame): DataFrame = pairs
       .join(df.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+    withText(p1)
+      .unionByName(withText(p2).filter(
+        prefixKey(col("__ta"), prefixLen) =!= prefixKey(col("__tb"), prefixLen)))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
       .filter(col("dist") >= 0) // 3-arg levenshtein returns -1 above maxDist
@@ -177,31 +216,39 @@ object TextDedup {
     * corpus and an INCOMING batch — `editDistancePairs`' daily-crawl
     * form, completing the incremental family (minhash
     * `portableCrossPairStats`, embedding `crossEmbedPairs`). Both sides
-    * are blocked on the same prefix key; the cap bounds COMBINED
-    * (existing + incoming) block occupancy, and since every document
-    * lands in exactly one block on exactly one side, combined occupancy
-    * EQUALS the symmetric operator's total block size — so the pair set
-    * is exactly `editDistancePairs` on the concatenated corpus
-    * restricted to cross pairs (what the q141 oracle replays). The
-    * existing side never self-pairs (intra-corpus work is not redone),
-    * keys + ids only cross the blocking exchanges, and the incoming
-    * side is typically small enough that AQE broadcasts it.
+    * run the SAME two blocking passes as the symmetric operator (prefix
+    * + suffix keys, pass 2 keeping only prefix-differing pairs); within
+    * each pass the cap bounds COMBINED (existing + incoming) block
+    * occupancy, and since every document lands in exactly one block per
+    * pass on exactly one side, combined occupancy EQUALS the symmetric
+    * operator's block size for that key — so the pair set is exactly
+    * `editDistancePairs` on the concatenated corpus restricted to cross
+    * pairs (what the q141 oracle replays; the prefix-differs rule is the
+    * same predicate on both sides of that equivalence). The existing
+    * side never self-pairs (intra-corpus work is not redone), keys + ids
+    * only cross the blocking exchanges, and the incoming side is
+    * typically small enough that AQE broadcasts it.
     * Output: (id_a ∈ existing, id_b ∈ incoming, dist ≤ maxDist). */
   def editDistanceCrossPairs(existing: DataFrame, incoming: DataFrame,
                              idCol: String, textCol: String,
                              prefixLen: Int = EditPrefixLen,
                              maxDist: Int = EditMaxDist,
                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val be = existing.select(substring(col(textCol), 1, prefixLen).as("__k"), col(idCol).as("id_a"))
-    val bi = incoming.select(substring(col(textCol), 1, prefixLen).as("__k"), col(idCol).as("id_b"))
-    val eligible = be.groupBy("__k").agg(count(lit(1)).as("__ne"))
-      .join(bi.groupBy("__k").agg(count(lit(1)).as("__ni")), Seq("__k"))
-      .filter(col("__ne") + col("__ni") <= maxBucketSize)
-      .select("__k")
-    be.join(eligible, Seq("__k")).join(bi, Seq("__k"))
-      .select("id_a", "id_b")
+    def crossPass(keyOf: Column => Column): DataFrame = {
+      val be = existing.select(keyOf(col(textCol)).as("__k"), col(idCol).as("id_a"))
+      val bi = incoming.select(keyOf(col(textCol)).as("__k"), col(idCol).as("id_b"))
+      val eligible = be.groupBy("__k").agg(count(lit(1)).as("__ne"))
+        .join(bi.groupBy("__k").agg(count(lit(1)).as("__ni")), Seq("__k"))
+        .filter(col("__ne") + col("__ni") <= maxBucketSize)
+        .select("__k")
+      be.join(eligible, Seq("__k")).join(bi, Seq("__k")).select("id_a", "id_b")
+    }
+    def withText(pairs: DataFrame): DataFrame = pairs
       .join(existing.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
       .join(incoming.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+    withText(crossPass(t => prefixKey(t, prefixLen)))
+      .unionByName(withText(crossPass(t => suffixKey(t, prefixLen))).filter(
+        prefixKey(col("__ta"), prefixLen) =!= prefixKey(col("__tb"), prefixLen)))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
@@ -578,9 +625,23 @@ object TextDedup {
   /** Portable 32-bit SimHash over the DISTINCT token set: per bit b, sum
     * ±1 weights ((h >> b & 1)·2 − 1) of md5-derived token hashes; the
     * bit is set when the sum is ≥ 0. Pure integer arithmetic — the
-    * cross-engine twin of the native `SimHash64` expression (which stays
-    * the production path: one fused pass vs 32 HOF folds). */
+    * cross-engine twin of the native `SimHash64` expression. Round 10:
+    * computed by the fused native `PortableSimhash32` expression (one
+    * tight loop per row — no 32-wide HOF accumulator array per token;
+    * the r9 PortableShingleHash playbook applied to the sign-fold, which
+    * the q83 profile showed dominating). The composed HOF form below is
+    * kept as the bit-equality test reference and is what the q83 DuckDB
+    * text still replays. */
   def portableSimhash32(tokenHashes: Column): Column = {
+    graft.functions.PortableSimhash32.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("portable_simhash32", tokenHashes)
+  }
+
+  /** The composed HOF spelling of `portableSimhash32` — the exact form
+    * the q83 DuckDB text replays; kept as the bit-equality reference for
+    * the fused expression (TierESpec). */
+  def portableSimhash32Composed(tokenHashes: Column): Column = {
     // ONE fold over the token hashes with a 32-wide array accumulator
     // (the per-bit formulation runs 32 separate aggregate folds per row —
     // measured 3.5× slower at sf0.1); bit b's ±1 weight comes from

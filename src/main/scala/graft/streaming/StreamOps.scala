@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -223,11 +223,11 @@ object StreamOps {
     * Levenshtein — the streaming form of
     * `TextDedup.editDistanceCrossPairs` (same prefix blocking, same
     * threshold), completing the streaming-dedup pair with
-    * `dedupAgainstCorpus` (minhash). Entirely STATELESS: the block key
-    * is one per-row `substring`, the join is stream-static, no
-    * watermark, no state store. Unlike multi-band LSH each document
-    * lands in exactly ONE block per side, so a pair meets in at most
-    * one block — the output is a true SET, no batch-side distinct
+    * `dedupAgainstCorpus` (minhash). Entirely STATELESS: the block keys
+    * are per-row `substring`s, the joins are stream-static, no
+    * watermark, no state store. Unlike multi-band LSH the two blocking
+    * passes are DISJOINT by the prefix-differs rule, so a pair meets in
+    * at most one pass — the output is a true SET, no batch-side distinct
     * needed. Same documented delta as `dedupAgainstCorpus`: the
     * degenerate-block cap sees CORPUS-side occupancy only (per-batch
     * stream occupancy is unknowable statelessly and bounded by batch
@@ -241,14 +241,29 @@ object StreamOps {
                                 prefixLen: Int = graft.operators.TextDedup.EditPrefixLen,
                                 maxDist: Int = graft.operators.TextDedup.EditMaxDist,
                                 maxBucketSize: Int = graft.operators.TextDedup.DefaultMaxBucketSize): DataFrame = {
-    val be = corpus.select(substring(col(textCol), 1, prefixLen).as("__k"),
-      col(idCol).as("id_a"), col(textCol).as("__ta"))
-    val eligible = be.join(
-      be.groupBy("__k").agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize),
-      Seq("__k"))
-    docStream.select(substring(col(textCol), 1, prefixLen).as("__k"),
-        col(idCol).as("id_b"), col(textCol).as("__tb"))
-      .join(eligible, Seq("__k"))
+    import graft.operators.TextDedup.{prefixKey, suffixKey}
+    // Corpus side blocks as (__k, id_a) ONLY — its text joins back by id
+    // AFTER the candidate pairs form (round 10, mirroring
+    // editDistanceCrossPairs): at the 100 TB design point the static
+    // side's text must not ride the per-microbatch block join.
+    // Round 10 adds the SUFFIX blocking pass (the batch operators' recall
+    // fix); pass 2 keeps only prefix-DIFFERING pairs, so the union stays
+    // a true set STATELESSLY — each pair appears in at most one pass, no
+    // state-store dedup.
+    def pass(keyOf: Column => Column): DataFrame = {
+      val be = corpus.select(keyOf(col(textCol)).as("__k"), col(idCol).as("id_a"))
+      val eligible = be.join(
+        be.groupBy("__k").agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize),
+        Seq("__k"))
+      docStream.select(keyOf(col(textCol)).as("__k"),
+          col(idCol).as("id_b"), col(textCol).as("__tb"))
+        .join(eligible, Seq("__k"))
+        .join(corpus.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+        .select("id_a", "id_b", "__ta", "__tb")
+    }
+    pass(t => prefixKey(t, prefixLen))
+      .unionByName(pass(t => suffixKey(t, prefixLen)).filter(
+        prefixKey(col("__ta"), prefixLen) =!= prefixKey(col("__tb"), prefixLen)))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)

@@ -43,26 +43,27 @@ class CorpusSpec extends AnyFunSuite {
     // q121: CAST(… AS STRING) vs CAST(… AS VARCHAR);
     // q122: IGNORE NULLS outside (Spark) vs inside (DuckDB) the parens;
     // q123: integer division (Spark DIV vs DuckDB // + HUGEINT CAST);
-    // q127-q130: split/size/slice/array_join/explode(sequence)/lambda
-    //   transform vs the DuckDB list_* + unnest spellings, DIV vs //
-    //   (with CASTs where DuckDB's SUM/window-SUM yields HUGEINT);
-    // q132: same list-toolkit split + DIV-vs-// divergence;
+    // q127/q128/q130: split/size/slice/array_join/explode(sequence)/
+    //   lambda transform vs the DuckDB list_* + unnest spellings, DIV vs
+    //   // (with CASTs where DuckDB's SUM/window-SUM yields HUGEINT);
     // q133: posexplode vs lateral index join, DIV vs // + HUGEINT CASTs;
     // q134: explode(sequence)/date_format vs unnest(generate_series)/
     //   strftime (q135 shares one text: percentile_disc WITHIN GROUP,
     //   FLOOR and the integer fences spell identically in both engines)
+    // (q129/q132/q138 left the SQL corpus in round 10 — they are tier-E
+    //  DataFrame programs now, oracles beside them in SparkEntry)
     assert(duals.toSet == Set("q05_multi_agg", "q22_datediff", "q60_math_regex",
       "q61_pivot", "q78_retention", "q86_listagg", "q87_posexplode",
       "q99_source_stats", "q100_pct_of_total", "q103_array_funcs",
       "q104_regexp_all", "q110_date_funcs", "q115_doclen_hist",
       "q119_add_months", "q120_chunk_overlap", "q121_stratified_k",
       "q122_ignore_nulls", "q123_share_in_region",
-      "q127_boilerplate_strip", "q128_df_quality", "q129_collocations",
-      "q130_vocab_coverage", "q132_source_overlap", "q133_centroid_drift",
+      "q127_boilerplate_strip", "q128_df_quality",
+      "q130_vocab_coverage", "q133_centroid_drift",
       "q134_gap_fill",
-      // q137/q138: integer division + list spellings (q139 duals only on
+      // q137: integer division + list spellings (q139 duals only on
       // explode vs unnest)
-      "q137_ttr_bands", "q138_novelty", "q139_token_len"))
+      "q137_ttr_bands", "q139_token_len"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {

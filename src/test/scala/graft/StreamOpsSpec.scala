@@ -123,6 +123,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("q142 cap-coupling margin: no prefix block near DefaultMaxBucketSize") {
+    // r10 advice: q142's streaming cap sees CORPUS-side occupancy only
+    // while its oracle (the q141 replay) caps COMBINED occupancy — the
+    // two agree as long as no prefix-16 block's TOTAL occupancy (corpus
+    // + incoming = the whole documents table, since the split partitions
+    // it) comes anywhere near the cap. Assert a 2× safety margin at the
+    // fixture the gate runs on, so a regenerated corpus that drifts
+    // toward the cap fails HERE with a diagnosis instead of going red at
+    // the oracle. (CLAUDE.md records the cap DOES fire for q83's simhash
+    // buckets at sf0.1 — this guards the edit-distance block keys.)
+    import graft.operators.TextDedup
+    val worst = Tables.table(spark, TestSpark.sf01, "documents")
+      .groupBy(substring(col("text"), 1, TextDedup.EditPrefixLen)).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(worst * 2 <= TextDedup.DefaultMaxBucketSize,
+      s"largest prefix-${TextDedup.EditPrefixLen} block ($worst docs) is within 2× of " +
+        s"DefaultMaxBucketSize (${TextDedup.DefaultMaxBucketSize}) — q142's corpus-only " +
+        "cap may diverge from the q141 combined-cap oracle; see StreamOps.editDistanceAgainstCorpus")
+  }
+
   test("streaming ingest dedup equals the batch incremental operator on closed input") {
     import graft.operators.TextDedup
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")

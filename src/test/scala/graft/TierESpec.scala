@@ -155,6 +155,24 @@ class TierESpec extends AnyFunSuite {
     assert(capped.count() == 0, "oversize block must be dropped, not paired")
   }
 
+  test("suffix pass catches edits inside the prefix (r10 second blocking key)") {
+    // docs 1/2 differ ONLY in their first word — prefix-16 keys differ, so
+    // the pre-r10 single-pass operator could never block them together
+    // (the recall hole PLANS.md documented); the suffix key pairs them.
+    // Pair (5,6) shares BOTH keys — it must come through exactly once
+    // (the prefix-differs rule keeps the two passes disjoint).
+    val tail = " shared middle and ending text long enough to block on"
+    val docs = Seq(
+      (1L, "Alpha" + tail),
+      (2L, "Omega" + tail),
+      (3L, "completely unrelated text with its own distinct ending here"),
+      (5L, "twin prefix here and a twin ending too yes"),
+      (6L, "twin prefix here and a twin ending too yes")).toDF("doc_id", "text")
+    val got = TextDedup.editDistancePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == Seq((1L, 2L), (5L, 6L)), s"got $got")
+  }
+
   test("fused PortableShingleHash equals the composed md5 spelling bit-for-bit") {
     // real documents at sf0.001 (incl. zh/multibyte text) + edge shapes —
     // the fused digest-bytes expression must match the conv(substring(
@@ -169,6 +187,46 @@ class TierESpec extends AnyFunSuite {
       .filter(not(col("fused") === col("composed")))
       .count()
     assert(diff == 0L, s"$diff documents diverged between fused and composed hashing")
+  }
+
+  test("fused PortableSimhash32 equals the composed HOF spelling bit-for-bit") {
+    // real documents (incl. zh/multibyte) + the empty token set (the
+    // explicit 0 sentinel both forms must share) — the fused sign-fold
+    // must match the aggregate/zip_with chain the q83 DuckDB text replays
+    val th = Tables.table(spark, TestSpark.sf0001, "documents")
+      .select(array_distinct(TextDedup.portableShingleHashes(col("text"), 1)).as("__th"))
+      .unionByName(spark.range(1)
+        .select(expr("slice(array(1L), 1, 0)").as("__th"))) // empty, containsNull = false
+    val diff = th.select(
+      TextDedup.portableSimhash32(col("__th")).as("fused"),
+      TextDedup.portableSimhash32Composed(col("__th")).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff == 0L, s"$diff rows diverged between fused and composed simhash")
+  }
+
+  test("fused hash matches composed on inputs split() cannot produce (r10 advice)") {
+    // the registered SQL function admits any null-free array<string> —
+    // empty arrays must agree with the composed form for every n
+    // (n ≥ 2: one hash of ""; n == 1: zero hashes), and arrays WITH
+    // nulls must be rejected at type check, not silently hashed
+    graft.functions.PortableShingleHash.register(spark)
+    for (n <- Seq(1, 2, 3)) {
+      // slice(split(…), 1, 0): an EMPTY array that keeps split()'s
+      // containsNull = false (array().cast(…) flips it to true and the
+      // type check correctly rejects that)
+      val diff = spark.range(1)
+        .select(expr("slice(split('x', ','), 1, 0)").as("t"))
+        .select(
+          call_function("portable_shingle_hash", col("t"), lit(n)).as("fused"),
+          transform(TextDedup.shingles(col("t"), n),
+            s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("composed"))
+        .filter(not(col("fused") === col("composed"))).count()
+      assert(diff == 0L, s"empty-array divergence at n=$n")
+    }
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT portable_shingle_hash(array('a', CAST(NULL AS STRING)), 2)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("without null"))
   }
 
   test("editDistanceCrossPairs equals the symmetric operator restricted to cross pairs") {
@@ -556,7 +614,9 @@ class TierESpec extends AnyFunSuite {
     val feats = Multimodal.decodeFeatures(media)
     val rows = feats.collect()
     assert(rows.length == 500)
-    assert(rows.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
+    // real containers since r10: image dims are the encoded BMP's (small),
+    // audio width/height are (channels, bits) — all ≥ 1, frames ≥ 1
+    assert(rows.forall(f => f.width >= 1 && f.height >= 1 && f.n_frames >= 1))
     // videos sample frames; stride halves the count (±1)
     val frames = Multimodal.sampleFrames(feats, stride = 2)
     val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n")).collect()
@@ -570,6 +630,29 @@ class TierESpec extends AnyFunSuite {
     // determinism across runs
     val again = Multimodal.decodeFeatures(media).collect()
     assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("RealCodec round-trips known fixtures byte-exactly (r10)") {
+    import graft.operators.Multimodal.RealCodec
+    // 3×2 BMP with known pixel values → exact dims + exact mean
+    val pix = Array(Array(10, 20, 30), Array(40, 50, 60)) // [y][x]
+    val bmp = RealCodec.encodeBmp(3, 2, (x, y) => pix(y)(x))
+    val (bw, bh, bMean) = RealCodec.decodeBmp(bmp)
+    assert((bw, bh) == (3, 2))
+    assert(bMean == (10 + 20 + 30 + 40 + 50 + 60) / 6.0) // channels repeat the gray value
+    // 2×2 P6 PPM
+    val ppm = RealCodec.encodePpm(2, 2, (x, y) => 100 + x + 10 * y)
+    val (pw, ph, pMean) = RealCodec.decodePpm(ppm)
+    assert((pw, ph) == (2, 2))
+    assert(pMean == (100 + 101 + 110 + 111) / 4.0)
+    // 8-sample mono 8-bit WAV → 8 frames, exact mean
+    val wav = RealCodec.encodeWav(8000, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7))
+    val (ch, bits, frames, wMean) = RealCodec.decodeWav(wav)
+    assert((ch, bits, frames) == (1, 8, 8))
+    assert(wMean == (0 + 1 + 2 + 3 + 4 + 5 + 6 + 7) / 8.0)
+    // a BMP decoded through the full pipeline row reports the real dims
+    val feats = RealCodec.decode(graft.operators.Multimodal.MediaRow(1L, "image", bmp, "s"))
+    assert((feats.width, feats.height, feats.n_frames) == (3, 2, 1))
   }
 
   test("approximate aggregates land within documented error of exact") {
