@@ -1101,8 +1101,13 @@ object SparkEntry {
           "CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) >= 0 " +
           "THEN (1::BIGINT << b) ELSE 0 END)) AS sim FROM th), " +
           s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
-          "chunks0 AS (SELECT doc_id, sim, j, array_to_string(list_transform(cs, " +
-          s"c -> CAST((sim >> ($chunkBits * c)) & $mask AS VARCHAR)), '-') AS ckey FROM sig, combos), " +
+          // packed-integer combo key (round 10): Σ_i chunk(cs[i]) << (w·i)
+          // — the identical arithmetic the Spark side computes, so keys
+          // and bucket-cap drops stay value-equal across engines
+          "chunks0 AS (SELECT doc_id, sim, j, " +
+          s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
+          s"i -> ((sim >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
+          "FROM sig, combos), " +
           // bsz ≤ cap mirrors the Spark degenerate-bucket guard
           // (TextDedup.DefaultMaxBucketSize); the min-combo condition
           // mirrors simhashMinComboByMask's single-emission rule so the

@@ -726,13 +726,19 @@ object TextDedup {
     val sigs = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
     val chunkBits = 32 / SimhashChunks
     val mask = (1L << chunkBits) - 1
-    // combo key = dash-joined decimal chunk values (exact string keys both
-    // engines spell identically, cf. q82's band keys)
+    // combo key = the 5 chunk values PACKED into one 20-bit long (round
+    // 10 — the production simhashPairs packing applied to the portable
+    // twin: the ProfileQ83 receipt put ~0.45 s of q83's 2.1 s in building
+    // 56 dash-joined STRINGS per doc, and integer keys also shuffle 4-8×
+    // narrower; the q83 DuckDB text spells the identical packing with an
+    // indexed range lambda, so keys — and bucket-cap drops — stay
+    // value-equal across engines)
     val chunks = sigs.select(
       col(idCol), col("__sim"),
       posexplode(array(simhashCombos.map { cs =>
-        concat_ws("-", cs.map(c =>
-          shiftrightunsigned(col("__sim"), chunkBits * c).bitwiseAND(lit(mask)).cast("string")): _*)
+        cs.zipWithIndex.map { case (c, i) =>
+          shiftrightunsigned(col("__sim"), chunkBits * c).bitwiseAND(lit(mask)) * lit(1L << (chunkBits * i))
+        }.reduce(_ + _)
       }: _*)).as(Seq("__combo", "__ckey")))
     // single-pass bucketing (cf. minhashCandidates): ONE shuffle of
     // (combo, key, id, sim) and in-bucket pairs by double explode — the
@@ -787,8 +793,8 @@ object TextDedup {
     val chunkBits = 64 / SimhashChunks
     val mask = (1L << chunkBits) - 1
     // combo key = the 5 chunk values packed into one 40-bit long (integer
-    // keys shuffle cheaper than strings; the portable twin keeps strings
-    // only because they mirror into SQL verbatim)
+    // keys shuffle cheaper than strings; since round 10 the portable twin
+    // packs the same way — the SQL mirror spells it with a range lambda)
     val chunks = sigs.select(
       col(idCol), col("__sim"),
       posexplode(array(simhashCombos.map { cs =>
