@@ -533,10 +533,10 @@ object SparkEntry {
     // The DuckDB twin spells the identical 32-bit key via the documented
     // '0x'||substr(md5(…),1,8) equivalence, so hash collisions (expected
     // at 32 bits over a large shingle universe) are SHARED — the outputs
-    // are equal by construction, not by injectivity. The self-join
-    // exchanges (long, source) rows only; per-hash fanout is bounded by
-    // the source universe, not corpus size. The KMV-sketch twin for
-    // unbounded source counts is q144.
+    // are equal by construction, not by injectivity. Intersections come
+    // from in-bucket pair generation over (long, source) rows, bounded
+    // per hash by the source universe, not corpus size. The KMV-sketch
+    // twin for unbounded source counts is q144.
     "q132_source_overlap" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
@@ -545,8 +545,16 @@ object SparkEntry {
           .select(col("source"), explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
           .distinct(), eager = false)
       val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      val ix = sh.select(col("source").as("src_a"), col("h"))
-        .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      // in-bucket pair generation, not a self-join (round 10 follow-up):
+      // ONE exchange of (h, source) collecting each hash's source set,
+      // pairs by double explode — the repo's standard pair shape; the
+      // self-join re-shuffled the distinct stream on BOTH sides. Fan-out
+      // per hash is bounded by the SOURCE universe (≤ |sources|² pairs),
+      // so no bucket cap is needed.
+      val ix = sh.groupBy("h").agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(col("ss")).as("src_a"), col("ss"))
+        .select(col("src_a"), explode(col("ss")).as("src_b"))
         .filter(col("src_a") < col("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
       ix.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
@@ -578,20 +586,23 @@ object SparkEntry {
     // Novelty scoring (moved from the SQL corpus in round 10 — r9
     // "weak": same md5-hex key class as q132). First-seen bigrams now
     // key on the fused PortableShingleHash long computed straight from
-    // the token array (no concat/md5-hex per bigram); the distinct
-    // (doc_id, key) stream is lineage-cut once and feeds both the
-    // first-seen aggregate and the join back — every exchange carries
-    // (long, doc_id) rows. The DuckDB twin spells the identical 32-bit
-    // key, so collisions are shared and outputs equal by construction.
+    // the token array (no concat/md5-hex per bigram); first-seen is a
+    // window MIN over the distinct (doc_id, key) stream — every
+    // exchange carries (long, doc_id) rows and the plan reads the
+    // stream once. The DuckDB twin spells the identical 32-bit key, so
+    // collisions are shared and outputs equal by construction.
     "q138_novelty" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      val bi = Checkpoints.cut(
-        d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
-          .select(col("doc_id"), explode(call_function("portable_shingle_hash", col("t"), lit(2))).as("k"))
-          .distinct(), eager = false)
-      val fs = bi.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
-      bi.join(fs, Seq("k"))
+      val bi = d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(call_function("portable_shingle_hash", col("t"), lit(2))).as("k"))
+        .distinct()
+      // first-seen via a window MIN over the same k-partitioning the
+      // distinct already established — ONE exchange, no aggregate + join
+      // back (round 10 follow-up; the lineage cut became unnecessary once
+      // the plan reads bi exactly once)
+      bi.withColumn("first_doc", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
