@@ -583,6 +583,67 @@ object SparkEntry {
       graft.operators.Sketches.kmvJaccard(sh, "source", "h", graft.operators.Sketches.DefaultKmvK)
         .orderBy(col("est_bp").desc, col("src_a"), col("src_b")).limit(100)
     },
+    // Bloom-filter contamination screening (round 10): the fixed-size
+    // MEMBERSHIP-sketch scale path beside q68's exact broadcast form —
+    // q68 broadcasts the benchmark's whole token arrays, which stops
+    // being viable when the blocklist side grows past broadcast size; the
+    // Bloom filter is ≤ 2^20/32 (word, bits) rows (~256 KiB) REGARDLESS
+    // of blocklist size, and the corpus side probes it in one pass with
+    // no exchange carrying text. Same shared-32-bit-key posture as
+    // q132/q144: the DuckDB twin computes the identical positions
+    // ((h*C + D) % 2^20, BIGINT arithmetic, 32-bit words), so the
+    // filter bits — and therefore the false-positive set — are equal by
+    // construction; no false negatives by construction (SketchesSpec).
+    "q145_bloom_contamination" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      // the distinct (doc_id, key) stream feeds BOTH the filter build and
+      // the probe — computed once, lineage-cut (CLAUDE.md discipline)
+      val sh = Checkpoints.cut(
+        d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+          .distinct(), eager = false)
+      val filt = graft.operators.Sketches.bloomBuild(sh.filter(col("doc_id") % 97 === 0), "h")
+      graft.operators.Sketches
+        .bloomMaybeContains(sh.filter(col("doc_id") % 97 =!= 0), filt, "h", Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("maybe_in"), 1L).otherwise(0L)).as("n_flagged"))
+        .select(col("doc_id"), col("n_shingles"), col("n_flagged"),
+          expr("n_flagged * 10000 DIV n_shingles").as("flag_bp"))
+        .orderBy(col("flag_bp").desc, col("doc_id")).limit(100)
+    },
+    // Count-Min heavy hitters (round 10): the fixed-size FREQUENCY-sketch
+    // scale path for token statistics — q37's exact term frequencies
+    // aggregate the full vocabulary; the CMS replaces that with
+    // depth×width = 3×1024 counters (~24 KiB broadcast) whose estimates
+    // only ever OVERCOUNT (est_c ≥ exact_c, pinned in SketchesSpec).
+    // Token strings never shuffle: occurrences reduce to (32-bit key,
+    // count) scan-locally, the sketch and estimates run on longs only,
+    // and strings join back for the surviving top-100 keys alone (the
+    // q129 discipline). The DuckDB twin replays the identical cells.
+    "q146_cms_heavy_hitters" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val tok = d.select(explode(split(col("text"), " ")).as("tok"))
+      val hc = Checkpoints.cut(
+        tok.select(element_at(
+            call_function("portable_shingle_hash", array(col("tok")), lit(1)), 1).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c")), eager = false)
+      val cms = graft.operators.Sketches.countMinBuild(hc, "h", "c")
+      val top = graft.operators.Sketches.countMinEstimate(hc, cms, "h")
+        .orderBy(col("est").desc, col("h")).limit(100)
+      val vocab = d.select(explode(split(col("text"), " ")).as("token"))
+        .select(element_at(
+            call_function("portable_shingle_hash", array(col("token")), lit(1)), 1).as("h"),
+          col("token"))
+        .distinct()
+      vocab.join(broadcast(top), Seq("h"))
+        .select(col("token"), col("h").as("key_h"), col("c").as("exact_c"),
+          col("est").as("est_c"))
+        .orderBy(col("est_c").desc, col("key_h"), col("token")).limit(100)
+    },
     // Novelty scoring (moved from the SQL corpus in round 10 — r9
     // "weak": same md5-hex key class as q132). First-seen bigrams now
     // key on the fused PortableShingleHash long computed straight from
@@ -956,6 +1017,53 @@ object SparkEntry {
           "CAST(len(list_intersect(list_intersect(s_a, s_b), u)) AS BIGINT) AS n_shared, " +
           "CAST(len(list_intersect(list_intersect(s_a, s_b), u)) * 10000 // len(u) AS BIGINT) AS est_bp " +
           "FROM est ORDER BY est_bp DESC, src_a, src_b LIMIT 100"
+      },
+      // q145 (round 10): full Bloom replay — identical positions (the
+      // constants interpolate from Sketches.BloomHashes so the two texts
+      // cannot drift), identical 32-bit words and bit_or-aggregated
+      // filter, identical all-k-bits-set probe rule. Note `& mask <> 0`
+      // ≡ `= mask` for single-bit masks.
+      "q145_bloom_contamination" -> {
+        val pos = graft.operators.Sketches.bloomPosSql("h")
+        "WITH toks AS (" +
+          "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+          "), sh AS (" +
+          "SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
+          "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+          s"), pos AS (SELECT unnest($pos) AS p FROM sh WHERE doc_id % 97 = 0), " +
+          "flt AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits " +
+          "FROM pos GROUP BY p // 32), " +
+          s"pp AS (SELECT doc_id, h, unnest($pos) AS p FROM sh WHERE doc_id % 97 <> 0), " +
+          "hit AS (SELECT doc_id, h, " +
+          "SUM(CASE WHEN (COALESCE(f.bits, 0) & (1::BIGINT << CAST(pp.p % 32 AS INTEGER))) <> 0 THEN 1 ELSE 0 END) AS nset " +
+          "FROM pp LEFT JOIN flt f ON f.word = pp.p // 32 GROUP BY doc_id, h) " +
+          "SELECT doc_id, COUNT(*) AS n_shingles, " +
+          "CAST(SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+          "CAST(SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS flag_bp " +
+          "FROM hit GROUP BY doc_id ORDER BY flag_bp DESC, doc_id LIMIT 100"
+      },
+      // q146 (round 10): full CMS replay — identical (row, position)
+      // cells from the shared constants, identical min-over-rows
+      // estimator; the top-100 cut happens on (est, key) BEFORE the
+      // string join-back in both engines, so the surviving key sets are
+      // equal by construction.
+      "q146_cms_heavy_hitters" -> {
+        val rows = graft.operators.Sketches.BloomHashes.indices.map { i =>
+          s"SELECT h, c, $i AS i, ${graft.operators.Sketches.cmsPosSql("h", i)} AS p FROM hc"
+        }.mkString(" UNION ALL ")
+        "WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+          "th AS (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk), " +
+          "hc AS (SELECT h, COUNT(*) AS c FROM th GROUP BY h), " +
+          s"ps AS ($rows), " +
+          "cms AS (SELECT i, p, SUM(c) AS s FROM ps GROUP BY i, p), " +
+          "est AS (SELECT ps.h, ps.c, MIN(cms.s) AS est FROM ps " +
+          "JOIN cms ON cms.i = ps.i AND cms.p = ps.p GROUP BY ps.h, ps.c), " +
+          "top AS (SELECT h, c, est FROM est ORDER BY est DESC, h LIMIT 100), " +
+          "vocab AS (SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h, tok FROM tk) " +
+          "SELECT v.tok AS token, t.h AS key_h, CAST(t.c AS BIGINT) AS exact_c, " +
+          "CAST(t.est AS BIGINT) AS est_c " +
+          "FROM top t JOIN vocab v ON v.h = t.h " +
+          "ORDER BY est_c DESC, key_h, token LIMIT 100"
       },
       // q138 (round 10): same shared-32-bit-key posture as q132.
       "q138_novelty" ->

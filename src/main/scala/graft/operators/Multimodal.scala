@@ -10,14 +10,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape, typed
   * stages — is real and tested. Round 10 promotes the codec past the
-  * all-fake stub: `RealCodec` parses three REAL container formats in pure
+  * all-fake stub: `RealCodec` parses four REAL container formats in pure
   * JVM (no new deps) — 24-bpp BMP (BITMAPINFOHEADER), binary PPM (P6),
-  * and PCM WAV (RIFF) — computing width/height/frame-count/mean-intensity
-  * from the actual encoded bytes; `syntheticMedia` now EMITS real BMP and
-  * WAV containers (pixels/samples derived from document text, so the
-  * fixture stays deterministic). Only the video branch remains the
-  * declared deterministic stub (`FakeCodec` — no pure-JVM video container
-  * is honest to parse). Swapping in a full decoder (javacv, a JNI codec,
+  * PCM WAV (RIFF), and uncompressed 24-bpp AVI (RIFF chunk walk: avih +
+  * strl headers, per-frame '00db' DIB chunks) — computing width/height/
+  * frame-count/mean-intensity from the actual encoded bytes;
+  * `syntheticMedia` EMITS real BMP, WAV and AVI containers (pixels/
+  * samples derived from document text, so the fixture stays
+  * deterministic). `FakeCodec` remains only as the declared fallback for
+  * bytes no parser claims. Swapping in a full decoder (javacv, a JNI codec,
   * …) changes no plan shape: `mapPartitions` keeps the decode
   * columnar-batch-friendly and amortizes per-partition codec
   * initialization, the Scala analogue of `mapInPandas` batching.
@@ -165,6 +166,100 @@ object Multimodal {
       (width, height, if (n == 0) 0.0 else sum.toDouble / n)
     }
 
+    /** Uncompressed 24-bpp AVI (RIFF 'AVI '): LIST hdrl (avih + LIST strl
+      * with a 'vids'/'DIB ' strh and a BITMAPINFOHEADER strf) followed by
+      * LIST movi holding one '00db' chunk per frame (bottom-up DIB rows,
+      * 4-byte-aligned — the same pixel layout as the BMP encoder).
+      * `pixel(x, y, f)` is a grayscale value for frame f. */
+    def encodeAvi(width: Int, height: Int, nFrames: Int,
+                  pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val rowSize = (width * 3 + 3) / 4 * 4
+      val frameSize = rowSize * height
+      val strlSize = 4 + (8 + 56) + (8 + 40)        // "strl" + strh + strf
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)  // "hdrl" + avih + LIST strl
+      val moviSize = 4 + nFrames * (8 + frameSize)  // "movi" + 00db chunks
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val b = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
+      fourcc("RIFF"); b.putInt(riffSize); fourcc("AVI ")
+      fourcc("LIST"); b.putInt(hdrlSize); fourcc("hdrl")
+      fourcc("avih"); b.putInt(56)
+      b.putInt(40000)                  // dwMicroSecPerFrame (25 fps)
+        .putInt(frameSize * 25).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(frameSize)
+        .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); b.putInt(strlSize); fourcc("strl")
+      fourcc("strh"); b.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      b.putInt(0).putInt(0).putInt(0)  // flags, prio/lang, initial frames
+        .putInt(1).putInt(25)          // scale/rate = 25 fps
+        .putInt(0).putInt(nFrames)     // start, length (frames)
+        .putInt(frameSize).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+      fourcc("strf"); b.putInt(40)
+      b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); b.putInt(moviSize); fourcc("movi")
+      var f = 0
+      while (f < nFrames) {
+        fourcc("00db"); b.putInt(frameSize)
+        var y = height - 1
+        while (y >= 0) { // bottom-up row order, like BMP
+          var x = 0
+          while (x < width) {
+            val v = (pixel(x, y, f) & 0xff).toByte
+            b.put(v).put(v).put(v)
+            x += 1
+          }
+          var p = width * 3
+          while (p < rowSize) { b.put(0.toByte); p += 1 }
+          y -= 1
+        }
+        f += 1
+      }
+      b.array()
+    }
+
+    /** (width, height, frames, mean over movi payload bytes). Frames are
+      * COUNTED from the movi chunk walk and must agree with the avih
+      * header's dwTotalFrames — a truncated or padded container fails the
+      * parse rather than returning header fiction. */
+    def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI")
+      var width = -1; var height = -1; var headerFrames = -1
+      var moviFrames = 0; var sum = 0L; var n = 0L
+      def walk(start: Int, end: Int): Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val id = new String(bytes, i, 4, "US-ASCII")
+          val len = b.getInt(i + 4)
+          require(len >= 0 && i + 8 + len <= end, s"chunk $id overruns container")
+          if (id == "LIST") walk(i + 12, i + 8 + len) // skip the list type
+          else if (id == "avih") {
+            require(len >= 40, "avih too short")
+            headerFrames = b.getInt(i + 8 + 16)
+            width = b.getInt(i + 8 + 32)
+            height = b.getInt(i + 8 + 36)
+          } else if (id == "00db" || id == "00dc") {
+            moviFrames += 1
+            var j = i + 8
+            val stop = i + 8 + len
+            while (j < stop) { sum += (bytes(j) & 0xff); j += 1 }
+            n += len
+          }
+          i += 8 + len + (len & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, bytes.length)
+      require(width > 0 && height > 0 && headerFrames >= 0, "AVI without avih header")
+      require(moviFrames == headerFrames,
+        s"avih claims $headerFrames frames, movi holds $moviFrames")
+      (width, height, moviFrames, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
     /** Mono/stereo PCM WAV; samples(i) are 8-bit unsigned values. */
     def encodeWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.allocate(44 + samples.length).order(ByteOrder.LITTLE_ENDIAN)
@@ -205,10 +300,12 @@ object Multimodal {
       (channels, bits, frames, if (end == dataOff) 0.0 else sum.toDouble / (end - dataOff))
     }
 
-    /** Sniff the container magic and decode for real; the video branch is
-      * the one remaining declared stub (FakeCodec). Feature mapping:
-      * images → (width, height, 1 frame); WAV audio → width = channels,
-      * height = bitsPerSample, n_frames = PCM frame count. */
+    /** Sniff the container magic and decode for real (RIFF containers
+      * dispatch on the form type at offset 8: WAVE vs 'AVI '); bytes no
+      * parser claims fall through to the declared deterministic stub.
+      * Feature mapping: images → (width, height, 1 frame); WAV audio →
+      * width = channels, height = bitsPerSample, n_frames = PCM frame
+      * count; AVI video → (width, height, frame count). */
     def decode(row: MediaRow): MediaFeatures = {
       val bs = row.content
       if (bs.length >= 2 && bs(0) == 'B' && bs(1) == 'M') {
@@ -217,6 +314,10 @@ object Multimodal {
       } else if (bs.length >= 2 && bs(0) == 'P' && bs(1) == '6') {
         val (w, h, mean) = decodePpm(bs)
         MediaFeatures(row.media_id, row.media_type, w, h, 1, mean)
+      } else if (bs.length >= 12 && new String(bs, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(bs, 8, 4, "US-ASCII") == "AVI ") {
+        val (w, h, frames, mean) = decodeAvi(bs)
+        MediaFeatures(row.media_id, row.media_type, w, h, frames, mean)
       } else if (bs.length >= 4 && new String(bs, 0, 4, "US-ASCII") == "RIFF") {
         val (ch, bits, frames, mean) = decodeWav(bs)
         MediaFeatures(row.media_id, row.media_type, ch, bits, frames, mean)
@@ -251,7 +352,12 @@ object Multimodal {
             r.copy(content = RealCodec.encodeBmp(w, h, px))
           case "audio" =>
             r.copy(content = RealCodec.encodeWav(8000, text))
-          case _ => r // video: opaque bytes, FakeCodec stub decodes
+          case _ =>
+            val w = 4 + (r.media_id % 9).toInt
+            val h = 3 + (r.media_id % 5).toInt
+            val frames = 2 + (r.media_id % 4).toInt
+            r.copy(content = RealCodec.encodeAvi(w, h, frames,
+              (x, y, f) => px(x + f, y)))
         }
       })
   }

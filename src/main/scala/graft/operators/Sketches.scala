@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,5 +67,136 @@ object Sketches {
         size(col("__u")).cast("long").as("k_union"),
         col("__i").as("n_shared"),
         expr("__i * 10000L DIV size(__u)").as("est_bp"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Bloom filter (portable) — fixed-size MEMBERSHIP sketch. Completes the
+  // sketch family beside KMV (distinct/overlap) and countMin (frequency):
+  // the scale path for benchmark-contamination screening when the
+  // benchmark/blocklist side outgrows q68's broadcast of whole token
+  // arrays. The filter is ≤ BloomBits/32 (word, bits) rows — ~256 KiB at
+  // 2^20 bits — REGARDLESS of how many elements fed it, so the probe side
+  // joins a fixed-size broadcast no matter the blocklist size.
+  //
+  // Portability contract: elements are the repo's 32-bit md5-derived keys
+  // (PortableShingleHash longs, nonnegative < 2^32), and every position is
+  // plain BIGINT arithmetic ((h*C + D) % M with C < 2^31, so h*C < 2^63 —
+  // no overflow under ANSI mode) that DuckDB computes identically; 32-bit
+  // words keep every mask positive (no BIGINT sign-bit shifts, which the
+  // two engines could render differently). One-sided error only:
+  // a member NEVER probes false (no false negatives), a non-member probes
+  // true with p ≈ (1 − e^(−kn/M))^k — SketchesSpec pins both.
+  // ---------------------------------------------------------------------
+
+  /** Filter size in bits (2^20) and the k=3 portable position functions
+    * (multiplier < 2^31, classic LCG constants). Shared verbatim with the
+    * DuckDB oracle texts via `bloomPosSql`.
+    *
+    * Positions take the product's MIDDLE bits: pos = ((h·C + D) DIV 2^11)
+    * mod M. The shift is load-bearing — with a power-of-2 modulus and odd
+    * C, the LOW bits of h·C are an invertible function of h's low bits,
+    * so `(h·C + D) mod M` for the three (C, D) pairs would be mutually
+    * determined (position 1 fixes positions 2 and 3): effective k = 1,
+    * measured FPR ≈ n/M ≈ 0.3% instead of the designed (1−e^(−kn/M))^k ≈
+    * 6e−7. SketchesSpec's FPR test is what caught it. */
+  val BloomBits: Long = 1L << 20
+  val PosShift: Int = 11
+  val BloomHashes: Seq[(Long, Long)] =
+    Seq((1664525L, 1013904223L), (22695477L, 1L), (1540483477L, 12345L))
+
+  /** The k positions of key `h` as an array<long> column. */
+  def bloomPositions(h: Column, bits: Long = BloomBits): Column =
+    array(BloomHashes.map { case (c, d) =>
+      shiftright(h * lit(c) + lit(d), PosShift) % lit(bits)
+    }: _*)
+
+  /** The identical position list spelled for DuckDB (`unnest` operand). */
+  def bloomPosSql(hExpr: String, bits: Long = BloomBits): String =
+    BloomHashes.map { case (c, d) =>
+      s"((($hExpr) * $c + $d) // ${1L << PosShift}) % $bits"
+    }.mkString("[", ", ", "]")
+
+  /** Build the filter from `hashCol` (32-bit portable keys): one
+    * aggregate exchange of (word, mask) int/long pairs — element payloads
+    * never shuffle — into ≤ bits/32 (word, bits) rows. */
+  def bloomBuild(df: DataFrame, hashCol: String, bits: Long = BloomBits): DataFrame =
+    df.select(explode(bloomPositions(col(hashCol), bits)).as("__pos"))
+      .select(expr("__pos DIV 32").as("word"),
+        expr("shiftleft(1L, CAST(__pos % 32 AS INT))").as("__mask"))
+      .groupBy("word").agg(bit_or(col("__mask")).as("bits"))
+
+  /** Probe: for each (groupCols, hashCol) row of `probe`, true iff ALL k
+    * positions are set in `filter`. The filter side is a fixed-size
+    * broadcast; the probe's exchange carries (groupCols, long) rows plus
+    * two small ints. (groupCols, hashCol) must be unique per row (feed a
+    * distinct stream). */
+  def bloomMaybeContains(probe: DataFrame, filter: DataFrame, hashCol: String,
+                         groupCols: Seq[String], bits: Long = BloomBits): DataFrame = {
+    val k = BloomHashes.size
+    val keys = groupCols.map(col) :+ col(hashCol)
+    probe.select(keys :+ explode(bloomPositions(col(hashCol), bits)).as("__pos"): _*)
+      .select(keys ++ Seq(expr("__pos DIV 32").as("word"),
+        expr("shiftleft(1L, CAST(__pos % 32 AS INT))").as("__mask")): _*)
+      .join(broadcast(filter), Seq("word"), "left")
+      .groupBy(keys: _*)
+      .agg((sum(when((coalesce(col("bits"), lit(0L)).bitwiseAND(col("__mask"))) =!= 0L, 1L)
+        .otherwise(0L)) === lit(k.toLong)).as("maybe_in"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch (portable) — fixed-size FREQUENCY sketch: depth×width
+  // counters replace a vocabulary-sized exact aggregate when the key
+  // universe outgrows memory (heavy-hitter screening over token streams).
+  // Estimates only ever OVERCOUNT (est ≥ true count; Cormode & Muthu-
+  // krishnan, J. Algorithms 2005): each of the d rows sums every key
+  // hashing into the same cell, and the min over rows is the estimate.
+  // Same portability posture as the Bloom filter: 32-bit keys, shared
+  // (h*C + D) % width positions, exact integer arithmetic in both engines.
+  // ---------------------------------------------------------------------
+
+  /** Default width: 1024 counters × 3 rows = 3072 cells (~24 KiB). */
+  val CmsWidth: Long = 1024L
+
+  /** Per-row position of key `h` for depth row `i` — same middle-bits
+    * extraction as the Bloom positions (without the shift the depth rows
+    * would collide IDENTICALLY, making min-over-rows worthless). */
+  def cmsPosition(h: Column, i: Int, width: Long = CmsWidth): Column = {
+    val (c, d) = BloomHashes(i)
+    shiftright(h * lit(c) + lit(d), PosShift) % lit(width)
+  }
+
+  /** The identical row-i position spelled for DuckDB. */
+  def cmsPosSql(hExpr: String, i: Int, width: Long = CmsWidth): String = {
+    val (c, d) = BloomHashes(i)
+    s"((($hExpr) * $c + $d) // ${1L << PosShift}) % $width"
+  }
+
+  /** Build the sketch from exact per-key partial counts `(hashCol,
+    * countCol)` — the caller aggregates occurrences to (key, count) first
+    * (map-side combine; key collisions at 32 bits merge upstream, which a
+    * counter sketch does anyway and the DuckDB twin shares). Output:
+    * (i, p, s) — depth row, position, summed count; ≤ depth·width rows. */
+  def countMinBuild(df: DataFrame, hashCol: String, countCol: String,
+                    width: Long = CmsWidth): DataFrame = {
+    val rows = BloomHashes.indices.map { i =>
+      df.select(lit(i).as("i"), cmsPosition(col(hashCol), i, width).as("p"),
+        col(countCol).as("__c"))
+    }
+    rows.reduce(_ unionAll _).groupBy("i", "p").agg(sum(col("__c")).as("s"))
+  }
+
+  /** Point-estimate every key of `df` against sketch `cms`: min over the
+    * d rows of the counter each position lands in. The sketch is a
+    * fixed-size broadcast; exchanges carry (long, long) rows. Output: df's
+    * columns + est. */
+  def countMinEstimate(df: DataFrame, cms: DataFrame, hashCol: String,
+                       width: Long = CmsWidth): DataFrame = {
+    val keyCols = df.columns.map(col).toSeq
+    val posed = BloomHashes.indices.map { i =>
+      df.select(keyCols :+ lit(i).as("i") :+ cmsPosition(col(hashCol), i, width).as("p"): _*)
+    }.reduce(_ unionAll _)
+    posed.join(broadcast(cms), Seq("i", "p"))
+      .groupBy(keyCols: _*)
+      .agg(min(col("s")).as("est"))
   }
 }

@@ -63,4 +63,76 @@ class SketchesSpec extends AnyFunSuite {
       .toDF("src", "v").withColumn("h", xxhash64(col("v")))
     assert(Sketches.kmvJaccard(disjoint, "src", "h", 64).count() == 0L)
   }
+
+  // --- Bloom filter (q145's operator) ---------------------------------
+  // Keys mimic the production surface: nonnegative 32-bit values (the
+  // PortableShingleHash range the portability contract assumes).
+
+  private def keys32(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(_.toLong).toDF("id")
+      .withColumn("h", pmod(xxhash64(col("id")), lit(1L << 32)))
+
+  test("bloom: no false negatives — every inserted key probes true") {
+    val members = keys32(0 until 3000)
+    val filt = Sketches.bloomBuild(members, "h")
+    val probed = Sketches.bloomMaybeContains(members, filt, "h", Seq("id"))
+    assert(probed.filter(!col("maybe_in")).count() == 0L)
+  }
+
+  test("bloom: false-positive rate near the (1 - e^(-kn/M))^k bound") {
+    val filt = Sketches.bloomBuild(keys32(0 until 3000), "h")
+    val nonMembers = keys32(100000 until 120000)
+    val fp = Sketches.bloomMaybeContains(nonMembers, filt, "h", Seq("id"))
+      .filter(col("maybe_in")).count()
+    // n=3000, M=2^20, k=3 → p ≈ (1 - e^(-9000/2^20))^3 ≈ 6.2e-7: over
+    // 20k probes the expected count is ~0.01; allow a generous ceiling
+    // (any systematic position bug yields thousands of hits, not ≤ 5)
+    assert(fp <= 5L, s"false positives: $fp over 20k probes")
+  }
+
+  test("bloom: empty filter rejects everything (left-join coalesce path)") {
+    val empty = Sketches.bloomBuild(keys32(0 until 0), "h")
+    val probed = Sketches.bloomMaybeContains(keys32(0 until 100), empty, "h", Seq("id"))
+    assert(probed.filter(col("maybe_in")).count() == 0L)
+  }
+
+  test("bloom: positions stay in-range BIGINT (no ANSI overflow at h = 2^32 - 1)") {
+    val edge = Seq((0L, (1L << 32) - 1), (1L, 0L)).toDF("id", "h")
+    val ps = edge.select(explode(Sketches.bloomPositions(col("h"))).as("p"))
+      .collect().map(_.getLong(0))
+    assert(ps.forall(p => p >= 0 && p < Sketches.BloomBits))
+  }
+
+  // --- Count-Min sketch (q146's operator) ------------------------------
+
+  /** Zipf-ish fixture: key i appears 3000/(i+1) times — heavy head, long
+    * tail; per-key exact counts are the ground truth. */
+  private lazy val zipf = {
+    val rows = (0 until 400).flatMap(i => Seq.fill(3000 / (i + 1))(i.toLong))
+    rows.toDF("v")
+      .withColumn("h", pmod(xxhash64(col("v")), lit(1L << 32)))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+  }
+
+  test("cms: estimates never undercount and heavy hitters are near-exact") {
+    val cms = Sketches.countMinBuild(zipf, "h", "c")
+    val est = Sketches.countMinEstimate(zipf, cms, "h")
+    // one-sided error: est >= exact for EVERY key
+    assert(est.filter(col("est") < col("c")).count() == 0L)
+    // the top key (3000 occurrences) collides with ≤ 399 tail keys over
+    // width 1024 × depth 3 — its min-over-rows estimate stays within the
+    // total tail mass in the worst case, and in practice much closer
+    val top = est.orderBy(col("c").desc).limit(1).collect().head
+    assert(top.getAs[Long]("est") - top.getAs[Long]("c") <= 500L,
+      s"heavy hitter overcount ${top.getAs[Long]("est")} vs ${top.getAs[Long]("c")}")
+  }
+
+  test("cms: sketch is depth x width bounded and totals each row exactly") {
+    val cms = Sketches.countMinBuild(zipf, "h", "c").collect()
+    assert(cms.length <= Sketches.BloomHashes.size * Sketches.CmsWidth)
+    val totalPerRow = cms.groupBy(_.getAs[Int]("i")).view.mapValues(_.map(_.getAs[Long]("s")).sum)
+    val exact = zipf.agg(sum("c")).collect().head.getLong(0)
+    // every depth row partitions the full mass — each must sum to the total
+    totalPerRow.foreach { case (i, s) => assert(s == exact, s"row $i mass $s != $exact") }
+  }
 }

@@ -655,6 +655,32 @@ class TierESpec extends AnyFunSuite {
     assert((feats.width, feats.height, feats.n_frames) == (3, 2, 1))
   }
 
+  test("RealCodec AVI: round-trip, frame count cross-check, RIFF dispatch (r10)") {
+    import graft.operators.Multimodal.RealCodec
+    // 3×2 × 4 frames; pixel value encodes (x, y, frame) uniquely
+    val avi = RealCodec.encodeAvi(3, 2, 4, (x, y, f) => x + 10 * y + 50 * f)
+    val (w, h, frames, mean) = RealCodec.decodeAvi(avi)
+    assert((w, h, frames) == (3, 2, 4))
+    // exact mean over the movi payload: 3 channel bytes per pixel plus
+    // the 3 zero pad bytes per 9-byte row (rowSize 12) — pads add to the
+    // denominator (frameSize = 12·2 = 24 bytes) but not the sum
+    val exactSum = (for { f <- 0 until 4; y <- 0 until 2; x <- 0 until 3 }
+      yield 3L * ((x + 10 * y + 50 * f) & 0xff)).sum
+    assert(mean == exactSum.toDouble / (4L * 24))
+    // RIFF dispatch: WAV and AVI both start "RIFF" — decode() must route
+    // by the form type, not the outer magic
+    val wav = RealCodec.encodeWav(8000, Array[Byte](1, 2, 3, 4))
+    val vRow = RealCodec.decode(graft.operators.Multimodal.MediaRow(2L, "video", avi, "s"))
+    assert((vRow.width, vRow.height, vRow.n_frames) == (3, 2, 4))
+    val aRow = RealCodec.decode(graft.operators.Multimodal.MediaRow(3L, "audio", wav, "s"))
+    assert((aRow.width, aRow.height, aRow.n_frames) == (1, 8, 4)) // ch, bits, frames
+    // a frame-count mismatch between avih and movi must throw, not lie
+    val lying = avi.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12 + 12 + 8 + 16, 7) // dwTotalFrames := 7
+    intercept[IllegalArgumentException](RealCodec.decodeAvi(lying))
+  }
+
   test("approximate aggregates land within documented error of exact") {
     Tables.register(spark, TestSpark.sf0001)
     val rows = spark.sql(
