@@ -626,20 +626,24 @@ object SparkEntry {
     "q146_cms_heavy_hitters" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      val tok = d.select(explode(split(col("text"), " ")).as("tok"))
-      val hc = Checkpoints.cut(
-        tok.select(element_at(
-            call_function("portable_shingle_hash", array(col("tok")), lit(1)), 1).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("c")), eager = false)
+      // ONE tokenization pass (the q131 lesson): aggregate by token first
+      // — map-side combine keeps the exchange vocabulary-sized (the q37
+      // shape) — then hash once per DISTINCT token, not per occurrence.
+      // The lineage-cut frame feeds both the per-key counts and the
+      // top-100 string join-back.
+      val tv = Checkpoints.cut(
+        d.select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+          .select(element_at(
+              call_function("portable_shingle_hash", array(col("token")), lit(1)), 1).as("h"),
+            col("token"), col("c")), eager = false)
+      // 32-bit key collisions merge here — shared with the DuckDB twin,
+      // and exactly what a counter sketch does at cell level anyway
+      val hc = tv.groupBy("h").agg(sum(col("c")).as("c"))
       val cms = graft.operators.Sketches.countMinBuild(hc, "h", "c")
       val top = graft.operators.Sketches.countMinEstimate(hc, cms, "h")
         .orderBy(col("est").desc, col("h")).limit(100)
-      val vocab = d.select(explode(split(col("text"), " ")).as("token"))
-        .select(element_at(
-            call_function("portable_shingle_hash", array(col("token")), lit(1)), 1).as("h"),
-          col("token"))
-        .distinct()
-      vocab.join(broadcast(top), Seq("h"))
+      tv.select("h", "token").join(broadcast(top), Seq("h"))
         .select(col("token"), col("h").as("key_h"), col("c").as("exact_c"),
           col("est").as("est_c"))
         .orderBy(col("est_c").desc, col("key_h"), col("token")).limit(100)
@@ -782,6 +786,32 @@ object SparkEntry {
           graft.streaming.StreamOps.editDistanceAgainstCorpus(stream, corpus, "doc_id", "text"),
           s"q142_mem_${math.abs(dir.hashCode)}")
         .orderBy("id_a", "id_b").limit(100)
+    },
+    // Streaming contamination gate (round 10): the incoming half STREAMED
+    // through the Bloom filter built from the static blocklist — the
+    // third member of the stateless ingest family (minhash q126, edit
+    // q142, now membership). The filter ships as a literal word array
+    // (fixed ~256 KiB regardless of blocklist size), so the stream side
+    // is pure per-row expression work: no join, no state, one output row
+    // per document. Hash-checked against the q145 DuckDB replay
+    // restricted to the streamed ids — streaming output = batch answer
+    // on closed input (the q126/q142 contract).
+    "q147_stream_bloom" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+        .distinct()
+      val filt = graft.operators.Sketches.bloomBuild(bench, "h")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= IncrementalSplitId && col("doc_id") % 97 =!= 0)
+      graft.streaming.StreamOps.runAppend(spark,
+          graft.streaming.StreamOps.bloomGateStream(stream, filt, "doc_id", "text"),
+          s"q147_mem_${math.abs(dir.hashCode)}")
+        .orderBy(col("flag_bp").desc, col("doc_id")).limit(100)
     },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
@@ -1034,6 +1064,30 @@ object SparkEntry {
           "flt AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits " +
           "FROM pos GROUP BY p // 32), " +
           s"pp AS (SELECT doc_id, h, unnest($pos) AS p FROM sh WHERE doc_id % 97 <> 0), " +
+          "hit AS (SELECT doc_id, h, " +
+          "SUM(CASE WHEN (COALESCE(f.bits, 0) & (1::BIGINT << CAST(pp.p % 32 AS INTEGER))) <> 0 THEN 1 ELSE 0 END) AS nset " +
+          "FROM pp LEFT JOIN flt f ON f.word = pp.p // 32 GROUP BY doc_id, h) " +
+          "SELECT doc_id, COUNT(*) AS n_shingles, " +
+          "CAST(SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+          "CAST(SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS flag_bp " +
+          "FROM hit GROUP BY doc_id ORDER BY flag_bp DESC, doc_id LIMIT 100"
+      },
+      // q147 (round 10): the q145 replay with the probe side restricted
+      // to the streamed ids (doc_id >= split) — bit-for-bit the same
+      // filter (built from the full blocklist) and probe rule, so
+      // hash-equality proves streaming output = batch answer.
+      "q147_stream_bloom" -> {
+        val pos = graft.operators.Sketches.bloomPosSql("h")
+        s"WITH toks AS (" +
+          "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+          "), sh AS (" +
+          "SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
+          "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+          s"), pos AS (SELECT unnest($pos) AS p FROM sh WHERE doc_id % 97 = 0), " +
+          "flt AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits " +
+          "FROM pos GROUP BY p // 32), " +
+          s"pp AS (SELECT doc_id, h, unnest($pos) AS p FROM sh " +
+          s"WHERE doc_id >= $IncrementalSplitId AND doc_id % 97 <> 0), " +
           "hit AS (SELECT doc_id, h, " +
           "SUM(CASE WHEN (COALESCE(f.bits, 0) & (1::BIGINT << CAST(pp.p % 32 AS INTEGER))) <> 0 THEN 1 ELSE 0 END) AS nset " +
           "FROM pp LEFT JOIN flt f ON f.word = pp.p // 32 GROUP BY doc_id, h) " +

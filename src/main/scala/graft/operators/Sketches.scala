@@ -199,4 +199,27 @@ object Sketches {
       .groupBy(keyCols: _*)
       .agg(min(col("s")).as("est"))
   }
+
+  // ---------------------------------------------------------------------
+  // Sketch merges — the property that makes fixed-size sketches the
+  // distributed-aggregation primitive: build one per shard/source/day,
+  // merge at any level of the tree, never revisit raw data. Each merge
+  // is EXACTLY the single-shot build over the concatenated inputs
+  // (SketchesSpec pins all three identities): Bloom = bit_or by word,
+  // CMS = cell-wise sum (linearity), KMV = k smallest of the union.
+  // ---------------------------------------------------------------------
+
+  /** Merge two Bloom filters of the same geometry. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("word").agg(bit_or(col("bits")).as("bits"))
+
+  /** Merge two Count-Min sketches of the same geometry. */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("i", "p").agg(sum(col("s")).as("s"))
+
+  /** Merge two per-group KMV sketch tables (k smallest of each union). */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame =
+    kmvSketch(
+      a.unionByName(b).select(col(groupCol), explode(col("sketch")).as("h")),
+      groupCol, "h", k)
 }

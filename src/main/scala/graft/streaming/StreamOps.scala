@@ -269,6 +269,56 @@ object StreamOps {
       .filter(col("dist") >= 0)
   }
 
+  /** Streaming contamination gate: every micro-batch of incoming
+    * documents is probed against a Bloom filter of blocklist shingle keys
+    * (`Sketches.bloomBuild`) — the streaming form of q145's screen, and
+    * the third member of the stateless ingest family (minhash
+    * `dedupAgainstCorpus`, edit `editDistanceAgainstCorpus`, now
+    * membership). The filter is materialized ONCE into a driver-side
+    * word array (fixed ≤ bits/32 longs — ~256 KiB at 2^20 bits, the same
+    * small-metadata collect class as the IVF centroids) and shipped as a
+    * literal through the task closure, so the stream side is PURE per-row
+    * expression work: shingle hashes → k positions → bit tests → per-doc
+    * counts, no join, no state, no watermark, one output row per
+    * document. A filter refresh means restarting the query with a new
+    * literal — acceptable for a gate whose blocklist changes rarely; the
+    * broadcast-join form (`Sketches.bloomMaybeContains`) is the batch
+    * path when it doesn't. Output: (doc_id-named idCol, n_shingles,
+    * n_flagged, flag_bp) — identical row shape and arithmetic to q145's
+    * rollup, which is what its oracle hash-checks. */
+  def bloomGateStream(docStream: DataFrame, filter: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleN: Int = 3,
+                      bits: Long = graft.operators.Sketches.BloomBits): DataFrame = {
+    import graft.operators.Sketches
+    graft.functions.PortableShingleHash.register(SparkSession.active)
+    val nWords = (bits / 32).toInt
+    val words = new Array[Long](nWords)
+    filter.collect().foreach { r =>
+      words(r.getAs[Long]("word").toInt) = r.getAs[Long]("bits")
+    }
+    val flit = typedLit(words.toIndexedSeq)
+    // all k positions set ⇒ maybe-in (identical arithmetic to
+    // Sketches.bloomPositions: middle bits of h·C + D, 32-bit words)
+    def flagged(h: Column): Column = Sketches.BloomHashes.map { case (c, d) =>
+      val p = shiftright(h * lit(c) + lit(d), Sketches.PosShift) % lit(bits)
+      val word = element_at(flit, shiftright(p, 5).cast("int") + 1)
+      call_function("shiftright", word, (p % 32).cast("int"))
+        .bitwiseAND(lit(1L)) =!= lit(0L)
+    }.reduce(_ && _)
+    docStream
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= shingleN)
+      .select(col(idCol),
+        array_distinct(call_function("portable_shingle_hash",
+          col("__t"), lit(shingleN))).as("__hs"))
+      .select(col(idCol),
+        size(col("__hs")).cast("long").as("n_shingles"),
+        aggregate(col("__hs"), lit(0L),
+          (acc, h) => acc + when(flagged(h), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("flag_bp", expr("n_flagged * 10000 DIV n_shingles"))
+  }
+
   /** Streaming parquet sink with checkpointing — the durable-output path
     * (memory sink is test-only). Append mode; returns after all available
     * input is processed. At scale the checkpoint directory lives on

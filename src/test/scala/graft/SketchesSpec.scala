@@ -127,6 +127,38 @@ class SketchesSpec extends AnyFunSuite {
       s"heavy hitter overcount ${top.getAs[Long]("est")} vs ${top.getAs[Long]("c")}")
   }
 
+  test("merges equal the single-shot build (distributed-aggregation identity)") {
+    // Bloom: bit_or by word
+    val bAll = Sketches.bloomBuild(keys32(0 until 2000), "h")
+    val bMerged = Sketches.bloomMerge(
+      Sketches.bloomBuild(keys32(0 until 700), "h"),
+      Sketches.bloomBuild(keys32(700 until 2000), "h"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("word") -> r.getAs[Long]("bits")).toMap
+    assert(asMap(bMerged) == asMap(bAll))
+    // CMS: cell-wise sum — split the per-key counts across two shards,
+    // with overlapping keys so linearity is actually exercised
+    val all = zipf
+    import org.apache.spark.sql.functions.{col => c}
+    val shardA = all.withColumn("c", c("c") - (c("c") / 2).cast("long"))
+    val shardB = all.withColumn("c", (c("c") / 2).cast("long")).filter(c("c") > 0)
+    val mMerged = Sketches.countMinMerge(
+      Sketches.countMinBuild(shardA, "h", "c"),
+      Sketches.countMinBuild(shardB, "h", "c"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("i"), r.getAs[Long]("p")) -> r.getAs[Long]("s")).toMap
+    assert(cells(mMerged) == cells(Sketches.countMinBuild(all, "h", "c")))
+    // KMV: k smallest of the union
+    val kAll = Sketches.kmvSketch(elems, "src", "h", 50)
+    val kMerged = Sketches.kmvMerge(
+      Sketches.kmvSketch(elems.filter(col("v") % 2 === 0), "src", "h", 50),
+      Sketches.kmvSketch(elems.filter(col("v") % 2 =!= 0), "src", "h", 50), "src", 50)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("src") ->
+        r.getSeq[Long](r.fieldIndex("sketch")).toList).toMap
+    assert(sk(kMerged) == sk(kAll))
+  }
+
   test("cms: sketch is depth x width bounded and totals each row exactly") {
     val cms = Sketches.countMinBuild(zipf, "h", "c").collect()
     assert(cms.length <= Sketches.BloomHashes.size * Sketches.CmsWidth)

@@ -249,4 +249,45 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sessions.filter(_._1 == 10L).map(_._2).sorted.toSeq == Seq(1L, 2L))
     assert(sessions.count(_._1 == 20L) == 1)
   }
+
+  test("bloomGateStream literal-probe path equals the broadcast-join batch operator") {
+    // The streaming gate ships the filter as a literal word array and
+    // tests bits with per-row shifts; the batch operator broadcast-joins
+    // the (word, bits) frame. Same filter, same probes → identical
+    // per-doc rollups, or one of the two bit paths is wrong.
+    import spark.implicits._
+    import graft.operators.Sketches
+    graft.functions.PortableShingleHash.register(spark)
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val sh = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+      .distinct()
+    val filt = Sketches.bloomBuild(sh, "h")
+    val probeDocs = docs.filter(col("doc_id") % 7 =!= 0)
+    val viaGate = StreamOps.bloomGateStream(probeDocs, filt, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val probeSh = probeDocs
+      .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+      .distinct()
+    val viaJoin = Sketches.bloomMaybeContains(probeSh, filt, "h", Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("maybe_in"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("flag_bp", expr("n_flagged * 10000 DIV n_shingles"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaGate.nonEmpty && viaGate.toSeq == viaJoin.toSeq)
+    // and the gate flags every blocklist member's own text (no false negatives)
+    val self = StreamOps.bloomGateStream(docs.filter(col("doc_id") % 7 === 0), filt,
+        "doc_id", "text").collect()
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") == r.getAs[Long]("n_shingles"),
+        s"doc ${r.getAs[Long]("doc_id")} not fully flagged")
+    }
+  }
 }
