@@ -648,6 +648,31 @@ object SparkEntry {
           col("est").as("est_c"))
         .orderBy(col("est_c").desc, col("key_h"), col("token")).limit(100)
     },
+    // HyperLogLog distinct-shingle cardinality (round 10): the fixed-size
+    // CARDINALITY-sketch scale path beside q132's exact per-source
+    // distinct counts — per-source register tables of 1024 ints replace
+    // the distinct-shingle exchange, and NO distinct() precedes the
+    // build: registers are a MAX, so duplicate shingles are absorbed by
+    // the scan-local partial aggregate and the single exchange carries
+    // (source, bucket, rho) rows bounded by 20·1024 — never by the
+    // shingle stream. Same shared-32-bit-key posture as q132/q144; the
+    // register math is string-wise binary-length (no float, no log2),
+    // the harmonic sum is exact BIGINT, and the raw estimate is one
+    // FLOOR'd double division (the q85/q116 rule) — all replayed
+    // bit-identically by the DuckDB twin. The ln()-based small-range
+    // correction stays OUT of the hashed output (SketchesSpec owns it).
+    "q148_hll_cardinality" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val sh = d.select(col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+      val regs = graft.operators.Sketches.hllBuild(sh, Seq("source"), "h")
+      graft.operators.Sketches.hllEstimate(regs, Seq("source"))
+        .drop("est_corrected")
+        .orderBy(col("source")).limit(100)
+    },
     // Novelty scoring (moved from the SQL corpus in round 10 — r9
     // "weak": same md5-hex key class as q132). First-seen bigrams now
     // key on the fused PortableShingleHash long computed straight from
@@ -1118,6 +1143,28 @@ object SparkEntry {
           "CAST(t.est AS BIGINT) AS est_c " +
           "FROM top t JOIN vocab v ON v.h = t.h " +
           "ORDER BY est_c DESC, key_h, token LIMIT 100"
+      },
+      // q148 (round 10): full HLL replay — identical buckets/ranks (the
+      // register CTE interpolates from Sketches.hllRegSql so the two
+      // texts cannot drift), exact-BIGINT harmonic sum, and the raw
+      // estimate as ONE double division + FLOOR over identical integer
+      // inputs with the numerator literal interpolated from
+      // Sketches.HllNumerator — bit-identical cross-engine.
+      "q148_hll_cardinality" -> {
+        val m = graft.operators.Sketches.HllM
+        "WITH toks AS (" +
+          "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+          "), sh AS (" +
+          "SELECT source, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
+          "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+          s"), r AS (${graft.operators.Sketches.hllRegSql("sh", "source")}), " +
+          "s AS (SELECT source, COUNT(*) AS nb, " +
+          "SUM(1::BIGINT << CAST(32 - reg AS INTEGER)) AS sp FROM r GROUP BY source) " +
+          "SELECT source, CAST(nb AS BIGINT) AS n_buckets, " +
+          s"CAST(sp + ($m - nb) * 4294967296 AS BIGINT) AS s_scaled, " +
+          s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
+          s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
+          "FROM s ORDER BY source LIMIT 100"
       },
       // q138 (round 10): same shared-32-bit-key posture as q132.
       "q138_novelty" ->

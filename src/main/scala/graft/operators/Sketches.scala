@@ -201,6 +201,100 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // HyperLogLog (portable) — fixed-size CARDINALITY sketch, completing
+  // the family: KMV (pairwise overlap), Bloom (membership), Count-Min
+  // (frequency), HLL (distinct count). m = 2^p registers (~1 KiB at
+  // p = 10) REGARDLESS of how many elements fed them, and — unlike the
+  // KMV build — the input needs NO distinct() first: registers are a MAX,
+  // so duplicate elements are absorbed scan-locally by the partial
+  // aggregate and the one exchange carries (group, bucket, rho) rows
+  // bounded by |groups|·m, never by the element stream
+  // (Flajolet/Fusy/Gandouet/Meunier, AofA 2007).
+  //
+  // Portability contract: elements are the repo's 32-bit portable keys
+  // (nonnegative < 2^32). bucket = h mod m (low p bits); the remaining
+  // w = h DIV m is a (32−p)-bit value whose leading-zero count both
+  // engines derive STRING-wise — rho = (32−p) − length(bin(w)) + 1, with
+  // bin() the minimal binary rendering in BOTH engines — so no float,
+  // no log2, enters the register math. The scaled harmonic sum
+  // Σ 2^(32−reg) is exact BIGINT (≤ m·2^32 = 2^42); the raw estimate is
+  // one literal-over-BIGINT double division + FLOOR, bit-identical
+  // cross-engine (the q85/q116 FLOOR-scaled-double rule). The
+  // small-range (linear-counting) correction needs ln(), which is
+  // libm-dependent — it lives ONLY in the Scala-side estimate column
+  // (`est_corrected`) and stays OUT of hashed outputs; SketchesSpec
+  // owns its accuracy.
+  // ---------------------------------------------------------------------
+
+  /** Register-count exponent: 2^10 = 1024 registers ⇒ standard error
+    * ≈ 1.04/√m ≈ 3.3 %. */
+  val HllP: Int = 10
+  val HllM: Long = 1L << HllP
+  /** Bits available for the rank after the bucket index is consumed. */
+  val HllWBits: Int = 32 - HllP
+  /** α_m·m²·2^32 for m = 1024 — the raw-estimate numerator, precomputed
+    * so the hashed path is a single double division (one rounding step,
+    * identical cross-engine). α_m = 0.7213/(1 + 1.079/m). */
+  val HllNumerator: Double = 0.7213 / (1.0 + 1.079 / HllM.toDouble) *
+    (HllM * HllM).toDouble * 4294967296.0
+
+  /** Per-group HLL registers: (groupCols*, bucket, reg) with
+    * reg = max rho over the group's elements landing in that bucket.
+    * ≤ |groups|·m rows; absent buckets mean register 0 (handled by the
+    * estimate's zero-bucket term, never materialized). */
+  def hllBuild(df: DataFrame, groupCols: Seq[String], hashCol: String,
+               p: Int = HllP): DataFrame = {
+    val m = 1L << p
+    val wbits = 32 - p
+    val gs = groupCols.map(col)
+    df.select(gs ++ Seq((col(hashCol) % lit(m)).as("bucket"),
+        expr(s"$hashCol DIV $m").as("__w")): _*)
+      .select(gs ++ Seq(col("bucket"),
+        when(col("__w") === 0L, lit(wbits + 1))
+          .otherwise(lit(wbits + 1) - length(bin(col("__w")))).as("__rho")): _*)
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max(col("__rho")).cast("long").as("reg"))
+  }
+
+  /** Collapse per-group registers to one row per group:
+    * (groupCols*, n_buckets, s_scaled, est_hll, est_corrected).
+    * n_buckets/s_scaled/est_hll are exact-integer / FLOOR-double and
+    * safe to hash; est_corrected applies the linear-counting small-range
+    * rule (est ≤ 2.5m and zero registers exist ⇒ m·ln(m/V)) and is
+    * Scala-side only (ln is not portable). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+                  p: Int = HllP): DataFrame = {
+    val m = 1L << p
+    require(p == HllP, "HllNumerator is precomputed for p = HllP")
+    val gs = groupCols.map(col)
+    regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(1L, CAST(32 - reg AS INT))")).as("__sp"))
+      .withColumn("s_scaled",
+        col("__sp") + (lit(m) - col("n_buckets")) * lit(4294967296L))
+      .withColumn("est_hll",
+        expr(s"CAST(FLOOR($HllNumerator / CAST(s_scaled AS DOUBLE)) AS BIGINT)"))
+      .withColumn("est_corrected",
+        when(col("est_hll") <= lit((2.5 * m).toLong) && col("n_buckets") < lit(m),
+          expr(s"CAST(FLOOR($m * ln(CAST($m AS DOUBLE) / " +
+            s"CAST($m - n_buckets AS DOUBLE))) AS BIGINT)"))
+          .otherwise(col("est_hll")))
+      .select(gs ++ Seq(col("n_buckets"), col("s_scaled"), col("est_hll"),
+        col("est_corrected")): _*)
+  }
+
+  /** The identical per-group register CTE chain spelled for DuckDB
+    * (group column `g`, key expression already aliased `h` in `src`). */
+  def hllRegSql(src: String, g: String, p: Int = HllP): String = {
+    val m = 1L << p
+    val wbits = 32 - p
+    s"SELECT $g, h % $m AS bucket, " +
+      s"MAX(CASE WHEN h // $m = 0 THEN ${wbits + 1} " +
+      s"ELSE ${wbits + 1} - length(bin(h // $m)) END) AS reg " +
+      s"FROM $src GROUP BY $g, h % $m"
+  }
+
+  // ---------------------------------------------------------------------
   // Sketch merges — the property that makes fixed-size sketches the
   // distributed-aggregation primitive: build one per shard/source/day,
   // merge at any level of the tree, never revisit raw data. Each merge
@@ -222,4 +316,10 @@ object Sketches {
     kmvSketch(
       a.unionByName(b).select(col(groupCol), explode(col("sketch")).as("h")),
       groupCol, "h", k)
+
+  /** Merge two per-group HLL register tables (bucket-wise max). */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("reg")).as("reg"))
 }

@@ -159,6 +159,54 @@ class SketchesSpec extends AnyFunSuite {
     assert(sk(kMerged) == sk(kAll))
   }
 
+  // --- HyperLogLog (q148's operator) -----------------------------------
+
+  test("hll: estimate lands within the standard-error bound at 1024 registers") {
+    // 50k distinct 32-bit keys — far past the small-range regime, so the
+    // RAW estimate (the hashed column) is the one under test
+    val n = 50000
+    val regs = Sketches.hllBuild(keys32(0 until n), Seq.empty, "h")
+    val est = Sketches.hllEstimate(regs, Seq.empty).collect().head
+    val raw = est.getAs[Long]("est_hll").toDouble
+    val sigma = 1.04 / math.sqrt(Sketches.HllM.toDouble) // ≈ 3.3 %
+    assert(math.abs(raw - n) / n <= 4 * sigma,
+      s"raw estimate $raw vs true $n beyond 4σ (${4 * sigma})")
+    // corrected estimate equals raw outside the small-range regime
+    assert(est.getAs[Long]("est_corrected") == est.getAs[Long]("est_hll"))
+  }
+
+  test("hll: small-range (linear-counting) correction beats the raw estimate") {
+    val n = 300 // << 2.5m = 2560: raw HLL is biased here, LC is not
+    val est = Sketches.hllEstimate(
+      Sketches.hllBuild(keys32(0 until n), Seq.empty, "h"), Seq.empty)
+      .collect().head
+    val corrected = est.getAs[Long]("est_corrected").toDouble
+    assert(math.abs(corrected - n) / n <= 0.15,
+      s"linear-counting estimate $corrected vs true $n")
+  }
+
+  test("hll: duplicates never move a register and ranks stay in range") {
+    val a = keys32(0 until 4000)
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    val once = regMap(Sketches.hllBuild(a, Seq.empty, "h"))
+    assert(regMap(Sketches.hllBuild(a.union(a), Seq.empty, "h")) == once)
+    assert(once.keys.forall(b => b >= 0 && b < Sketches.HllM))
+    assert(once.values.forall(r => r >= 1 && r <= Sketches.HllWBits + 1))
+  }
+
+  test("hll: merge equals the single-shot build (register-wise max)") {
+    val all = keys32(0 until 9000)
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("reg")).toMap
+    val grouped = all.withColumn("g", when(col("id") % 3 === 0, "x").otherwise("y"))
+    val merged = Sketches.hllMerge(
+      Sketches.hllBuild(grouped.filter(col("id") < 4000), Seq("g"), "h"),
+      Sketches.hllBuild(grouped.filter(col("id") >= 4000), Seq("g"), "h"), Seq("g"))
+    assert(regMap(merged) == regMap(Sketches.hllBuild(grouped, Seq("g"), "h")))
+  }
+
   test("cms: sketch is depth x width bounded and totals each row exactly") {
     val cms = Sketches.countMinBuild(zipf, "h", "c").collect()
     assert(cms.length <= Sketches.BloomHashes.size * Sketches.CmsWidth)
