@@ -838,6 +838,22 @@ object SparkEntry {
           s"q147_mem_${math.abs(dir.hashCode)}")
         .orderBy(col("flag_bp").desc, col("doc_id")).limit(100)
     },
+    // Streaming cardinality (round 10): hourly distinct-user HLL
+    // registers as THE windowed streaming aggregate — bounded state
+    // (≤ |hours|·1024 ints) where q42's exact streamingDedup state grows
+    // with the key universe — then the sketch-sized estimate rollup in
+    // batch after completion. Hash-checked against the full DuckDB
+    // register+estimator replay (the q148 contract under an hourly
+    // grouping): streaming output = batch answer on closed input.
+    "q149_stream_hll" -> { (spark, dir) =>
+      val regs = graft.streaming.StreamOps.runToCompletion(spark,
+        graft.streaming.StreamOps.hllHourlyUsers(
+          graft.streaming.StreamOps.eventsStream(spark, dir)),
+        s"q149_mem_${math.abs(dir.hashCode)}")
+      graft.operators.Sketches.hllEstimate(regs, Seq("h"))
+        .drop("est_corrected")
+        .orderBy("h").limit(100)
+    },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
     // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
@@ -1165,6 +1181,23 @@ object SparkEntry {
           s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
           s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
           "FROM s ORDER BY source LIMIT 100"
+      },
+      // q149 (round 10): the q148 register+estimator replay under an
+      // hourly grouping, keyed on md5(user_id-as-string) — streaming
+      // output = batch answer on closed input (the q126/q142/q147
+      // contract, now for a STATEFUL windowed aggregate).
+      "q149_stream_hll" -> {
+        val m = graft.operators.Sketches.HllM
+        "WITH uh AS (SELECT date_trunc('hour', ts) AS h, " +
+          "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk FROM events" +
+          s"), r AS (${graft.operators.Sketches.hllRegSql("(SELECT h AS g, hk AS h FROM uh)", "g")}), " +
+          "s AS (SELECT g, COUNT(*) AS nb, " +
+          "SUM(1::BIGINT << CAST(32 - reg AS INTEGER)) AS sp FROM r GROUP BY g) " +
+          "SELECT g AS h, CAST(nb AS BIGINT) AS n_buckets, " +
+          s"CAST(sp + ($m - nb) * 4294967296 AS BIGINT) AS s_scaled, " +
+          s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
+          s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
+          "FROM s ORDER BY h LIMIT 100"
       },
       // q138 (round 10): same shared-32-bit-key posture as q132.
       "q138_novelty" ->

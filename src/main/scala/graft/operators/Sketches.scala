@@ -238,20 +238,25 @@ object Sketches {
   val HllNumerator: Double = 0.7213 / (1.0 + 1.079 / HllM.toDouble) *
     (HllM * HllM).toDouble * 4294967296.0
 
+  /** (bucket, rho) of a 32-bit portable key — the register coordinates
+    * shared by the batch build and the streaming register aggregate. */
+  def hllBucket(h: Column, p: Int = HllP): Column = h % lit(1L << p)
+  def hllRho(h: Column, p: Int = HllP): Column = {
+    val wbits = 32 - p
+    val w = shiftright(h, p) // h ∈ [0, 2^32) ⇒ identical to h DIV 2^p
+    when(w === 0L, lit(wbits + 1))
+      .otherwise(lit(wbits + 1) - length(bin(w)))
+  }
+
   /** Per-group HLL registers: (groupCols*, bucket, reg) with
     * reg = max rho over the group's elements landing in that bucket.
     * ≤ |groups|·m rows; absent buckets mean register 0 (handled by the
     * estimate's zero-bucket term, never materialized). */
   def hllBuild(df: DataFrame, groupCols: Seq[String], hashCol: String,
                p: Int = HllP): DataFrame = {
-    val m = 1L << p
-    val wbits = 32 - p
     val gs = groupCols.map(col)
-    df.select(gs ++ Seq((col(hashCol) % lit(m)).as("bucket"),
-        expr(s"$hashCol DIV $m").as("__w")): _*)
-      .select(gs ++ Seq(col("bucket"),
-        when(col("__w") === 0L, lit(wbits + 1))
-          .otherwise(lit(wbits + 1) - length(bin(col("__w")))).as("__rho")): _*)
+    df.select(gs ++ Seq(hllBucket(col(hashCol), p).as("bucket"),
+        hllRho(col(hashCol), p).as("__rho")): _*)
       .groupBy(gs :+ col("bucket"): _*)
       .agg(max(col("__rho")).cast("long").as("reg"))
   }

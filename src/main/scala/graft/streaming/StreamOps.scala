@@ -269,6 +269,36 @@ object StreamOps {
       .filter(col("dist") >= 0)
   }
 
+  /** Streaming cardinality: hourly distinct-user HLL registers built AS
+    * THE STREAMING AGGREGATE — max is algebraic, so per-(hour, bucket)
+    * state is ONE small int updated map-side like any windowed max, and
+    * the state store holds ≤ |hours|·2^p rows no matter how many events
+    * flow (contrast `streamingDedup`, whose exact-distinct state grows
+    * with the key universe — this is the sketch that fixes that at
+    * 100 TB). The estimate rollup (`Sketches.hllEstimate`) runs as a
+    * small BATCH step over the materialized registers after completion:
+    * chained stateful aggregations are not a structured-streaming shape,
+    * and the rollup input is sketch-sized, not data-sized. Keys are the
+    * repo's 32-bit portable md5-derived values, so a DuckDB replay of
+    * the register table is bit-identical (the q148 contract restricted
+    * to the hourly grouping). Output: (h, bucket, reg). */
+  def hllHourlyUsers(events: DataFrame, p: Int = graft.operators.Sketches.HllP): DataFrame = {
+    import graft.operators.Sketches
+    graft.functions.PortableShingleHash.register(SparkSession.active)
+    events.withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "1 hour").as("w"),
+        // coalesce: portable_shingle_hash rejects containsNull arrays
+        // (its split()-only contract); user_id is never null in events,
+        // the coalesce just proves it to the type check
+        element_at(call_function("portable_shingle_hash",
+          array(coalesce(col("user_id").cast("string"), lit(""))), lit(1)), 1).as("__h"))
+      .select(col("w"), Sketches.hllBucket(col("__h"), p).as("bucket"),
+        Sketches.hllRho(col("__h"), p).as("__rho"))
+      .groupBy(col("w"), col("bucket"))
+      .agg(max(col("__rho")).cast("long").as("reg"))
+      .select(col("w.start").as("h"), col("bucket"), col("reg"))
+  }
+
   /** Streaming contamination gate: every micro-batch of incoming
     * documents is probed against a Bloom filter of blocklist shingle keys
     * (`Sketches.bloomBuild`) — the streaming form of q145's screen, and

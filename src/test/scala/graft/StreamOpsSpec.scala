@@ -24,6 +24,24 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming hourly HLL registers equal the batch build on closed input") {
+    import graft.operators.Sketches
+    val streamed = StreamOps.runToCompletion(spark,
+      StreamOps.hllHourlyUsers(StreamOps.eventsStream(spark, TestSpark.sf0001)),
+      "stream_hll")
+      .orderBy("h", "bucket").collect()
+    graft.functions.PortableShingleHash.register(spark)
+    val batch = Sketches.hllBuild(
+      Tables.table(spark, TestSpark.sf0001, "events")
+        .select(date_trunc("hour", col("ts")).as("h"),
+          element_at(call_function("portable_shingle_hash",
+            array(coalesce(col("user_id").cast("string"), lit(""))), lit(1)), 1).as("hk")),
+      Seq("h"), "hk")
+      .orderBy("h", "bucket").collect()
+    assert(streamed.length == batch.length && batch.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("eventsStream adapts to every ts physical layout the driver has shipped") {
     // The driver regenerates /root/testdata between rounds and events.ts
     // has shipped as INT64 TIMESTAMP(NANOS) (rounds ≤8; reads as a raw ns
