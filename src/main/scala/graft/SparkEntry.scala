@@ -673,6 +673,27 @@ object SparkEntry {
         .drop("est_corrected")
         .orderBy(col("source")).limit(100)
     },
+    // Hash-sample quantiles (round 10): fixed-size DISTRIBUTION sketch —
+    // per-language doc-length quantiles from a deterministic 256-row
+    // uniform sample (k smallest portable hashes of the UNIQUE doc_id)
+    // instead of the exact forms' full-group buffers (percentile_disc
+    // q114 is holistic; approx_percentile q52 is engine-specific, rows-
+    // only). Selection and quantile extraction are row_number windows +
+    // integer index arithmetic — no interpolation, no float — so the
+    // DuckDB twin replays them bit-identically; the rank lookup is a
+    // broadcast equi-join on (lang, rank) derived via explode, never a
+    // nested loop. Mergeable by the KMV identity (SketchesSpec).
+    "q150_sample_quantiles" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val keyed = d.select(col("lang"), col("doc_id"), col("n_chars"),
+        element_at(call_function("portable_shingle_hash",
+          array(coalesce(col("doc_id").cast("string"), lit(""))), lit(1)), 1).as("h"))
+      val samp = graft.operators.Sketches.hashSample(keyed, Seq("lang"), "doc_id", "h")
+      graft.operators.Sketches.sampleQuantiles(samp, Seq("lang"), "n_chars",
+          "doc_id", "h", Seq(2500, 5000, 7500, 9000, 9900))
+        .orderBy("lang", "q_bp").limit(100)
+    },
     // Novelty scoring (moved from the SQL corpus in round 10 — r9
     // "weak": same md5-hex key class as q132). First-seen bigrams now
     // key on the fused PortableShingleHash long computed straight from
@@ -1198,6 +1219,24 @@ object SparkEntry {
           s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
           s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
           "FROM s ORDER BY h LIMIT 100"
+      },
+      // q150 (round 10): full hash-sample replay — identical kept set
+      // (k smallest md5-derived keys, doc_id tie-break), identical
+      // (value, hash, id) rank order and ceil(q·n/10⁴) index rule, all
+      // integer — equal by construction.
+      "q150_sample_quantiles" -> {
+        val k = graft.operators.Sketches.DefaultSampleK
+        "WITH keyed AS (SELECT lang, doc_id, n_chars, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM documents), " +
+          "s AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM keyed), " +
+          s"samp AS (SELECT lang, doc_id, n_chars, h FROM s WHERE rn <= $k), " +
+          "o AS (SELECT lang, n_chars, h, doc_id, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY n_chars, h, doc_id) AS rn2, " +
+          "COUNT(*) OVER (PARTITION BY lang) AS n FROM samp), " +
+          "q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp) " +
+          "SELECT o.lang, q.q_bp, CAST(o.n AS BIGINT) AS n_sample, o.n_chars AS v_at_q " +
+          "FROM o JOIN q ON o.rn2 = GREATEST(1, (q.q_bp * o.n + 9999) // 10000) " +
+          "ORDER BY lang, q_bp LIMIT 100"
       },
       // q138 (round 10): same shared-32-bit-key posture as q132.
       "q138_novelty" ->

@@ -300,6 +300,70 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Hash-sample quantiles (portable) — fixed-size DISTRIBUTION sketch:
+  // a deterministic uniform row sample (the k rows with the smallest
+  // portable hash of a UNIQUE row id — hashing a unique key makes rank
+  // order pseudorandom w.r.t. any value column) plus order statistics
+  // over the sample. The scale path for distribution profiling beside
+  // the exact forms: percentile_disc (q114) buffers whole groups
+  // (holistic aggregate) and approx_percentile (q52) is engine-specific
+  // — the hash sample is bounded (≤ k rows/group), MERGEABLE (k smallest
+  // hashes of a union — the KMV identity), and bit-identical
+  // cross-engine: selection and quantile extraction are row_number
+  // windows and integer index arithmetic, no interpolation, no float.
+  // Sample-quantile error: |F(v̂_q) − q| = O(1/√k) with high probability
+  // (Dvoretzky–Kiefer–Wolfowitz over the uniform sample).
+  // ---------------------------------------------------------------------
+
+  /** Default sample size per group: 256 rows ⇒ quantile CDF error
+    * ≈ 1/√256 ≈ 6 pp — the profiling regime. */
+  val DefaultSampleK = 256
+
+  /** Deterministic per-group uniform sample: the k rows with the
+    * smallest (hashCol, idCol) — idCol breaks 32-bit hash ties so the
+    * kept set is total-order-defined. One windowed top-k per group,
+    * WindowGroupLimit-pruned; exchanges carry the projected columns
+    * only (callers select id + the profiled values first). */
+  def hashSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                 hashCol: String, k: Int = DefaultSampleK): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(hashCol), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Order-statistic quantiles over a `hashSample` output: for each
+    * requested q (basis points), the sample value at 1-indexed rank
+    * ceil(q·n/10⁴) — pure integer index arithmetic, no interpolation.
+    * The (group, q, rank) targets derive from the per-group SIZE
+    * aggregate and explode — so the rank lookup is a plain broadcast
+    * equi-join on (group, rank), never a nested-loop over computed
+    * indices. Output: (groupCols*, q_bp, n_sample, v_at_q). */
+  def sampleQuantiles(sample: DataFrame, groupCols: Seq[String],
+                      valueCol: String, idCol: String, hashCol: String,
+                      qsBp: Seq[Int]): DataFrame = {
+    val gs = groupCols.map(col)
+    val ranked = sample.withColumn("__rn",
+      row_number().over(Window.partitionBy(gs: _*)
+        .orderBy(col(valueCol), col(hashCol), col(idCol))).cast("long"))
+    val targets = sample.groupBy(gs: _*).agg(count(lit(1)).as("n_sample"))
+      .select(gs ++ Seq(col("n_sample"), explode(typedLit(qsBp)).as("q_bp")): _*)
+      .withColumn("__rn", greatest(lit(1L),
+        expr("(q_bp * n_sample + 9999) DIV 10000")))
+    ranked.join(broadcast(targets), groupCols :+ "__rn")
+      .select(gs ++ Seq(col("q_bp"), col("n_sample"),
+        col(valueCol).as("v_at_q")): _*)
+  }
+
+  /** Merge two per-group hash samples (k smallest of the union — the
+    * KMV identity, so merge-then-sample ≡ sample of the concatenation). */
+  def hashSampleMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                      idCol: String, hashCol: String,
+                      k: Int = DefaultSampleK): DataFrame =
+    hashSample(a.unionByName(b), groupCols, idCol, hashCol, k)
+
+  // ---------------------------------------------------------------------
   // Sketch merges — the property that makes fixed-size sketches the
   // distributed-aggregation primitive: build one per shard/source/day,
   // merge at any level of the tree, never revisit raw data. Each merge

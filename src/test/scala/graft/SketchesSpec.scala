@@ -207,6 +207,54 @@ class SketchesSpec extends AnyFunSuite {
     assert(regMap(merged) == regMap(Sketches.hllBuild(grouped, Seq("g"), "h")))
   }
 
+  // --- Hash-sample quantiles (q150's operator) --------------------------
+
+  /** 10k rows, values 0..9999 (uniform), grouped into one stratum; ids
+    * are the values themselves (unique), hashes 32-bit as in prod. */
+  private lazy val vals = (0 until 10000).map(i => ("g", i.toLong))
+    .toDF("grp", "v")
+    .withColumn("id", col("v"))
+    .withColumn("h", pmod(xxhash64(col("id")), lit(1L << 32)))
+
+  test("hash sample: bounded, deterministic, and merge equals single-shot") {
+    val s = Sketches.hashSample(vals, Seq("grp"), "id", "h", 256)
+    assert(s.count() == 256L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(s) == ids(Sketches.hashSample(vals, Seq("grp"), "id", "h", 256)))
+    val merged = Sketches.hashSampleMerge(
+      Sketches.hashSample(vals.filter(col("v") % 2 === 0), Seq("grp"), "id", "h", 256),
+      Sketches.hashSample(vals.filter(col("v") % 2 =!= 0), Seq("grp"), "id", "h", 256),
+      Seq("grp"), "id", "h", 256)
+    assert(ids(merged) == ids(s))
+  }
+
+  test("sample quantiles: CDF error within the DKW bound on a uniform fixture") {
+    val samp = Sketches.hashSample(vals, Seq("grp"), "id", "h", 256)
+    val qs = Seq(2500, 5000, 7500, 9000)
+    val out = Sketches.sampleQuantiles(samp, Seq("grp"), "v", "id", "h", qs)
+      .collect().map(r => r.getAs[Int]("q_bp") -> r.getAs[Long]("v_at_q")).toMap
+    assert(out.keySet == qs.toSet)
+    // true CDF of v is v/10000; sample quantile error ~ 1.36/sqrt(256) at
+    // 95% — assert a 3x margin on the fixed (deterministic) fixture
+    qs.foreach { q =>
+      val cdfErr = math.abs(out(q) / 10000.0 - q / 10000.0)
+      assert(cdfErr <= 0.12, s"q=$q estimate ${out(q)} off by $cdfErr")
+    }
+  }
+
+  test("sample quantiles: a group smaller than k yields exact order statistics") {
+    val tiny = (1 to 10).map(i => ("t", i.toLong)).toDF("grp", "v")
+      .withColumn("id", col("v"))
+      .withColumn("h", pmod(xxhash64(col("id")), lit(1L << 32)))
+    val out = Sketches.sampleQuantiles(
+      Sketches.hashSample(tiny, Seq("grp"), "id", "h", 256),
+      Seq("grp"), "v", "id", "h", Seq(5000, 9000, 10000))
+      .collect().map(r => r.getAs[Int]("q_bp") -> r.getAs[Long]("v_at_q")).toMap
+    // ceil(q*n/1e4) over n=10 distinct values 1..10: exact order stats
+    assert(out(5000) == 5L && out(9000) == 9L && out(10000) == 10L)
+  }
+
   test("cms: sketch is depth x width bounded and totals each row exactly") {
     val cms = Sketches.countMinBuild(zipf, "h", "c").collect()
     assert(cms.length <= Sketches.BloomHashes.size * Sketches.CmsWidth)
