@@ -340,10 +340,14 @@ object Sketches {
     * aggregate and explode — so the rank lookup is a plain broadcast
     * equi-join on (group, rank), never a nested-loop over computed
     * indices. Output: (groupCols*, q_bp, n_sample, v_at_q). */
-  def sampleQuantiles(sample: DataFrame, groupCols: Seq[String],
+  def sampleQuantiles(sampleIn: DataFrame, groupCols: Seq[String],
                       valueCol: String, idCol: String, hashCol: String,
                       qsBp: Seq[Int]): DataFrame = {
     val gs = groupCols.map(col)
+    // both the rank window and the size aggregate read the sample — cut
+    // its lineage once (≤ k·|groups| rows by construction; without the
+    // cut each reference recomputes the whole upstream scan+top-k)
+    val sample = Checkpoints.cut(sampleIn, eager = false)
     val ranked = sample.withColumn("__rn",
       row_number().over(Window.partitionBy(gs: _*)
         .orderBy(col(valueCol), col(hashCol), col(idCol))).cast("long"))
