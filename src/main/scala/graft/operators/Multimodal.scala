@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape, typed
   * stages — is real and tested. Round 10 promotes the codec past the
-  * all-fake stub: `RealCodec` parses four REAL container formats in pure
-  * JVM (no new deps) — 24-bpp BMP (BITMAPINFOHEADER), binary PPM (P6),
-  * PCM WAV (RIFF), and uncompressed 24-bpp AVI (RIFF chunk walk: avih +
-  * strl headers, per-frame '00db' DIB chunks) — computing width/height/
-  * frame-count/mean-intensity from the actual encoded bytes;
-  * `syntheticMedia` EMITS real BMP, WAV and AVI containers (pixels/
+  * all-fake stub: `RealCodec` parses five REAL container formats in pure
+  * JVM (no new deps) — 24-bpp BMP (BITMAPINFOHEADER), 8-bit PNG (zlib
+  * INFLATE via java.util.zip, all five scanline filters reversed,
+  * per-chunk CRC32 verification), binary PPM (P6), PCM WAV (RIFF), and
+  * uncompressed 24-bpp AVI (RIFF chunk walk: avih + strl headers,
+  * per-frame '00db' DIB chunks) — computing width/height/frame-count/
+  * mean-intensity from the actual encoded bytes; `syntheticMedia` EMITS
+  * real BMP, PNG (DEFLATE-compressed), WAV and AVI containers (pixels/
   * samples derived from document text, so the fixture stays
   * deterministic). `FakeCodec` remains only as the declared fallback for
   * bytes no parser claims. Swapping in a full decoder (javacv, a JNI codec,
@@ -68,11 +70,13 @@ object Multimodal {
   }
 
   /** REAL pure-JVM container codecs (round 10): byte-exact encoders and
-    * decoders for 24-bpp BMP, binary PPM (P6) and 8/16-bit PCM WAV. The
-    * decoders parse the actual headers (magic, dimensions, sample
-    * layout, data offset) and compute mean intensity over the real
-    * payload bytes — a malformed container throws, which the decode
-    * stage surfaces per row rather than faking. */
+    * decoders for 24-bpp BMP, 8-bit PNG (real zlib DEFLATE/INFLATE +
+    * CRC32 chunk verification), binary PPM (P6), 8/16-bit PCM WAV and
+    * uncompressed 24-bpp AVI. The decoders parse the actual headers
+    * (magic, dimensions, sample layout, data offset) and compute mean
+    * intensity over the real payload bytes — a malformed container
+    * throws, which the decode stage surfaces per row rather than
+    * faking. */
   object RealCodec {
     import java.nio.{ByteBuffer, ByteOrder}
 
@@ -260,6 +264,156 @@ object Multimodal {
       (width, height, moviFrames, if (n == 0) 0.0 else sum.toDouble / n)
     }
 
+    /** 8-bit grayscale PNG with REAL zlib compression (java.util.zip
+      * Deflater) and per-chunk CRC32s. The encoder cycles through all
+      * five PNG scanline filters (None/Sub/Up/Average/Paeth, row mod 5)
+      * so a round-trip exercises every unfilter path, not just the
+      * trivial one. */
+    def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      import java.util.zip.{CRC32, Deflater}
+      val raw = new Array[Byte](height * (1 + width))
+      var y = 0
+      while (y < height) {
+        val rowOff = y * (1 + width)
+        val filter = y % 5
+        raw(rowOff) = filter.toByte
+        var x = 0
+        while (x < width) {
+          val cur = pixel(x, y) & 0xff
+          val left = if (x > 0) pixel(x - 1, y) & 0xff else 0
+          val up = if (y > 0) pixel(x, y - 1) & 0xff else 0
+          val ul = if (x > 0 && y > 0) pixel(x - 1, y - 1) & 0xff else 0
+          val enc = filter match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              cur - pred
+          }
+          raw(rowOff + 1 + x) = (enc & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val d = new Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var zLen = 0
+      while (!d.finished()) {
+        val n = d.deflate(buf, zLen, buf.length - zLen)
+        zLen += n
+        if (zLen == buf.length && !d.finished())
+          throw new IllegalStateException("deflate buffer undersized")
+      }
+      d.end()
+      val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + zLen) + 12)
+      out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        out.putInt(crc.getValue.toInt); ()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(0.toByte)  // bit depth 8, grayscale
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      chunk("IHDR", ihdr)
+      chunk("IDAT", java.util.Arrays.copyOf(buf, zLen))
+      chunk("IEND", Array.emptyByteArray)
+      out.array()
+    }
+
+    /** (width, height, mean over reconstructed pixel bytes). Verifies
+      * the signature, every chunk CRC, and the IEND terminator; inflates
+      * the concatenated IDAT stream with java.util.zip.Inflater and
+      * reverses whichever of the five filters each scanline used. 8-bit
+      * grayscale (colortype 0) and 8-bit truecolor (colortype 2). */
+    def decodePng(bytes: Array[Byte]): (Int, Int, Double) = {
+      import java.util.zip.{CRC32, Inflater}
+      require(bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G', "not a PNG")
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      var i = 8
+      var width = -1; var height = -1; var channels = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (i + 8 <= bytes.length && !sawEnd) {
+        val len = b.getInt(i)
+        val typ = new String(bytes, i + 4, 4, "US-ASCII")
+        require(len >= 0 && i + 12 + len <= bytes.length, s"chunk $typ overruns container")
+        val crc = new CRC32()
+        crc.update(bytes, i + 4, 4 + len)
+        require(crc.getValue.toInt == b.getInt(i + 8 + len), s"chunk $typ CRC mismatch")
+        typ match {
+          case "IHDR" =>
+            width = b.getInt(i + 8); height = b.getInt(i + 12)
+            val depth = bytes(i + 16) & 0xff
+            val color = bytes(i + 17) & 0xff
+            require(depth == 8, s"only 8-bit PNG supported, got depth $depth")
+            channels = color match {
+              case 0 => 1
+              case 2 => 3
+              case c => throw new IllegalArgumentException(
+                s"only grayscale/truecolor PNG supported, got colortype $c")
+            }
+          case "IDAT" => idat.write(bytes, i + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks skipped (CRC still verified)
+        }
+        i += 12 + len
+      }
+      require(width > 0 && height > 0 && channels > 0, "PNG without IHDR")
+      require(sawEnd, "PNG without IEND")
+      val stride = width * channels
+      val raw = new Array[Byte](height * (1 + stride))
+      val inf = new Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        require(n > 0 || inf.finished(), "truncated IDAT stream")
+        got += n
+      }
+      inf.end()
+      require(got == raw.length, s"IDAT inflates to $got bytes, expected ${raw.length}")
+      // reverse the per-scanline filter in place (recon rows hold pixels)
+      val recon = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val filter = raw(y * (1 + stride)) & 0xff
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (1 + stride) + 1 + x) & 0xff
+          val left = if (x >= channels) recon(y * stride + x - channels) & 0xff else 0
+          val up = if (y > 0) recon((y - 1) * stride + x) & 0xff else 0
+          val ul = if (x >= channels && y > 0) recon((y - 1) * stride + x - channels) & 0xff else 0
+          val rec = filter match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              v + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case f => throw new IllegalArgumentException(s"unknown PNG filter $f")
+          }
+          recon(y * stride + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      var sum = 0L
+      var j = 0
+      while (j < recon.length) { sum += (recon(j) & 0xff); j += 1 }
+      (width, height, if (recon.isEmpty) 0.0 else sum.toDouble / recon.length)
+    }
+
     /** Mono/stereo PCM WAV; samples(i) are 8-bit unsigned values. */
     def encodeWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.allocate(44 + samples.length).order(ByteOrder.LITTLE_ENDIAN)
@@ -311,6 +465,10 @@ object Multimodal {
       if (bs.length >= 2 && bs(0) == 'B' && bs(1) == 'M') {
         val (w, h, mean) = decodeBmp(bs)
         MediaFeatures(row.media_id, row.media_type, w, h, 1, mean)
+      } else if (bs.length >= 4 && (bs(0) & 0xff) == 0x89 &&
+          bs(1) == 'P' && bs(2) == 'N' && bs(3) == 'G') {
+        val (w, h, mean) = decodePng(bs)
+        MediaFeatures(row.media_id, row.media_type, w, h, 1, mean)
       } else if (bs.length >= 2 && bs(0) == 'P' && bs(1) == '6') {
         val (w, h, mean) = decodePpm(bs)
         MediaFeatures(row.media_id, row.media_type, w, h, 1, mean)
@@ -349,7 +507,10 @@ object Multimodal {
           case "image" =>
             val w = 4 + (r.media_id % 13).toInt
             val h = 3 + (r.media_id % 7).toInt
-            r.copy(content = RealCodec.encodeBmp(w, h, px))
+            // alternate container formats: uncompressed BMP and
+            // zlib-compressed PNG (both REAL; dispatch is by magic)
+            if (r.media_id % 2 == 0) r.copy(content = RealCodec.encodeBmp(w, h, px))
+            else r.copy(content = RealCodec.encodePng(w, h, px))
           case "audio" =>
             r.copy(content = RealCodec.encodeWav(8000, text))
           case _ =>
@@ -364,7 +525,7 @@ object Multimodal {
 
   /** Decode stage: per-partition batch decode (codec init once per
     * partition — the mapInPandas-batch analogue in Scala). Dispatches on
-    * the container magic: BMP/PPM/WAV parse for real (RealCodec), video
+    * the container magic: BMP/PNG/PPM/WAV/AVI parse for real (RealCodec);
     * falls through to the declared deterministic stub. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -681,6 +681,52 @@ class TierESpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RealCodec.decodeAvi(lying))
   }
 
+  test("RealCodec PNG: zlib round-trip through all five filters, CRC gate (r10)") {
+    import graft.operators.Multimodal.RealCodec
+    // height 7 ⇒ the encoder's row%5 filter cycle hits every filter type
+    // (None/Sub/Up/Average/Paeth) at least once; pixel pattern has both
+    // horizontal and vertical gradients so non-trivial filters actually
+    // transform the bytes
+    val png = RealCodec.encodePng(11, 7, (x, y) => (x * 23 + y * 57) & 0xff)
+    val (w, h, mean) = RealCodec.decodePng(png)
+    assert((w, h) == (11, 7))
+    val exact = (for { y <- 0 until 7; x <- 0 until 11 }
+      yield ((x * 23 + y * 57) & 0xff).toLong).sum
+    assert(mean == exact.toDouble / (11 * 7)) // filters fully reversed
+    // the compressed container is genuinely DEFLATEd, not stored raw
+    assert(png.length < 8 + 25 + 12 + 7 * 12 + 12)
+    // decode() dispatches PNG by magic
+    val feats = RealCodec.decode(graft.operators.Multimodal.MediaRow(4L, "image", png, "s"))
+    assert((feats.width, feats.height, feats.n_frames) == (11, 7, 1))
+    // a flipped payload bit must fail the chunk CRC, not decode quietly
+    val tampered = png.clone()
+    tampered(8 + 25 + 8 + 3) = (tampered(8 + 25 + 8 + 3) ^ 0x40).toByte
+    intercept[IllegalArgumentException](RealCodec.decodePng(tampered))
+    // 8-bit truecolor decodes too (hand-built: filter-0 rows, 3 channels)
+    val rgb = {
+      import java.util.zip.{CRC32, Deflater}
+      val (tw, th) = (2, 2)
+      val raw = Array[Byte](0, 10, 20, 30, 40, 50, 60, 0, 70, 80, 90, 100, 110, 120)
+      val d = new Deflater(); d.setInput(raw); d.finish()
+      val zb = new Array[Byte](256); val zn = d.deflate(zb); d.end()
+      val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zn + 12)
+      out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      def chunk(t: String, data: Array[Byte]): Unit = {
+        out.putInt(data.length).put(t.getBytes("US-ASCII")).put(data)
+        val c = new CRC32(); c.update(t.getBytes("US-ASCII")); c.update(data)
+        out.putInt(c.getValue.toInt); ()
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(tw).putInt(th)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+      chunk("IDAT", java.util.Arrays.copyOf(zb, zn))
+      chunk("IEND", Array.emptyByteArray)
+      out.array()
+    }
+    val (rw, rh, rMean) = RealCodec.decodePng(rgb)
+    assert((rw, rh) == (2, 2))
+    assert(rMean == (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 100 + 110 + 120) / 12.0)
+  }
+
   test("approximate aggregates land within documented error of exact") {
     Tables.register(spark, TestSpark.sf0001)
     val rows = spark.sql(
