@@ -673,6 +673,24 @@ object SparkEntry {
         .drop("est_corrected")
         .orderBy(col("source")).limit(100)
     },
+    // Sketch-mode table profiling (round 10): the bounded-memory twin of
+    // q95's exact profile — count_distinct (per-column state ∝
+    // cardinality, the one aggregate in the exact profile that cannot
+    // hold at 100 TB) replaced by HLL registers, with exact null/row
+    // counts falling out of the SAME single aggregate via a −1 sentinel
+    // bucket: one scan and one ≤1025-row exchange per column, whatever
+    // the column's cardinality. Values hash through the portable key of
+    // their string rendering (BIGINT/VARCHAR — and midnight TIMESTAMPs,
+    // which both engines render 'yyyy-MM-dd HH:mm:ss' — are identical
+    // cross-engine; DOUBLE is not and stays excluded), so the DuckDB
+    // twin replays registers and estimates bit-identically.
+    "q151_sketch_profile" -> { (spark, dir) =>
+      val o = Tables.table(spark, dir, "orders")
+      graft.operators.TableProfile.sketchProfile(o,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate"))
+        .orderBy("col_name").limit(100)
+    },
     // Hash-sample quantiles (round 10): fixed-size DISTRIBUTION sketch —
     // per-language doc-length quantiles from a deterministic 256-row
     // uniform sample (k smallest portable hashes of the UNIQUE doc_id)
@@ -1219,6 +1237,33 @@ object SparkEntry {
           s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
           s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
           "FROM s ORDER BY h LIMIT 100"
+      },
+      // q151 (round 10): full sketch-profile replay — per column the
+      // identical sentinel-bucket register aggregate (constants
+      // interpolated from Sketches), exact-BIGINT sums (CAST wrapped:
+      // DuckDB SUM(BIGINT) is HUGEINT), and the q148 FLOOR'd-double
+      // estimate. Values hash via md5 of the VARCHAR rendering —
+      // BIGINT/VARCHAR/midnight-TIMESTAMP render identically cross-engine.
+      "q151_sketch_profile" -> {
+        val m = graft.operators.Sketches.HllM
+        def one(c: String): String =
+          s"SELECT '$c' AS col_name, n_rows, n_null, n_buckets, s_scaled, " +
+            s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
+            "CAST(s_scaled AS DOUBLE)) AS BIGINT) AS est_distinct FROM (" +
+            "SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, " +
+            "CAST(SUM(CASE WHEN bucket = -1 THEN cnt ELSE 0 END) AS BIGINT) AS n_null, " +
+            "COUNT(CASE WHEN bucket >= 0 THEN 1 END) AS n_buckets, " +
+            "CAST(SUM(CASE WHEN bucket >= 0 THEN (1::BIGINT << CAST(32 - reg AS INTEGER)) ELSE 0 END) + " +
+            s"($m - COUNT(CASE WHEN bucket >= 0 THEN 1 END)) * 4294967296 AS BIGINT) AS s_scaled FROM (" +
+            "SELECT bucket, COUNT(*) AS cnt, MAX(rho) AS reg FROM (" +
+            s"SELECT CASE WHEN $c IS NULL THEN -1 ELSE hk % $m END AS bucket, " +
+            s"CASE WHEN $c IS NULL THEN 0 WHEN hk // $m = 0 THEN 23 " +
+            s"ELSE 23 - length(bin(hk // $m)) END AS rho " +
+            s"FROM (SELECT $c, CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8)) AS BIGINT) AS hk " +
+            "FROM orders)) GROUP BY bucket))"
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate").map(one).mkString(" UNION ALL ") +
+          " ORDER BY col_name LIMIT 100"
       },
       // q150 (round 10): full hash-sample replay — identical kept set
       // (k smallest md5-derived keys, doc_id tie-break), identical

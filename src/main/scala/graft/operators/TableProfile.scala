@@ -54,6 +54,50 @@ object TableProfile {
     parts.reduce(_ unionByName _)
   }
 
+  /** Bounded-memory profiling twin (round 10): `profile`'s one aggregate
+    * whose state grows with the DATA — `count_distinct`, a per-column
+    * hash set proportional to cardinality — replaced by HLL registers
+    * (`Sketches.hllBucket`/`hllRho`), so every per-column branch is one
+    * exchange of ≤ m+1 rows no matter the column's cardinality: nulls
+    * route to a sentinel bucket −1 (exact null/row counts fall out of
+    * the same aggregate — no second scan), non-null values hash through
+    * the portable 32-bit key of their STRING rendering (the only
+    * engine-neutral universal domain; integer/string/date columns render
+    * identically cross-engine, so a DuckDB replay is bit-identical).
+    * Output per column: (col_name, n_rows, n_null, n_buckets, s_scaled,
+    * est_distinct) — est_distinct is the q148 FLOOR'd-double raw
+    * estimate, hash-safe. */
+  def sketchProfile(df: DataFrame, cols: Seq[String],
+                    p: Int = Sketches.HllP): DataFrame = {
+    graft.functions.PortableShingleHash.register(df.sparkSession)
+    val m = 1L << p
+    require(p == Sketches.HllP, "HllNumerator is precomputed for p = HllP")
+    val parts = cols.map { c =>
+      val h = element_at(call_function("portable_shingle_hash",
+        array(coalesce(col(c).cast("string"), lit(""))), lit(1)), 1)
+      df.select(
+          when(col(c).isNull, lit(-1L)).otherwise(Sketches.hllBucket(h, p)).as("bucket"),
+          when(col(c).isNull, lit(0)).otherwise(Sketches.hllRho(h, p)).as("__rho"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("__n"), max(col("__rho")).cast("long").as("reg"))
+        .agg(sum(col("__n")).as("n_rows"),
+          sum(when(col("bucket") === -1L, col("__n")).otherwise(0L)).as("n_null"),
+          count(when(col("bucket") >= 0L, lit(1))).as("n_buckets"),
+          sum(when(col("bucket") >= 0L,
+            expr("shiftleft(1L, CAST(32 - reg AS INT))")).otherwise(0L)).as("__sp"))
+        .withColumn("s_scaled", // empty-input aggregates sum to NULL
+          coalesce(col("__sp"), lit(0L)) +
+            (lit(m) - col("n_buckets")) * lit(4294967296L))
+        .select(lit(c).as("col_name"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          col("n_buckets"), col("s_scaled"),
+          expr(s"CAST(FLOOR(${Sketches.HllNumerator} / " +
+            "CAST(s_scaled AS DOUBLE)) AS BIGINT)").as("est_distinct"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Multi-table profile: one `profile` per table, column names qualified
     * `table.column` so the union stays unambiguous. Same scale shape —
     * every branch is a one-column pruned scan, output metadata-sized

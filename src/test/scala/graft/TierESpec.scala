@@ -470,6 +470,25 @@ class TierESpec extends AnyFunSuite {
     assert(prof("s") == ((4L, 1L, 2L, "a", "c")))
   }
 
+  test("sketchProfile: exact nulls/rows, HLL estimate within bound (r10)") {
+    import graft.operators.TableProfile
+    // 20k distinct keys (raw-HLL regime) + a null-bearing string column
+    val df = (1 to 20000).map(i => (i.toLong, if (i % 4 == 0) None else Some(s"v${i % 7}")))
+      .toDF("k", "s")
+    val prof = TableProfile.sketchProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = prof("k")
+    assert(k.getAs[Long]("n_rows") == 20000L && k.getAs[Long]("n_null") == 0L)
+    val est = k.getAs[Long]("est_distinct").toDouble
+    val sigma = 1.04 / math.sqrt(graft.operators.Sketches.HllM.toDouble)
+    assert(math.abs(est - 20000) / 20000 <= 4 * sigma, s"est $est vs 20000")
+    // null sentinel: exact null count, registers untouched by null rows
+    val s = prof("s")
+    assert(s.getAs[Long]("n_rows") == 20000L && s.getAs[Long]("n_null") == 5000L)
+    // 7 distinct non-null values ⇒ at most 7 occupied buckets
+    assert(s.getAs[Long]("n_buckets") <= 7L)
+  }
+
   test("portablePairStats finds planted near-dups via affine-minhash banding (q82 oracle path)") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val near = (1 to 80).map(i => if (i == 5) "CHANGED" else s"tok$i").mkString(" ")
