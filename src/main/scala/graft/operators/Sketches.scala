@@ -69,6 +69,25 @@ object Sketches {
         expr("__i * 10000L DIV size(__u)").as("est_bp"))
   }
 
+  /** Distinct-count estimates from per-group KMV sketches — the KMV
+    * counterpart to the HLL estimator (two independent cardinality
+    * estimators over the same 32-bit key space; useful as a cross-check
+    * and because the KMV sketch is often already materialized for
+    * overlap work). Unbiased k-th-smallest estimator (Beyer et al.
+    * 2007): n̂ = (k−1)·M/h_k with M = 2^32 the hash domain; a group
+    * whose sketch holds fewer than k values is in the EXACT regime (the
+    * sketch IS the distinct set) and reports its size. Output:
+    * (groupCol, n_sketch, est_distinct). */
+  def kmvDistinct(sketches: DataFrame, groupCol: String, k: Int): DataFrame =
+    sketches.select(col(groupCol), size(col("sketch")).cast("long").as("n_sketch"),
+        // guard: ANSI element_at throws on out-of-bounds (exact regime)
+        when(size(col("sketch")) >= k, element_at(col("sketch"), k)).as("__hk"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(s"CAST(FLOOR(${(k - 1).toDouble * 4294967296.0} / " +
+            "CAST(GREATEST(__hk, 1) AS DOUBLE)) AS BIGINT)"))) // h_k=0 guard
+      .drop("__hk")
+
   // ---------------------------------------------------------------------
   // Bloom filter (portable) — fixed-size MEMBERSHIP sketch. Completes the
   // sketch family beside KMV (distinct/overlap) and countMin (frequency):

@@ -64,6 +64,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.kmvJaccard(disjoint, "src", "h", 64).count() == 0L)
   }
 
+  test("kmvDistinct: exact below k, estimator within 4 sigma above it") {
+    // group "A": 1200 distinct (above k=64 → estimator regime); tiny
+    // group: 5 distinct (below k → exact regime). Hashes MUST be in the
+    // 32-bit portable domain the estimator's M assumes (the full-range
+    // signed xxhash64 `elems` uses for rank-only Jaccard work would
+    // break the (k−1)·M/h_k arithmetic).
+    val big = (0 until 1200).map(i => ("A", i.toLong)).toDF("src", "v")
+      .withColumn("h", pmod(xxhash64(col("v")), lit(1L << 32)))
+    val tiny = Seq.tabulate(5)(i => ("T", 90000L + i)).toDF("src", "v")
+      .withColumn("h", pmod(xxhash64(col("v")), lit(1L << 32)))
+    val sk = Sketches.kmvSketch(big.unionByName(tiny), "src", "h", 64)
+    val out = Sketches.kmvDistinct(sk, "src", 64)
+      .collect().map(r => r.getAs[String]("src") ->
+        (r.getAs[Long]("n_sketch"), r.getAs[Long]("est_distinct"))).toMap
+    assert(out("T") == ((5L, 5L))) // sketch IS the set
+    val (nk, est) = out("A")
+    assert(nk == 64L)
+    val sigma = 1200.0 / math.sqrt(64 - 2) // SE ≈ n/√(k−2)
+    assert(math.abs(est - 1200.0) <= 4 * sigma, s"est $est vs 1200")
+  }
+
   // --- Bloom filter (q145's operator) ---------------------------------
   // Keys mimic the production surface: nonnegative 32-bit values (the
   // PortableShingleHash range the portability contract assumes).
