@@ -673,6 +673,33 @@ object SparkEntry {
         .drop("est_corrected")
         .orderBy(col("source")).limit(100)
     },
+    // Join-size estimation from sketches (round 10): the planner-support
+    // operator — estimate |events ⋈ events ON user_id| (the self-join
+    // blow-up question every skew-aware pipeline asks before shuffling)
+    // from two ~24 KiB Count-Min sketches instead of running the join:
+    // per depth row the cell inner product upper-bounds Σ_v f(v)², min
+    // over rows is the estimate (AMS-style; one-sided like the point
+    // estimates — est ≥ exact ALWAYS, so a green light is trustworthy).
+    // Key counts reduce scan-locally to (32-bit key, count); the exact
+    // Σc² rides the same tiny aggregate (collected once as a literal, the
+    // q129 N-pattern) so the output row exposes est vs exact vs over_bp.
+    // The DuckDB twin replays cells and products bit-identically.
+    "q152_join_size_estimate" -> { (spark, dir) =>
+      val e = Tables.table(spark, dir, "events")
+      graft.functions.PortableShingleHash.register(spark)
+      val hc = Checkpoints.cut(
+        e.groupBy("user_id").agg(count(lit(1)).as("__c"))
+          .select(element_at(call_function("portable_shingle_hash",
+              array(coalesce(col("user_id").cast("string"), lit(""))), lit(1)), 1).as("h"),
+            col("__c"))
+          .groupBy("h").agg(sum(col("__c")).as("c")), eager = false)
+      val exact = hc.agg(sum(expr("c * c")).as("x")).head.getLong(0)
+      val cms = graft.operators.Sketches.countMinBuild(hc, "h", "c")
+      graft.operators.Sketches.countMinJoinSize(cms, cms)
+        .select(lit(exact).as("exact_pairs"), col("est_join_size").as("est_pairs"),
+          expr(s"est_join_size * 10000 DIV $exact").as("over_bp"))
+        .orderBy("exact_pairs").limit(100)
+    },
     // Sketch-mode table profiling (round 10): the bounded-memory twin of
     // q95's exact profile — count_distinct (per-column state ∝
     // cardinality, the one aggregate in the exact profile that cannot
@@ -1237,6 +1264,27 @@ object SparkEntry {
           s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
           s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
           "FROM s ORDER BY h LIMIT 100"
+      },
+      // q152 (round 10): full cell-level replay — identical per-key
+      // counts (32-bit collisions merge upstream, shared), identical CMS
+      // cells from the interpolated constants, identical Σ cell² per
+      // depth row and min-over-rows; exact Σc² and over_bp in plain
+      // BIGINT arithmetic (CAST-wrapped: DuckDB SUM(BIGINT) is HUGEINT).
+      "q152_join_size_estimate" -> {
+        val rows = graft.operators.Sketches.BloomHashes.indices.map { i =>
+          s"SELECT h, c, $i AS i, ${graft.operators.Sketches.cmsPosSql("h", i)} AS p FROM hc"
+        }.mkString(" UNION ALL ")
+        "WITH uc AS (SELECT user_id, COUNT(*) AS c0 FROM events GROUP BY user_id), " +
+          "hc AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h, " +
+          "CAST(SUM(c0) AS BIGINT) AS c FROM uc GROUP BY 1), " +
+          s"ps AS ($rows), " +
+          "cms AS (SELECT i, p, CAST(SUM(c) AS BIGINT) AS s FROM ps GROUP BY i, p), " +
+          "dot AS (SELECT i, CAST(SUM(s * s) AS BIGINT) AS d FROM cms GROUP BY i), " +
+          "x AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs FROM hc), " +
+          "est AS (SELECT CAST(MIN(d) AS BIGINT) AS est_pairs FROM dot) " +
+          "SELECT x.exact_pairs, est.est_pairs, " +
+          "CAST(est.est_pairs * 10000 // x.exact_pairs AS BIGINT) AS over_bp " +
+          "FROM x, est ORDER BY exact_pairs LIMIT 100"
       },
       // q151 (round 10): full sketch-profile replay — per column the
       // identical sentinel-bucket register aggregate (constants

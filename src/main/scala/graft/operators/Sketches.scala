@@ -219,6 +219,22 @@ object Sketches {
       .agg(min(col("s")).as("est"))
   }
 
+  /** Equi-join SIZE estimate from two Count-Min sketches of the join
+    * keys' frequency vectors (Cormode & Muthukrishnan 2005 §4.2, the
+    * AMS-style inner product): per depth row i, Σ_p a[i,p]·b[i,p]
+    * upper-bounds Σ_v f_A(v)·f_B(v) = |A ⋈ B| (colliding keys only ADD
+    * cross terms), and the min over rows is the estimate — one-sided,
+    * est ≥ exact, like the point estimates. The planner-support use: a
+    * skewed key that would explode a join shows up in two ~24 KiB
+    * sketches built map-side, long before any shuffle runs. Input
+    * frames are `countMinBuild` outputs of the same geometry; output is
+    * one (est_join_size) row. */
+  def countMinJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("i"), col("p"), col("s").as("__sa"))
+      .join(b.select(col("i"), col("p"), col("s").as("__sb")), Seq("i", "p"))
+      .groupBy("i").agg(sum(col("__sa") * col("__sb")).as("__dot"))
+      .agg(min(col("__dot")).as("est_join_size"))
+
   // ---------------------------------------------------------------------
   // HyperLogLog (portable) — fixed-size CARDINALITY sketch, completing
   // the family: KMV (pairwise overlap), Bloom (membership), Count-Min

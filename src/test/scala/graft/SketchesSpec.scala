@@ -148,6 +148,19 @@ class SketchesSpec extends AnyFunSuite {
       s"heavy hitter overcount ${top.getAs[Long]("est")} vs ${top.getAs[Long]("c")}")
   }
 
+  test("cms join-size estimate: one-sided and bounded on the zipf fixture") {
+    val cms = Sketches.countMinBuild(zipf, "h", "c")
+    val est = Sketches.countMinJoinSize(cms, cms)
+      .collect().head.getAs[Long]("est_join_size")
+    val exact = zipf.agg(sum(expr("c * c"))).collect().head.getLong(0)
+    assert(est >= exact, s"inner-product estimate must never undercount: $est < $exact")
+    // per depth row the expected excess is (Σc)²/w; min over the 3 rows
+    // of the fixed fixture stays within a 3x margin of that mean
+    val total = zipf.agg(sum(col("c"))).collect().head.getLong(0)
+    val bound = 3L * total * total / Sketches.CmsWidth
+    assert(est - exact <= bound, s"excess ${est - exact} beyond bound $bound")
+  }
+
   test("merges equal the single-shot build (distributed-aggregation identity)") {
     // Bloom: bit_or by word
     val bAll = Sketches.bloomBuild(keys32(0 until 2000), "h")
