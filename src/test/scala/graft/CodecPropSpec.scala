@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Multimodal.RealCodec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the pure-JVM container codecs (raw scalacheck —
+  * same offline-cache posture as SanitizerPropSpec): every encoder
+  * round-trips through its decoder with the exact pixel/sample mean, at
+  * arbitrary dimensions. PNG is the load-bearing case — arbitrary
+  * heights exercise arbitrary interleavings of the five scanline
+  * filters against real zlib compression. */
+class CodecPropSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val dims: Gen[(Int, Int, Long)] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 40)
+    seed <- Gen.choose(0L, 1L << 40)
+  } yield (w, h, seed)
+
+  /** Deterministic pseudorandom pixel field from the generated seed. */
+  private def pix(seed: Long)(x: Int, y: Int): Int =
+    (((x * 2654435761L + y * 40503L + seed) >>> 16) & 0xff).toInt
+
+  private def exactMean(w: Int, h: Int, seed: Long): Double =
+    (for { y <- 0 until h; x <- 0 until w } yield pix(seed)(x, y).toLong)
+      .sum.toDouble / (w.toLong * h)
+
+  test("PNG round-trips exactly at arbitrary dims (all filter mixes vs real zlib)") {
+    check(forAll(dims) { case (w, h, seed) =>
+      val (dw, dh, mean) = RealCodec.decodePng(RealCodec.encodePng(w, h, pix(seed)))
+      dw == w && dh == h && mean == exactMean(w, h, seed)
+    }, "png-roundtrip")
+  }
+
+  test("BMP round-trips exactly at arbitrary dims (row padding excluded)") {
+    check(forAll(dims) { case (w, h, seed) =>
+      val (dw, dh, mean) = RealCodec.decodeBmp(RealCodec.encodeBmp(w, h, pix(seed)))
+      dw == w && dh == h && mean == exactMean(w, h, seed)
+    }, "bmp-roundtrip")
+  }
+
+  test("AVI round-trips exactly at arbitrary dims and frame counts") {
+    val dimsF = for { (w, h, seed) <- dims; f <- Gen.choose(1, 6) } yield (w, h, f, seed)
+    check(forAll(dimsF) { case (w, h, f, seed) =>
+      val avi = RealCodec.encodeAvi(w, h, f, (x, y, fr) => pix(seed + fr)(x, y))
+      val (dw, dh, df, mean) = RealCodec.decodeAvi(avi)
+      // AVI means include the row pad bytes in the denominator (movi
+      // payload semantics) — recompute the same way
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val sum = (for { fr <- 0 until f; y <- 0 until h; x <- 0 until w }
+        yield 3L * pix(seed + fr)(x, y)).sum
+      dw == w && dh == h && df == f &&
+        mean == sum.toDouble / (f.toLong * rowSize * h)
+    }, "avi-roundtrip")
+  }
+}
