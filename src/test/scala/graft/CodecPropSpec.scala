@@ -46,6 +46,31 @@ class CodecPropSpec extends AnyFunSuite {
     }, "bmp-roundtrip")
   }
 
+  test("malformed containers always throw — never hang, loop, or lie") {
+    // Truncate a valid container at arbitrary prefix lengths (magic kept
+    // intact so the right parser claims the bytes): the decoders must
+    // ALWAYS throw — every parser cross-checks its declared sizes
+    // against the actual byte count, so no truncation can decode
+    // quietly, hang, or return header fiction. (Payload bit flips are
+    // covered by the CRC test in TierESpec.)
+    val png = RealCodec.encodePng(9, 6, pix(7L))
+    val avi = RealCodec.encodeAvi(5, 4, 3, (x, y, f) => pix(11L + f)(x, y))
+    val cut = for {
+      which <- Gen.oneOf("png", "avi")
+      // keep the magic intact so the right parser claims the bytes
+      len <- Gen.choose(12, (if (which == "png") png else avi).length - 1)
+    } yield (which, len)
+    check(forAll(cut) { case (which, len) =>
+      val threw =
+        try {
+          if (which == "png") RealCodec.decodePng(png.take(len))
+          else RealCodec.decodeAvi(avi.take(len))
+          false
+        } catch { case _: Exception => true }
+      threw
+    }, "truncation-throws")
+  }
+
   test("AVI round-trips exactly at arbitrary dims and frame counts") {
     val dimsF = for { (w, h, seed) <- dims; f <- Gen.choose(1, 6) } yield (w, h, f, seed)
     check(forAll(dimsF) { case (w, h, f, seed) =>
