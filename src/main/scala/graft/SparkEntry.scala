@@ -96,6 +96,29 @@ object SparkEntry {
     * AND the DuckDB text. */
   private val IncrementalSplitId = 400L
 
+  /** Shared by q146 (batch CMS) and q153 (streaming CMS build): on the
+    * closed input the streamed sketch cells equal the batch build's, so
+    * both entries hash against the identical DuckDB replay — the
+    * streaming = batch contract, q141/q142-style. */
+  private lazy val cmsHeavyHittersOracle: String = {
+    val rows = graft.operators.Sketches.BloomHashes.indices.map { i =>
+      s"SELECT h, c, $i AS i, ${graft.operators.Sketches.cmsPosSql("h", i)} AS p FROM hc"
+    }.mkString(" UNION ALL ")
+    "WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "th AS (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk), " +
+      "hc AS (SELECT h, COUNT(*) AS c FROM th GROUP BY h), " +
+      s"ps AS ($rows), " +
+      "cms AS (SELECT i, p, SUM(c) AS s FROM ps GROUP BY i, p), " +
+      "est AS (SELECT ps.h, ps.c, MIN(cms.s) AS est FROM ps " +
+      "JOIN cms ON cms.i = ps.i AND cms.p = ps.p GROUP BY ps.h, ps.c), " +
+      "top AS (SELECT h, c, est FROM est ORDER BY est DESC, h LIMIT 100), " +
+      "vocab AS (SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h, tok FROM tk) " +
+      "SELECT v.tok AS token, t.h AS key_h, CAST(t.c AS BIGINT) AS exact_c, " +
+      "CAST(t.est AS BIGINT) AS est_c " +
+      "FROM top t JOIN vocab v ON v.h = t.h " +
+      "ORDER BY est_c DESC, key_h, token LIMIT 100"
+  }
+
   /** Shared DuckDB CTE chain replaying the portable MinHash+LSH pipeline
     * (q82 symmetric pairs, q124 incremental cross pairs): md5 shingle
     * hashes, affine-permutation signatures, string band keys, total-
@@ -904,6 +927,38 @@ object SparkEntry {
           s"q147_mem_${math.abs(dir.hashCode)}")
         .orderBy(col("flag_bp").desc, col("doc_id")).limit(100)
     },
+    // Streaming Count-Min build (round 10): the BUILD side streamed —
+    // token frequencies accumulate into the fixed ~24 KiB cell table as
+    // the streaming aggregate (sum is algebraic; per-micro-batch partial
+    // aggregation IS the CMS merge), where q147 streamed the probe side
+    // against a static sketch. The batch tail (point estimates, top-100,
+    // string join-back) runs unchanged against the streamed cells, and
+    // the output hashes against the IDENTICAL q146 oracle — streaming =
+    // batch on closed input, completing the sketch×streaming matrix
+    // (minhash q126, edit q142, Bloom q147, HLL q149, CMS here).
+    "q153_stream_cms" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val cms = graft.streaming.StreamOps.runToCompletion(spark,
+        graft.streaming.StreamOps.cmsBuildStream(stream, "text"),
+        s"q153_mem_${math.abs(dir.hashCode)}")
+      // batch tail — identical to q146's (one tokenization, lineage cut)
+      val tv = Checkpoints.cut(
+        docs.select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+          .select(element_at(
+              call_function("portable_shingle_hash", array(col("token")), lit(1)), 1).as("h"),
+            col("token"), col("c")), eager = false)
+      val hc = tv.groupBy("h").agg(sum(col("c")).as("c"))
+      val top = graft.operators.Sketches.countMinEstimate(hc, cms, "h")
+        .orderBy(col("est").desc, col("h")).limit(100)
+      tv.select("h", "token").join(broadcast(top), Seq("h"))
+        .select(col("token"), col("h").as("key_h"), col("c").as("exact_c"),
+          col("est").as("est_c"))
+        .orderBy(col("est_c").desc, col("key_h"), col("token")).limit(100)
+    },
     // Streaming cardinality (round 10): hourly distinct-user HLL
     // registers as THE windowed streaming aggregate — bounded state
     // (≤ |hours|·1024 ints) where q42's exact streamingDedup state grows
@@ -1208,24 +1263,11 @@ object SparkEntry {
       // estimator; the top-100 cut happens on (est, key) BEFORE the
       // string join-back in both engines, so the surviving key sets are
       // equal by construction.
-      "q146_cms_heavy_hitters" -> {
-        val rows = graft.operators.Sketches.BloomHashes.indices.map { i =>
-          s"SELECT h, c, $i AS i, ${graft.operators.Sketches.cmsPosSql("h", i)} AS p FROM hc"
-        }.mkString(" UNION ALL ")
-        "WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
-          "th AS (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk), " +
-          "hc AS (SELECT h, COUNT(*) AS c FROM th GROUP BY h), " +
-          s"ps AS ($rows), " +
-          "cms AS (SELECT i, p, SUM(c) AS s FROM ps GROUP BY i, p), " +
-          "est AS (SELECT ps.h, ps.c, MIN(cms.s) AS est FROM ps " +
-          "JOIN cms ON cms.i = ps.i AND cms.p = ps.p GROUP BY ps.h, ps.c), " +
-          "top AS (SELECT h, c, est FROM est ORDER BY est DESC, h LIMIT 100), " +
-          "vocab AS (SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h, tok FROM tk) " +
-          "SELECT v.tok AS token, t.h AS key_h, CAST(t.c AS BIGINT) AS exact_c, " +
-          "CAST(t.est AS BIGINT) AS est_c " +
-          "FROM top t JOIN vocab v ON v.h = t.h " +
-          "ORDER BY est_c DESC, key_h, token LIMIT 100"
-      },
+      "q146_cms_heavy_hitters" -> cmsHeavyHittersOracle,
+      // q153 (round 10): the IDENTICAL replay — on the closed input the
+      // streamed cell table equals the batch build, so hash-equality
+      // proves streaming = batch for the sketch-build side.
+      "q153_stream_cms" -> cmsHeavyHittersOracle,
       // q148 (round 10): full HLL replay — identical buckets/ranks (the
       // register CTE interpolates from Sketches.hllRegSql so the two
       // texts cannot drift), exact-BIGINT harmonic sum, and the raw

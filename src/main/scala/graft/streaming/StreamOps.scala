@@ -299,6 +299,34 @@ object StreamOps {
       .select(col("w.start").as("h"), col("bucket"), col("reg"))
   }
 
+  /** Streaming Count-Min build: the frequency sketch accumulated AS THE
+    * STREAMING AGGREGATE over a token stream — sum is algebraic, so
+    * state is the ≤ depth×width cell table (~24 KiB) no matter how many
+    * tokens flow, and the merge that makes CMS distributable is exactly
+    * what the partial aggregates do per micro-batch. One pass: each
+    * token explodes to its d (row, position) coordinates via a struct
+    * array (no d-way union re-reading the stream). Completes the
+    * sketch×streaming matrix beside q126 (minhash), q142 (edit), q147
+    * (Bloom membership) and q149 (HLL cardinality): this one STREAMS THE
+    * BUILD side where q147 streams the probe side. Output: (i, p, s) —
+    * the `countMinBuild` cell schema, so the batch estimate/top-k tail
+    * runs unchanged against it. */
+  def cmsBuildStream(docStream: DataFrame, textCol: String,
+                     width: Long = graft.operators.Sketches.CmsWidth): DataFrame = {
+    import graft.operators.Sketches
+    graft.functions.PortableShingleHash.register(SparkSession.active)
+    docStream
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .select(element_at(call_function("portable_shingle_hash",
+        array(col("token")), lit(1)), 1).as("__h"))
+      .select(explode(array(Sketches.BloomHashes.indices.map { i =>
+        struct(lit(i).as("i"), Sketches.cmsPosition(col("__h"), i, width).as("p"))
+      }: _*)).as("__ip"))
+      .select(col("__ip.i").as("i"), col("__ip.p").as("p"))
+      .groupBy("i", "p")
+      .agg(count(lit(1)).as("s"))
+  }
+
   /** Streaming contamination gate: every micro-batch of incoming
     * documents is probed against a Bloom filter of blocklist shingle keys
     * (`Sketches.bloomBuild`) — the streaming form of q145's screen, and

@@ -42,6 +42,25 @@ class StreamOpsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming CMS build equals the batch sketch on closed input") {
+    import graft.operators.Sketches
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
+    val streamed = StreamOps.runToCompletion(spark,
+      StreamOps.cmsBuildStream(stream, "text"), "stream_cms")
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Long]("p")) -> r.getAs[Long]("s")).toMap
+    graft.functions.PortableShingleHash.register(spark)
+    val hc = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .select(element_at(call_function("portable_shingle_hash",
+        array(col("token")), lit(1)), 1).as("h"), col("c"))
+      .groupBy("h").agg(sum(col("c")).as("c"))
+    val batch = Sketches.countMinBuild(hc, "h", "c")
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Long]("p")) -> r.getAs[Long]("s")).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("eventsStream adapts to every ts physical layout the driver has shipped") {
     // The driver regenerates /root/testdata between rounds and events.ts
     // has shipped as INT64 TIMESTAMP(NANOS) (rounds ≤8; reads as a raw ns
