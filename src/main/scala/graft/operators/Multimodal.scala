@@ -334,6 +334,16 @@ object Multimodal {
       * reverses whichever of the five filters each scanline used. 8-bit
       * grayscale (colortype 0) and 8-bit truecolor (colortype 2). */
     def decodePng(bytes: Array[Byte]): (Int, Int, Double) = {
+      val (w, h, _, recon) = pngRecon(bytes)
+      var sum = 0L
+      var j = 0
+      while (j < recon.length) { sum += (recon(j) & 0xff); j += 1 }
+      (w, h, if (recon.isEmpty) 0.0 else sum.toDouble / recon.length)
+    }
+
+    /** Full PNG reconstruction: (width, height, channels, unfiltered
+      * interleaved channel bytes) — the pixel grid `resizeMedia` needs. */
+    private[operators] def pngRecon(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
       import java.util.zip.{CRC32, Inflater}
       require(bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
         bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G', "not a PNG")
@@ -408,10 +418,7 @@ object Multimodal {
         }
         y += 1
       }
-      var sum = 0L
-      var j = 0
-      while (j < recon.length) { sum += (recon(j) & 0xff); j += 1 }
-      (width, height, if (recon.isEmpty) 0.0 else sum.toDouble / recon.length)
+      (width, height, channels, recon)
     }
 
     /** Mono/stereo PCM WAV; samples(i) are 8-bit unsigned values. */
@@ -481,6 +488,80 @@ object Multimodal {
         MediaFeatures(row.media_id, row.media_type, ch, bits, frames, mean)
       } else FakeCodec.decode(row)
     }
+
+    /** Grayscale pixel grid (row-major, one int per pixel) of any image
+      * container this codec reads; truecolor channels average. */
+    def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val dataOffset = b.getInt(10)
+        val width = b.getInt(18)
+        val height = math.abs(b.getInt(22))
+        require(b.getShort(28) == 24, "only 24-bpp BMP supported")
+        val rowSize = (width * 3 + 3) / 4 * 4
+        val px = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val i = dataOffset + (height - 1 - y) * rowSize + x * 3 // bottom-up
+            px(y * width + x) =
+              ((bytes(i) & 0xff) + (bytes(i + 1) & 0xff) + (bytes(i + 2) & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        (width, height, px)
+      } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+        val (w, h, ch, recon) = pngRecon(bytes)
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < px.length) {
+          var s = 0
+          var c = 0
+          while (c < ch) { s += (recon(i * ch + c) & 0xff); c += 1 }
+          px(i) = s / ch
+          i += 1
+        }
+        (w, h, px)
+      } else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+        // reuse the header walk, then read triples
+        val (w, h, _) = decodePpm(bytes)
+        val start = bytes.length - w * h * 3
+        require(start >= 0, "truncated PPM payload")
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < px.length) {
+          val j = start + i * 3
+          px(i) = ((bytes(j) & 0xff) + (bytes(j + 1) & 0xff) + (bytes(j + 2) & 0xff)) / 3
+          i += 1
+        }
+        (w, h, px)
+      } else throw new IllegalArgumentException("not an image container this codec reads")
+    }
+
+    /** REAL resize (round 10): decode the pixel grid, nearest-neighbor
+      * resample to (tw, th), re-encode in the same container family —
+      * BMP→BMP, PNG→PNG, PPM→PPM. Non-image bytes pass through
+      * untouched (audio/video resize is a different operation). */
+    def resizeImage(row: MediaRow, tw: Int, th: Int): MediaRow = {
+      val bs = row.content
+      val isBmp = bs.length >= 2 && bs(0) == 'B' && bs(1) == 'M'
+      val isPng = bs.length >= 4 && (bs(0) & 0xff) == 0x89 &&
+        bs(1) == 'P' && bs(2) == 'N' && bs(3) == 'G'
+      val isPpm = bs.length >= 2 && bs(0) == 'P' && bs(1) == '6'
+      if (!isBmp && !isPng && !isPpm) row
+      else {
+        val (w, h, px) = decodePixels(bs)
+        def sample(x: Int, y: Int): Int = px((y * h / th) * w + (x * w / tw))
+        val out =
+          if (isBmp) encodeBmp(tw, th, sample)
+          else if (isPng) encodePng(tw, th, sample)
+          else encodePpm(tw, th, sample)
+        row.copy(content = out)
+      }
+    }
   }
 
   /** Synthesize a deterministic media table from the documents table —
@@ -543,7 +624,18 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
-  /** Resize stage (stubbed geometry change, plan shape real). */
+  /** Content-level resize stage (round 10, REAL): every image container
+    * is decoded, nearest-neighbor resampled and re-encoded in its own
+    * family per partition; non-image rows pass through. Derived frames
+    * should still drop `content` before any wide downstream join. */
+  def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(RealCodec.resizeImage(_, w, h)))
+  }
+
+  /** Feature-level resize (geometry-only metadata rewrite — kept for
+    * pipelines that carry features without content; the content-level
+    * stage above is the real one). */
   def resizeAll(features: Dataset[MediaFeatures], w: Int, h: Int): Dataset[MediaFeatures] = {
     import features.sparkSession.implicits._
     features.mapPartitions(_.map(FakeCodec.resize(_, w, h)))

@@ -46,6 +46,26 @@ class CodecPropSpec extends AnyFunSuite {
     }, "bmp-roundtrip")
   }
 
+  test("real resize: resample + re-encode round-trips in every image family") {
+    import graft.operators.Multimodal.MediaRow
+    val dimsT = for { (w, h, seed) <- dims; tw <- Gen.choose(1, 30); th <- Gen.choose(1, 30) }
+      yield (w, h, seed, tw, th)
+    check(forAll(dimsT) { case (w, h, seed, tw, th) =>
+      Seq(
+        RealCodec.encodeBmp(w, h, pix(seed)),
+        RealCodec.encodePng(w, h, pix(seed)),
+        RealCodec.encodePpm(w, h, pix(seed))
+      ).forall { container =>
+        val out = RealCodec.resizeImage(MediaRow(1L, "image", container, "s"), tw, th)
+        val (dw, dh, px) = RealCodec.decodePixels(out.content)
+        // nearest-neighbor ground truth straight from the source field
+        val ok = (0 until th).forall(y => (0 until tw).forall(x =>
+          px(y * tw + x) == pix(seed)(x * w / tw, y * h / th)))
+        dw == tw && dh == th && ok
+      }
+    }, "resize-roundtrip")
+  }
+
   test("malformed containers always throw — never hang, loop, or lie") {
     // Truncate a valid container at arbitrary prefix lengths (magic kept
     // intact so the right parser claims the bytes): the decoders must
