@@ -96,6 +96,26 @@ object SparkEntry {
     * AND the DuckDB text. */
   private val IncrementalSplitId = 400L
 
+  /** Shared by q148 (batch HLL) and q154 (incremental HLL merge): the
+    * merge is register-wise max, so split-build-merge equals the full
+    * build on closed input — both hash against the identical replay. */
+  private lazy val hllCardinalityOracle: String = {
+    val m = graft.operators.Sketches.HllM
+    "WITH toks AS (" +
+      "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+      "), sh AS (" +
+      "SELECT source, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
+      "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+      s"), r AS (${graft.operators.Sketches.hllRegSql("sh", "source")}), " +
+      "s AS (SELECT source, COUNT(*) AS nb, " +
+      "SUM(1::BIGINT << CAST(32 - reg AS INTEGER)) AS sp FROM r GROUP BY source) " +
+      "SELECT source, CAST(nb AS BIGINT) AS n_buckets, " +
+      s"CAST(sp + ($m - nb) * 4294967296 AS BIGINT) AS s_scaled, " +
+      s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
+      s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
+      "FROM s ORDER BY source LIMIT 100"
+  }
+
   /** Shared by q146 (batch CMS) and q153 (streaming CMS build): on the
     * closed input the streamed sketch cells equal the batch build's, so
     * both entries hash against the identical DuckDB replay — the
@@ -696,6 +716,34 @@ object SparkEntry {
         .drop("est_corrected")
         .orderBy(col("source")).limit(100)
     },
+    // Incremental HLL (round 10): the incremental-family form for
+    // cardinality — the existing corpus's register table persists (built
+    // once, ≤ |sources|·1024 ints) and each new batch builds its own
+    // registers and MERGES (register-wise max), never re-reading old
+    // data: the mergeability property doing the incremental work, where
+    // q124/q141 needed careful cross-pair restriction. On the closed
+    // input the merged result equals the full q148 build, so it hashes
+    // against the identical oracle — the identity is hash-proven, not
+    // just unit-asserted. Completes batch(q148)/incremental(here)/
+    // streaming(q149) for the cardinality sketch.
+    "q154_incremental_hll" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      def keys(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("source"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("source"),
+            explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+      val existing = graft.operators.Sketches.hllBuild(
+        keys(d.filter(col("doc_id") < IncrementalSplitId)), Seq("source"), "h")
+      val incoming = graft.operators.Sketches.hllBuild(
+        keys(d.filter(col("doc_id") >= IncrementalSplitId)), Seq("source"), "h")
+      graft.operators.Sketches.hllEstimate(
+          graft.operators.Sketches.hllMerge(existing, incoming, Seq("source")),
+          Seq("source"))
+        .drop("est_corrected")
+        .orderBy(col("source")).limit(100)
+    },
     // Join-size estimation from sketches (round 10): the planner-support
     // operator — estimate |events ⋈ events ON user_id| (the self-join
     // blow-up question every skew-aware pipeline asks before shuffling)
@@ -1274,22 +1322,11 @@ object SparkEntry {
       // estimate as ONE double division + FLOOR over identical integer
       // inputs with the numerator literal interpolated from
       // Sketches.HllNumerator — bit-identical cross-engine.
-      "q148_hll_cardinality" -> {
-        val m = graft.operators.Sketches.HllM
-        "WITH toks AS (" +
-          "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
-          "), sh AS (" +
-          "SELECT source, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
-          "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
-          s"), r AS (${graft.operators.Sketches.hllRegSql("sh", "source")}), " +
-          "s AS (SELECT source, COUNT(*) AS nb, " +
-          "SUM(1::BIGINT << CAST(32 - reg AS INTEGER)) AS sp FROM r GROUP BY source) " +
-          "SELECT source, CAST(nb AS BIGINT) AS n_buckets, " +
-          s"CAST(sp + ($m - nb) * 4294967296 AS BIGINT) AS s_scaled, " +
-          s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
-          s"CAST(sp + ($m - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
-          "FROM s ORDER BY source LIMIT 100"
-      },
+      "q148_hll_cardinality" -> hllCardinalityOracle,
+      // q154 (round 10): the IDENTICAL replay — register-wise max is the
+      // HLL merge, so the split-build-merge result equals the full build
+      // on closed input (the mergeability identity, hash-proven).
+      "q154_incremental_hll" -> hllCardinalityOracle,
       // q149 (round 10): the q148 register+estimator replay under an
       // hourly grouping, keyed on md5(user_id-as-string) — streaming
       // output = batch answer on closed input (the q126/q142/q147
