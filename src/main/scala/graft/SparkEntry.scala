@@ -139,6 +139,26 @@ object SparkEntry {
       "ORDER BY est_c DESC, key_h, token LIMIT 100"
   }
 
+  /** Shared by q150 (batch hash-sample) and q156 (streaming k-smallest
+    * state): the streamed sketch's final state is exactly the batch
+    * `hashSample` kept set on closed input (k smallest (hash, id) —
+    * the KMV identity under any micro-batch split), so both entries
+    * hash against the identical sample+rank replay. */
+  private lazy val sampleQuantilesOracle: String = {
+    val k = graft.operators.Sketches.DefaultSampleK
+    "WITH keyed AS (SELECT lang, doc_id, n_chars, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM documents), " +
+      "s AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM keyed), " +
+      s"samp AS (SELECT lang, doc_id, n_chars, h FROM s WHERE rn <= $k), " +
+      "o AS (SELECT lang, n_chars, h, doc_id, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY n_chars, h, doc_id) AS rn2, " +
+      "COUNT(*) OVER (PARTITION BY lang) AS n FROM samp), " +
+      "q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp) " +
+      "SELECT o.lang, q.q_bp, CAST(o.n AS BIGINT) AS n_sample, o.n_chars AS v_at_q " +
+      "FROM o JOIN q ON o.rn2 = GREATEST(1, (q.q_bp * o.n + 9999) // 10000) " +
+      "ORDER BY lang, q_bp LIMIT 100"
+  }
+
   /** Shared DuckDB CTE chain replaying the portable MinHash+LSH pipeline
     * (q82 symmetric pairs, q124 incremental cross pairs): md5 shingle
     * hashes, affine-permutation signatures, string band keys, total-
@@ -1023,6 +1043,65 @@ object SparkEntry {
         .drop("est_corrected")
         .orderBy("h").limit(100)
     },
+    // Streaming KMV (round 10): the per-source k-minimum-values sketch
+    // built AS STREAMING STATE — the last two sketch×streaming matrix
+    // cells (KMV here, hash-sample in q156) need a BOUNDED k-smallest
+    // state that no algebraic aggregate provides (q149's HLL max and
+    // q153's CMS sum do; k-smallest is order-sensitive), so this is the
+    // flatMapGroupsWithState path: ≤ k longs per source no matter how
+    // many shingles flow. Per-row work is stateless (shingle hashes +
+    // explode); cross-row dedup happens inside the state's TreeMap. The
+    // batch tail is `kmvDistinct` — giving the KMV cardinality estimator
+    // its first ORACLE entry (previously unit-only) — and hash-equality
+    // against the full DuckDB sketch+estimator replay proves streaming
+    // state = batch sketch on closed input (the q126/q142/q149 contract).
+    "q155_stream_kmv" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val rows = stream
+        .select(col("source").as("g"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("g"), explode(array_distinct(
+          call_function("portable_shingle_hash", col("t"), lit(3)))).as("h"))
+        .withColumn("id", lit(0L)).withColumn("v", lit(0L))
+      val raw = graft.streaming.StreamOps.runUpdate(spark,
+        graft.streaming.StreamOps.kSmallestStream(rows, graft.operators.Sketches.DefaultKmvK),
+        s"q155_mem_${math.abs(dir.hashCode)}")
+      val sk = graft.streaming.StreamOps.kSmallestFinal(raw)
+        .groupBy(col("g").as("source"))
+        .agg(sort_array(collect_list(col("h"))).as("sketch"))
+      graft.operators.Sketches.kmvDistinct(sk, "source", graft.operators.Sketches.DefaultKmvK)
+        .orderBy("source").limit(100)
+    },
+    // Streaming hash-sample (round 10): the per-language distribution
+    // sketch built as the same bounded k-smallest state (id = doc_id
+    // breaking 32-bit hash ties, v = the profiled value riding the
+    // state), then the UNCHANGED `sampleQuantiles` batch tail over the
+    // final ≤ 256-row-per-group sample. Hash-checks against the
+    // IDENTICAL q150 replay — streamed k-smallest state picks exactly
+    // the batch `hashSample` kept set on closed input, the KMV identity
+    // under arbitrary micro-batch splits.
+    "q156_stream_sample" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val rows = stream.select(col("lang").as("g"),
+        element_at(call_function("portable_shingle_hash",
+          array(coalesce(col("doc_id").cast("string"), lit(""))), lit(1)), 1).as("h"),
+        col("doc_id").as("id"), col("n_chars").cast("long").as("v"))
+      val raw = graft.streaming.StreamOps.runUpdate(spark,
+        graft.streaming.StreamOps.kSmallestStream(rows, graft.operators.Sketches.DefaultSampleK),
+        s"q156_mem_${math.abs(dir.hashCode)}")
+      val samp = graft.streaming.StreamOps.kSmallestFinal(raw)
+        .select(col("g").as("lang"), col("id").as("doc_id"),
+          col("v").as("n_chars"), col("h"))
+      graft.operators.Sketches.sampleQuantiles(samp, Seq("lang"), "n_chars",
+          "doc_id", "h", Seq(2500, 5000, 7500, 9000, 9900))
+        .orderBy("lang", "q_bp").limit(100)
+    },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
     // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
@@ -1396,19 +1475,32 @@ object SparkEntry {
       // (k smallest md5-derived keys, doc_id tie-break), identical
       // (value, hash, id) rank order and ceil(q·n/10⁴) index rule, all
       // integer — equal by construction.
-      "q150_sample_quantiles" -> {
-        val k = graft.operators.Sketches.DefaultSampleK
-        "WITH keyed AS (SELECT lang, doc_id, n_chars, " +
-          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM documents), " +
-          "s AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM keyed), " +
-          s"samp AS (SELECT lang, doc_id, n_chars, h FROM s WHERE rn <= $k), " +
-          "o AS (SELECT lang, n_chars, h, doc_id, " +
-          "row_number() OVER (PARTITION BY lang ORDER BY n_chars, h, doc_id) AS rn2, " +
-          "COUNT(*) OVER (PARTITION BY lang) AS n FROM samp), " +
-          "q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp) " +
-          "SELECT o.lang, q.q_bp, CAST(o.n AS BIGINT) AS n_sample, o.n_chars AS v_at_q " +
-          "FROM o JOIN q ON o.rn2 = GREATEST(1, (q.q_bp * o.n + 9999) // 10000) " +
-          "ORDER BY lang, q_bp LIMIT 100"
+      "q150_sample_quantiles" -> sampleQuantilesOracle,
+      // q156 (round 10): the IDENTICAL q150 replay — the streamed
+      // k-smallest state equals the batch hashSample kept set on closed
+      // input, so hash-equality proves streaming = batch for the
+      // distribution sketch.
+      "q156_stream_sample" -> sampleQuantilesOracle,
+      // q155 (round 10): full per-source KMV sketch + kmvDistinct
+      // estimator replay (the q144 sketch CTEs under the same k, the
+      // Beyer et al. (k−1)·M/h_k estimate as ONE FLOOR'd double division
+      // over identical integer inputs — the q85/q116 rule; exact regime
+      // below k). The numerator constant interpolates from the same
+      // expression kmvDistinct spells, so the two texts cannot drift.
+      "q155_stream_kmv" -> {
+        val k = graft.operators.Sketches.DefaultKmvK
+        "WITH toks AS (" +
+          "SELECT source, t FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3" +
+          "), sh AS (" +
+          "SELECT DISTINCT source, CAST(('0x' || substr(md5(array_to_string(t[g:g+2], ' ')), 1, 8)) AS BIGINT) AS h " +
+          "FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS g FROM toks)" +
+          "), rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh), " +
+          s"sk AS (SELECT source, list_sort(list(h)) AS s FROM rk WHERE rn <= $k GROUP BY source) " +
+          "SELECT source, CAST(len(s) AS BIGINT) AS n_sketch, " +
+          s"CASE WHEN len(s) < $k THEN CAST(len(s) AS BIGINT) " +
+          s"ELSE CAST(FLOOR(${(k - 1).toDouble * 4294967296.0} / " +
+          s"CAST(GREATEST(s[$k], 1) AS DOUBLE)) AS BIGINT) END AS est_distinct " +
+          "FROM sk ORDER BY source LIMIT 100"
       },
       // q138 (round 10): same shared-32-bit-key posture as q132.
       "q138_novelty" ->

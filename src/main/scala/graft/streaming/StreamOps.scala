@@ -1,8 +1,17 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Bounded per-group state for `StreamOps.kSmallestStream`: the ≤ k
+  * smallest distinct (h, id) pairs seen so far (parallel arrays — a flat
+  * product encoder, no nested-struct state) plus a monotone count of rows
+  * merged. `nMerged` strictly increases on every invocation (an
+  * invocation has ≥ 1 input row), which is what lets the batch tail pick
+  * each group's FINAL update-mode emission deterministically. */
+case class KSmallState(hs: Seq[Long], ids: Seq[Long], vs: Seq[Long], nMerged: Long)
 
 /** Structured Streaming over the `events` table shape (SURVEY.md §2.4
   * "Streaming" / Q38(E)): file-source stream → watermark → windowed
@@ -327,6 +336,74 @@ object StreamOps {
       .agg(count(lit(1)).as("s"))
   }
 
+  /** Streaming k-smallest-by-(hash, id) custom state — the bounded-state
+    * primitive behind the LAST TWO sketch×streaming matrix cells: the KMV
+    * cardinality/overlap sketch (id = 0, k smallest distinct hashes) and
+    * the hash-sample distribution sketch (id = row id, v = profiled
+    * value) in streaming form. Unlike the HLL/CMS streaming builds
+    * (q149/q153), whose registers are ALGEBRAIC aggregates (max/sum) that
+    * plain windowed `groupBy` state handles, k-smallest is order-
+    * sensitive and has no built-in bounded aggregate — so this is the
+    * repo's one `flatMapGroupsWithState` with NON-TRIVIAL bounded state
+    * (`streamingDedup`'s state is a boolean): a TreeMap capped at k
+    * entries per group, merged incrementally per input row (never
+    * materializing a batch's group rows), exactly the KMV identity that
+    * makes `kmvMerge`/`hashSampleMerge` correct — merge-then-take-k ≡
+    * take-k of the concatenation, so the final state on a closed input
+    * EQUALS the batch sketch regardless of how rows split into
+    * micro-batches (StreamOpsSpec proves this over a forced 3-batch
+    * file source).
+    *
+    * Input columns: (g string, h long, id long, v long); state per group
+    * is ≤ k (h, id, v) triples + one counter — at 100 TB the state store
+    * holds |groups|·k small rows no matter how many rows flow. Update
+    * mode emits each group's running sketch once per batch it appears
+    * in; `kSmallestFinal` picks the last (max `nMerged`) emission. */
+  def kSmallestStream(rows: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows.select(col("g").cast("string"), col("h").cast("long"),
+        col("id").cast("long"), col("v").cast("long"))
+      .as[(String, Long, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[KSmallState, (String, Long, Seq[Long], Seq[Long], Seq[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, Long)], state: GroupState[KSmallState]) =>
+          val acc = scala.collection.mutable.TreeMap.empty[(Long, Long), Long]
+          val prev = if (state.exists) state.get else KSmallState(Nil, Nil, Nil, 0L)
+          prev.hs.indices.foreach(i => acc((prev.hs(i), prev.ids(i))) = prev.vs(i))
+          var n = prev.nMerged
+          val ord = Ordering[(Long, Long)]
+          it.foreach { r =>
+            n += 1
+            val kk = (r._2, r._3)
+            if (!acc.contains(kk)) {
+              if (acc.size < k) acc(kk) = r._4
+              else if (ord.lt(kk, acc.lastKey)) { acc -= acc.lastKey; acc(kk) = r._4 }
+            }
+          }
+          val hs = acc.keysIterator.map(_._1).toVector
+          val ids = acc.keysIterator.map(_._2).toVector
+          val vs = acc.valuesIterator.toVector
+          state.update(KSmallState(hs, ids, vs, n))
+          Iterator.single((key, n, hs, ids, vs))
+      }
+      .toDF("g", "n_merged", "hs", "ids", "vs")
+  }
+
+  /** Batch tail for `kSmallestStream`'s update-mode output: keep each
+    * group's final emission (max `nMerged` — strictly monotone per group)
+    * and explode the parallel arrays back to (g, h, id, v) rows, sorted
+    * ascending by (h, id) within the arrays already. Input is
+    * sketch-sized (≤ |groups|·batches rows), so the window is cheap. */
+  def kSmallestFinal(raw: DataFrame): DataFrame =
+    raw.withColumn("__rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("n_merged").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("g"), explode(arrays_zip(col("hs"), col("ids"), col("vs"))).as("z"))
+      .select(col("g"), col("z.hs").as("h"), col("z.ids").as("id"), col("z.vs").as("v"))
+
   /** Streaming contamination gate: every micro-batch of incoming
     * documents is probed against a Bloom filter of blocklist shingle keys
     * (`Sketches.bloomBuild`) — the streaming form of q145's screen, and
@@ -400,6 +477,12 @@ object StreamOps {
   /** Append-mode runner (stateful ops like streamingDedup emit append). */
   def runAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame =
     runWithMode(spark, df, name, "append")
+
+  /** Update-mode runner (`kSmallestStream` emits its running sketch per
+    * batch; the memory sink appends every update, so callers follow with
+    * `kSmallestFinal` to keep each group's last emission). */
+  def runUpdate(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+    runWithMode(spark, df, name, "update")
 
   /** Bounded-input runner. Two overheads dominate small closed inputs and
     * are turned off here (measured 6.5 s → 2.3 s on the sf0.1 attribution

@@ -327,4 +327,107 @@ class StreamOpsSpec extends AnyFunSuite {
         s"doc ${r.getAs[Long]("doc_id")} not fully flagged")
     }
   }
+
+  test("streaming KMV state equals the batch sketch on closed input") {
+    import graft.operators.Sketches
+    graft.functions.PortableShingleHash.register(spark)
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
+    val rows = stream
+      .select(col("source").as("g"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("g"), explode(array_distinct(
+        call_function("portable_shingle_hash", col("t"), lit(3)))).as("h"))
+      .withColumn("id", lit(0L)).withColumn("v", lit(0L))
+    val raw = StreamOps.runUpdate(spark,
+      StreamOps.kSmallestStream(rows, Sketches.DefaultKmvK), "stream_kmv")
+    val streamed = StreamOps.kSmallestFinal(raw)
+      .groupBy("g").agg(sort_array(collect_list(col("h"))).as("sketch"))
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toVector)
+    val sh = docs.select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"),
+        explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
+    val batch = Sketches.kmvSketch(sh, "source", "h", Sketches.DefaultKmvK)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toVector)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
+  test("k-smallest state merges across micro-batches (forced 3-batch source)") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 60 rows over 2 groups with duplicate (h, id) pairs planted across
+    // file boundaries; maxFilesPerTrigger=1 forces one micro-batch per
+    // file, so the state must merge — the final sketch has to equal the
+    // batch k-smallest over the union regardless of the split.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ksmall").toString + "/in"
+    val data = (0 until 60).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val (h, id) = (((i * 37) % 20).toLong, (i % 5).toLong)
+      // v derives from (h, id): duplicate keys planted across batches
+      // carry the same payload, as in real use (payload rides the key)
+      (g, h, id, h * 100 + id)
+    }
+    data.toDF("g", "h", "id", "v").repartition(3).write.parquet(tmp)
+    val stream = spark.readStream
+      .schema(data.toDF("g", "h", "id", "v").schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val k = 7
+    val raw = StreamOps.runUpdate(spark, StreamOps.kSmallestStream(stream, k),
+      "stream_ksmall_multi")
+    // multi-batch proof: at least one group emitted more than once with
+    // strictly increasing n_merged
+    val emissions = raw.orderBy("g", "n_merged").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(emissions.groupBy(_._1).values.exists(_.length > 1),
+      s"expected multiple update-mode emissions, got ${emissions.toSeq}")
+    emissions.groupBy(_._1).values.foreach { es =>
+      val ns = es.map(_._2).toSeq
+      assert(ns == ns.sorted && ns.distinct == ns, s"n_merged not monotone: $ns")
+    }
+    val fin = StreamOps.kSmallestFinal(raw)
+      .orderBy("g", "h", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = data.map(t => ((t._1, t._2, t._3), t._4)).toMap.toSeq
+      .map { case ((g, h, id), v) => (g, h, id, v) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (t._2, t._3)).take(k)
+      }.sortBy(t => (t._1, t._2, t._3))
+    assert(fin.toSeq == expected)
+  }
+
+  test("streaming hash-sample quantiles equal the batch q150 path on closed input") {
+    import graft.operators.Sketches
+    graft.functions.PortableShingleHash.register(spark)
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
+    val rows = stream.select(col("lang").as("g"),
+      element_at(call_function("portable_shingle_hash",
+        array(coalesce(col("doc_id").cast("string"), lit(""))), lit(1)), 1).as("h"),
+      col("doc_id").as("id"), col("n_chars").cast("long").as("v"))
+    val raw = StreamOps.runUpdate(spark,
+      StreamOps.kSmallestStream(rows, Sketches.DefaultSampleK), "stream_sample")
+    val samp = StreamOps.kSmallestFinal(raw)
+      .select(col("g").as("lang"), col("id").as("doc_id"),
+        col("v").as("n_chars"), col("h"))
+    val qs = Seq(2500, 5000, 7500, 9000, 9900)
+    val streamed = Sketches.sampleQuantiles(samp, Seq("lang"), "n_chars",
+        "doc_id", "h", qs)
+      .orderBy("lang", "q_bp").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val keyed = docs.select(col("lang"), col("doc_id"),
+      col("n_chars").cast("long").as("n_chars"),
+      element_at(call_function("portable_shingle_hash",
+        array(coalesce(col("doc_id").cast("string"), lit(""))), lit(1)), 1).as("h"))
+    val batch = Sketches.sampleQuantiles(
+        Sketches.hashSample(keyed, Seq("lang"), "doc_id", "h"),
+        Seq("lang"), "n_chars", "doc_id", "h", qs)
+      .orderBy("lang", "q_bp").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
 }
