@@ -1141,7 +1141,108 @@ object Corpus {
         "SELECT event_type, h, n, " +
         "CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h " +
         "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS smooth5 " +
-        "FROM hourly ORDER BY event_type, h LIMIT 100")
+        "FROM hourly ORDER BY event_type, h LIMIT 100"),
+
+    // Q158 — per-language quality-quantile gating (LLM-pipeline row: the
+    // CCNet head/middle/tail split — documents band by where their
+    // quality score falls against their OWN language's quartiles, so a
+    // verbose language never crowds out a terse one). Score is the q137
+    // TTR in exact basis points (integer-only); the quartile cut points
+    // are percentile_disc WITHIN GROUP on those BIGINTs — an ACTUAL
+    // input value, no interpolation (the q114 rule). The percentile
+    // aggregate is holistic but runs per (lang) over DOC-level rows
+    // (one row per document, never the token stream), and its output is
+    // |langs| rows — broadcast-sized at any corpus scale, so the band
+    // join costs nothing. GROUP BY ALL is the shared modern spelling
+    // (q143). (lang, band) is unique. [dual: split/size/array_distinct/
+    // DIV vs the DuckDB list spellings]
+    DeclaredQuery("q158_quality_gate",
+      "WITH sc AS (SELECT doc_id, lang, " +
+        "size(array_distinct(split(text, ' '))) * 10000L DIV size(split(text, ' ')) AS ttr_bp " +
+        "FROM documents), " +
+        "qs AS (SELECT lang, " +
+        "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY ttr_bp) AS BIGINT) AS p25, " +
+        "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY ttr_bp) AS BIGINT) AS p75 " +
+        "FROM sc GROUP BY lang) " +
+        "SELECT sc.lang, CASE WHEN sc.ttr_bp < qs.p25 THEN 'tail' " +
+        "WHEN sc.ttr_bp >= qs.p75 THEN 'head' ELSE 'middle' END AS band, " +
+        "COUNT(*) AS n_docs, MIN(sc.ttr_bp) AS min_bp, MAX(sc.ttr_bp) AS max_bp " +
+        "FROM sc JOIN qs ON sc.lang = qs.lang " +
+        "GROUP BY ALL ORDER BY sc.lang, band LIMIT 100",
+      Some("WITH sc AS (SELECT doc_id, lang, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) * 10000 // len(string_split(text, ' ')) AS BIGINT) AS ttr_bp " +
+        "FROM documents), " +
+        "qs AS (SELECT lang, " +
+        "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY ttr_bp) AS BIGINT) AS p25, " +
+        "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY ttr_bp) AS BIGINT) AS p75 " +
+        "FROM sc GROUP BY lang) " +
+        "SELECT sc.lang, CASE WHEN sc.ttr_bp < qs.p25 THEN 'tail' " +
+        "WHEN sc.ttr_bp >= qs.p75 THEN 'head' ELSE 'middle' END AS band, " +
+        "COUNT(*) AS n_docs, MIN(sc.ttr_bp) AS min_bp, MAX(sc.ttr_bp) AS max_bp " +
+        "FROM sc JOIN qs ON sc.lang = qs.lang " +
+        "GROUP BY ALL ORDER BY sc.lang, band LIMIT 100")),
+
+    // Q159 — inverted-index posting lists (LLM-pipeline row: the
+    // term → sorted-document-id index behind exact contamination lookup
+    // and boolean retrieval over a corpus; df is the exact document
+    // frequency, the preview is the FIRST 20 postings). The preview cap
+    // is applied BEFORE aggregation via a row_number over the distinct
+    // (tok, doc_id) stream — per-term collected state is ≤ 20 ids no
+    // matter how common the term (a stopword's full posting list would
+    // otherwise be an unbounded collect, the one aggregate state that
+    // cannot hold at 100 TB); df rides the same exchange as an exact
+    // COUNT. The token-keyed exchanges are the q128/q130 vocabulary
+    // class. (df DESC, tok) is unique. [dual: explode/sort_array/
+    // transform-CAST/array_join vs unnest/list_sort/array_to_string —
+    // DuckDB renders integer lists directly; Spark's array_join needs
+    // the element CAST]
+    DeclaredQuery("q159_inverted_postings",
+      "WITH pairs AS (SELECT DISTINCT doc_id, tok FROM documents " +
+        "LATERAL VIEW explode(split(text, ' ')) x AS tok), " +
+        "rk AS (SELECT tok, doc_id, " +
+        "row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM pairs) " +
+        "SELECT tok, COUNT(*) AS df, " +
+        "array_join(transform(sort_array(collect_list(doc_id) FILTER (WHERE rn <= 20)), " +
+        "x -> CAST(x AS STRING)), ',') AS posting20, " +
+        "CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc " +
+        "FROM rk GROUP BY tok ORDER BY df DESC, tok LIMIT 100",
+      Some("WITH pairs AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "rk AS (SELECT tok, doc_id, " +
+        "row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM pairs) " +
+        "SELECT tok, COUNT(*) AS df, " +
+        "array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)), ',') AS posting20, " +
+        "CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc " +
+        "FROM rk GROUP BY tok ORDER BY df DESC, tok LIMIT 100")),
+
+    // Q160 — deterministic weighted sampling (LLM-pipeline row: the
+    // quality-weighted corpus subsample — pick k docs per language with
+    // inclusion probability rising in a weight, REPRODUCIBLY, so two
+    // runs of the pipeline select the same documents with no RNG state.
+    // Integer priority sampling: priority = h DIV w with h the portable
+    // 32-bit key of the doc id and w = n_chars DIV 100 + 1 — larger
+    // weights divide the uniform hash harder, so heavy docs sink toward
+    // the front of the order (the exact-integer stand-in for the
+    // Efraimidis–Spirakis h^(1/w) rule, which is float). Scan-local
+    // arithmetic + one per-lang top-k window (WindowGroupLimit prunes
+    // before any sort completes). (lang, rn) is unique. [dual: the
+    // documented conv(substr(md5)) vs '0x'-cast 32-bit key equivalence
+    // (q132/q138) + STRING vs VARCHAR + DIV vs //]
+    DeclaredQuery("q160_weighted_sample",
+      "WITH pr AS (SELECT doc_id, lang, n_chars, " +
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS h " +
+        "FROM documents), " +
+        "wt AS (SELECT doc_id, lang, n_chars, h DIV (n_chars DIV 100 + 1) AS prio FROM pr), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rn FROM wt) " +
+        "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars, prio " +
+        "FROM rk WHERE rn <= 10 ORDER BY lang, rn LIMIT 100",
+      Some("WITH pr AS (SELECT doc_id, lang, n_chars, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h " +
+        "FROM documents), " +
+        "wt AS (SELECT doc_id, lang, n_chars, CAST(h // (n_chars // 100 + 1) AS BIGINT) AS prio FROM pr), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rn FROM wt) " +
+        "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars, prio " +
+        "FROM rk WHERE rn <= 10 ORDER BY lang, rn LIMIT 100"))
   )
 
   def byId: Map[String, DeclaredQuery] = queries.map(q => q.id -> q).toMap

@@ -116,6 +116,32 @@ object SparkEntry {
       "FROM s ORDER BY source LIMIT 100"
   }
 
+  /** Shared by q157 (batch bigram-LM) and q162 (streaming model build):
+    * on the closed input the streamed (k, k1) count table equals the
+    * batch model, so both entries hash against the identical DuckDB
+    * replay — the streaming = batch contract (q146/q153). The oracle
+    * spells the Spark side's fused 32-bit keys via the documented
+    * '0x'||substr(md5(…),1,8) equivalence (bigram key over w1||' '||w2,
+    * prefix key over w1 — the PortableShingleHash width-2/width-1
+    * forms), so count merges under collision are SHARED; all scoring
+    * arithmetic is truncating integer division on non-negative
+    * operands, where Spark DIV and DuckDB // agree. Inner CAST: SUM
+    * over BIGINT is HUGEINT in DuckDB, and // must run on BIGINT. */
+  private lazy val bigramLmOracle: String =
+    "WITH toks AS (" +
+      "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
+      "), st AS (" +
+      "SELECT doc_id, " +
+      "CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) AS k, " +
+      "CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS k1 " +
+      "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)" +
+      "), c2 AS (SELECT k, COUNT(*) AS c2 FROM st GROUP BY k), " +
+      "c1 AS (SELECT k1, COUNT(*) AS c1 FROM st GROUP BY k1) " +
+      "SELECT st.doc_id, COUNT(*) AS n_bigrams, " +
+      "CAST(CAST(SUM((c2.c2 * 10000) // c1.c1) AS BIGINT) // COUNT(*) AS BIGINT) AS lm_bp " +
+      "FROM st JOIN c2 ON st.k = c2.k JOIN c1 ON st.k1 = c1.k1 " +
+      "GROUP BY st.doc_id ORDER BY lm_bp DESC, doc_id LIMIT 100"
+
   /** Shared by q146 (batch CMS) and q153 (streaming CMS build): on the
     * closed input the streamed sketch cells equal the batch build's, so
     * both entries hash against the identical DuckDB replay — the
@@ -857,6 +883,135 @@ object SparkEntry {
           expr("n_novel * 10000 DIV n_bigrams").as("novel_bp"))
         .orderBy(col("novel_bp").desc, col("doc_id")).limit(100)
     },
+    // Bigram-LM quality scoring (round 10): the CCNet/KenLM-style
+    // perplexity filter in exact-integer form — a document whose bigrams
+    // carry high conditional probability under the corpus's OWN bigram
+    // model reads as fluent prose; gibberish, shuffled text and
+    // over-templated boilerplate score at the extremes. Differs from
+    // q128 (unigram document frequency) by conditioning on the PRECEDING
+    // token: score = mean over positions of P(w2|w1) =
+    // c(w1 w2) / c(w1 as prefix), in basis points — integer counts and
+    // truncating divisions only, no log/float in the hashed path.
+    // Discipline: both keys are fused PortableShingleHash longs computed
+    // scan-locally from ONE tokenization (the bigram key from the
+    // width-2 array, the prefix key indexed out of the width-1 array),
+    // so the (doc_id, k, k1) stream carries three longs and token
+    // strings never cross an exchange; the stream is lineage-cut once
+    // (three downstream references: two count aggregates + the scoring
+    // join); the c2/c1 aggregates are vocabulary-sized. c2·10⁴ stays
+    // far inside BIGINT at any corpus size (10¹³ bigram occurrences →
+    // 10¹⁷ < 2⁶³). The DuckDB twin spells the identical 32-bit keys, so
+    // hash collisions merge counts IDENTICALLY in both engines — equal
+    // by construction, not by injectivity (the q132/q138 posture).
+    "q157_bigram_lm" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val st = Checkpoints.cut(
+        d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
+            posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
+          // pos is 0-based over the n-1 bigram shingles; the prefix
+          // unigram is u[pos+1] (1-based element_at, always in range —
+          // pos+1 <= n-1 < n = size(u), the ANSI rule)
+          .select(col("doc_id"), col("col").as("k"),
+            element_at(col("u"), col("pos") + lit(1)).as("k1")),
+        eager = false)
+      val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
+      val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
+      st.join(c2, Seq("k")).join(c1, Seq("k1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("(c2 * 10000) DIV c1")).as("sp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sp DIV n_bigrams").as("lm_bp"))
+        .orderBy(col("lm_bp").desc, col("doc_id")).limit(100)
+    },
+    // Incremental bigram-LM (round 10): the incremental-family form for
+    // MODEL-BASED scoring — the corpus's (k, c2)/(k1, c1) count tables
+    // persist, a new batch builds its own counts from its own text
+    // alone, and the model updates by KEY-WISE SUM (bigram counts over
+    // disjoint doc sets are additive — mergeability doing the
+    // incremental work, the q154 register-merge pattern applied to a
+    // model rather than a sketch). The batch's documents then score
+    // against the MERGED model; on the closed input that model equals
+    // the full q157 model, so the oracle is the q157 replay restricted
+    // to batch doc ids — the identity hash-proven cross-engine, and
+    // TierESpec pins the Spark-side equality against full-model
+    // scoring. The corpus raw text is never re-read or re-shuffled:
+    // only its vocabulary-sized count tables meet the batch's.
+    "q161_incremental_lm" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      def stream(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
+          posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
+        .select(col("doc_id"), col("col").as("k"),
+          element_at(col("u"), col("pos") + lit(1)).as("k1"))
+      // in deployment the corpus model is read back from a sink; built
+      // here from the corpus split (cut: two count aggregates read it)
+      val corpus = Checkpoints.cut(
+        stream(d.filter(col("doc_id") < IncrementalSplitId)), eager = false)
+      val batch = Checkpoints.cut(
+        stream(d.filter(col("doc_id") >= IncrementalSplitId)), eager = false)
+      val c2 = corpus.groupBy("k").agg(count(lit(1)).as("c2"))
+        .unionByName(batch.groupBy("k").agg(count(lit(1)).as("c2")))
+        .groupBy("k").agg(sum("c2").as("c2"))
+      val c1 = corpus.groupBy("k1").agg(count(lit(1)).as("c1"))
+        .unionByName(batch.groupBy("k1").agg(count(lit(1)).as("c1")))
+        .groupBy("k1").agg(sum("c1").as("c1"))
+      batch.join(c2, Seq("k")).join(c1, Seq("k1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("(c2 * 10000) DIV c1")).as("sp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sp DIV n_bigrams").as("lm_bp"))
+        .orderBy(col("lm_bp").desc, col("doc_id")).limit(100)
+    },
+    // Streaming bigram-LM build (round 10): the MODEL build side
+    // streamed — (k, k1) bigram counts accumulate as the streaming
+    // aggregate (count is algebraic; per-micro-batch partial
+    // aggregation IS q161's key-wise model merge), completing
+    // batch(q157)/incremental(q161)/streaming(here) for the LM
+    // operator, the same matrix the sketches closed. State equals the
+    // model itself — vocabulary-sized, the minimum an exact model
+    // build can hold, and the deliverable (unlike exact streaming
+    // dedup, where unbounded state is overhead, model-sized state IS
+    // the output accumulating). The batch tail derives both marginals
+    // from the one streamed table (k1 is the bigram's prefix hash) and
+    // runs q157's scoring join/rollup unchanged; on the closed input
+    // the streamed model equals the batch model, so the entry hashes
+    // against the IDENTICAL q157 oracle — streaming = batch, the
+    // q126/q149/q153 contract.
+    "q162_stream_lm" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // memory-sink table — re-reading it for the two marginals is a
+      // scan of materialized rows, not a stream recompute (no cut)
+      val model = graft.streaming.StreamOps.runToCompletion(spark,
+        graft.streaming.StreamOps.lmCountsStream(stream, "text"),
+        s"q162_mem_${math.abs(dir.hashCode)}")
+      val c2 = model.groupBy("k").agg(sum("m").as("c2"))
+      val c1 = model.groupBy("k1").agg(sum("m").as("c1"))
+      val st = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
+          posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
+        .select(col("doc_id"), col("col").as("k"),
+          element_at(col("u"), col("pos") + lit(1)).as("k1"))
+      st.join(c2, Seq("k")).join(c1, Seq("k1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("(c2 * 10000) DIV c1")).as("sp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sp DIV n_bigrams").as("lm_bp"))
+        .orderBy(col("lm_bp").desc, col("doc_id")).limit(100)
+    },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
     // replaying the identical sequential rule per shard.
@@ -1516,6 +1671,21 @@ object SparkEntry {
           "CAST(SUM(CASE WHEN fs.first_doc = bi.doc_id THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS novel_bp " +
           "FROM bi JOIN fs ON bi.k = fs.k " +
           "GROUP BY bi.doc_id ORDER BY novel_bp DESC, doc_id LIMIT 100"),
+      // q157/q162 (round 10): the shared full-model replay — see
+      // `bigramLmOracle`. q162 streams the model build; on the closed
+      // input the streamed counts equal the batch model, so it hashes
+      // against the identical text.
+      "q157_bigram_lm" -> bigramLmOracle,
+      "q162_stream_lm" -> bigramLmOracle,
+      // q161 (round 10): the q157 replay restricted to batch doc ids —
+      // the model CTEs still aggregate over ALL documents, which equals
+      // the Spark side's corpus+batch key-wise count merge on the closed
+      // input (disjoint doc sets ⇒ additive counts). Hash equality IS
+      // the incremental-correctness proof.
+      "q161_incremental_lm" ->
+        bigramLmOracle.replace("FROM st JOIN c2 ON st.k = c2.k JOIN c1 ON st.k1 = c1.k1 GROUP BY",
+          "FROM st JOIN c2 ON st.k = c2.k JOIN c1 ON st.k1 = c1.k1 " +
+            s"WHERE st.doc_id >= $IncrementalSplitId GROUP BY"),
       // CAST the SUM: DuckDB SUM(BIGINT) is HUGEINT, which its pandas
       // path renders as float ("99111.0") — BIGINT renders like Spark's.
       "q34_json_extract" ->

@@ -336,6 +336,30 @@ object StreamOps {
       .agg(count(lit(1)).as("s"))
   }
 
+  /** Streaming bigram-LM model build: the exact (k, k1) → count model
+    * table accumulated AS THE STREAMING AGGREGATE over a document
+    * stream — count is algebraic, so per-micro-batch partial
+    * aggregation IS the model merge (q161's key-wise sum in streaming
+    * form), and state equals the MODEL ITSELF: vocabulary-sized, the
+    * minimum any exact model build can hold (contrast `cmsBuildStream`,
+    * whose deliverable is a fixed-size sketch — here the deliverable IS
+    * the count table, so model-sized state is not growth, it is the
+    * output accumulating). The grouping carries (k, k1) long pairs only
+    * — token strings never reach the stateful operator. k1 is the
+    * bigram's prefix hash, so BOTH marginals (c2 by k, c1 by k1) fall
+    * out of this one table by summation in the batch scoring tail. */
+  def lmCountsStream(docStream: DataFrame, textCol: String): DataFrame = {
+    graft.functions.PortableShingleHash.register(SparkSession.active)
+    docStream
+      .select(split(col(textCol), " ").as("t")).filter(size(col("t")) >= 2)
+      .select(
+        call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
+        posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
+      .select(col("col").as("k"), element_at(col("u"), col("pos") + lit(1)).as("k1"))
+      .groupBy("k", "k1")
+      .agg(count(lit(1)).as("m"))
+  }
+
   /** Streaming k-smallest-by-(hash, id) custom state — the bounded-state
     * primitive behind the LAST TWO sketch×streaming matrix cells: the KMV
     * cardinality/overlap sketch (id = 0, k smallest distinct hashes) and

@@ -63,7 +63,16 @@ class CorpusSpec extends AnyFunSuite {
       "q134_gap_fill",
       // q137: integer division + list spellings (q139 duals only on
       // explode vs unnest)
-      "q137_ttr_bands", "q139_token_len"))
+      "q137_ttr_bands", "q139_token_len",
+      // q158: split/size/array_distinct/DIV vs list spellings (the
+      //   percentile_disc WITHIN GROUP half is shared, q114/q135);
+      // q159: explode/sort_array/transform-CAST/array_join vs
+      //   unnest/list_sort/array_to_string (DuckDB renders integer
+      //   lists directly; Spark's array_join needs element CASTs);
+      // q160: conv(substr(md5)) vs '0x'-cast 32-bit key (q132/q138
+      //   equivalence) + STRING vs VARCHAR + DIV vs //
+      "q158_quality_gate", "q159_inverted_postings",
+      "q160_weighted_sample"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {

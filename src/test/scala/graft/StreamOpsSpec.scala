@@ -61,6 +61,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming bigram-LM model build equals the batch count table on closed input") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
+    val streamed = StreamOps.runToCompletion(spark,
+      StreamOps.lmCountsStream(stream, "text"), "stream_lm")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.functions.PortableShingleHash.register(spark)
+    val batch = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+      .select(
+        call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
+        posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
+      .select(col("col").as("k"), element_at(col("u"), col("pos") + lit(1)).as("k1"))
+      .groupBy("k", "k1").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("eventsStream adapts to every ts physical layout the driver has shipped") {
     // The driver regenerates /root/testdata between rounds and events.ts
     // has shipped as INT64 TIMESTAMP(NANOS) (rounds ≤8; reads as a raw ns

@@ -860,4 +860,73 @@ class TierESpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L), s"got $kept")
   }
+
+  test("q157 bigram-LM score matches the hand-computed conditional probabilities") {
+    import spark.implicits._
+    // Fixture: docs 1-3 = "x y x y" (bigrams (x,y),(y,x),(x,y)); doc 4 =
+    // "x z" — a low-probability continuation after the common prefix x.
+    //   c2: (x,y)=6, (y,x)=3, (x,z)=1; c1 (prefix occurrences): x=7, y=3
+    //   P(y|x) = 60000 DIV 7 = 8571; P(x|y) = 10000; P(z|x) = 1428
+    //   docs 1-3: (8571 + 10000 + 8571) DIV 3 = 9047; doc 4: 1428
+    val dir = java.nio.file.Files.createTempDirectory("graft_q157").toString
+    Seq((1L, "x y x y", "en", "s1", 7L), (2L, "x y x y", "en", "s1", 7L),
+      (3L, "x y x y", "en", "s1", 7L), (4L, "x z", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q157_bigram_lm")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 9047L) && got(2L) == (3L, 9047L) && got(3L) == (3L, 9047L))
+    assert(got(4L) == (1L, 1428L))
+    Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
+  }
+
+  test("q161 merged-model scoring equals full-model scoring on the batch split") {
+    // the incremental entry (corpus counts + batch counts merged key-wise)
+    val got = SparkEntry.queries("q161_incremental_lm")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    // independent reference: the FULL model over all documents in the
+    // COMPOSED conv(substr(md5)) spelling (also re-pins the fused-hash
+    // equivalence), restricted to batch ids before the top-100 cut
+    Tables.register(spark, TestSpark.sf0001)
+    val ref = spark.sql(
+      "WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents " +
+        "WHERE size(split(text, ' ')) >= 2), " +
+        "st AS (SELECT doc_id, " +
+        "CAST(conv(substring(md5(concat(element_at(t, i), ' ', element_at(t, i + 1))), 1, 8), 16, 10) AS BIGINT) AS k, " +
+        "CAST(conv(substring(md5(element_at(t, i)), 1, 8), 16, 10) AS BIGINT) AS k1 " +
+        "FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) s AS i), " +
+        "c2 AS (SELECT k, COUNT(*) AS c2 FROM st GROUP BY k), " +
+        "c1 AS (SELECT k1, COUNT(*) AS c1 FROM st GROUP BY k1) " +
+        "SELECT st.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM((c2.c2 * 10000) DIV c1.c1) DIV COUNT(*) AS BIGINT) AS lm_bp " +
+        "FROM st JOIN c2 ON st.k = c2.k JOIN c1 ON st.k1 = c1.k1 " +
+        "WHERE st.doc_id >= 400 " +
+        "GROUP BY st.doc_id ORDER BY lm_bp DESC, doc_id LIMIT 100").collect().toSeq
+    assert(got.nonEmpty && got == ref)
+  }
+
+  test("q160 weighted sampling: SQL-text key equals the fused width-1 hash; weight bias; determinism") {
+    graft.functions.PortableShingleHash.register(spark)
+    // the declared Spark text's conv(substring(md5)) key must equal the
+    // fused PortableShingleHash width-1 value on the same strings — the
+    // documented 32-bit equivalence the dual DuckDB text relies on
+    val mism = spark.sql(
+      "SELECT COUNT(*) AS n FROM (SELECT CAST(id AS STRING) AS s FROM range(200)) " +
+        "WHERE CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) != " +
+        "element_at(portable_shingle_hash(array(s), 1), 1)").head().getLong(0)
+    assert(mism == 0L)
+    // priority is monotone non-increasing in the weight (heavier docs
+    // never sink later in the order) and the whole query is deterministic
+    val bias = spark.sql(
+      "SELECT COUNT(*) AS n FROM (SELECT CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS h " +
+        "FROM range(200)) WHERE h DIV 7 > h DIV 3").head().getLong(0)
+    assert(bias == 0L)
+    val q = Corpus.byId("q160_weighted_sample").sparkSql
+    Tables.register(spark, TestSpark.sf0001)
+    val a = spark.sql(q).collect().toSeq
+    val b = spark.sql(q).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // per-lang cap respected
+    assert(a.groupBy(_.getString(0)).values.forall(_.size <= 10))
+  }
 }
