@@ -1023,6 +1023,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("shard"), col("pack"))
         .orderBy("doc_id").limit(100)
     },
+    // BPE tokenizer fertility (round 10, rows-only — DuckDB cannot
+    // replay an iterative trainer): train 50 merges on the corpus word
+    // histogram (ONE distributed tokenize+count aggregate, map-side
+    // combined to vocabulary size; the merge loop runs driver-side on
+    // that histogram, the reference-trainer shape — the corpus is read
+    // once at any scale), then segment every document scan-locally
+    // (mapPartitions, broadcast ranks, per-partition word memo) and
+    // report subword fertility in exact basis points — the real
+    // measurement behind q130/q139's vocab decisions, replacing the
+    // subwordCountEstimate heuristic with learned merges. Deterministic
+    // end to end (tie-broken argmax, leftmost-lowest-rank merges);
+    // TierESpec pins a hand-computed fixture + run-to-run equality.
+    "q163_bpe_fertility" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val merges = graft.operators.Bpe.train(d, "text", nMerges = 50)
+      graft.operators.Bpe.segmentStats(d, "doc_id", "text", merges)
+        .orderBy(col("fertility_bp").desc, col("doc_id")).limit(100)
+    },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
     "q50_multimodal" -> { (spark, dir) =>
       Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, dir))

@@ -880,6 +880,35 @@ class TierESpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
   }
 
+  test("BPE: hand-computed merges and fertility on a fixture; deterministic on real docs") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa ab ab")).toDF("doc_id", "text")
+    // histogram: aa:3, ab:3; symbols aa=[a,a,</w>], ab=[a,b,</w>]; all
+    // four pairs count 3, so the deterministic tie-break drives every
+    // pick: merge0 = (a, </w>) ("</w>" sorts before "a"/"b"), then
+    // merge1 = (a, a</w>)
+    val merges = Bpe.train(docs, "text", nMerges = 2)
+    assert(merges == Seq(Bpe.Merge("a", "</w>", 0), Bpe.Merge("a", "a</w>", 1)))
+    // "aa" → [a,a,</w>] → rank0 at i=1 → [a, a</w>] → rank1 → [aa</w>]
+    // = 1 subword; "ab" → [a,b,</w>] has no learned pair → 3 subwords
+    val stats = Bpe.segmentStats(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stats(1L) == (3L, 5L, 16666L)) // aa aa ab → 1+1+3
+    assert(stats(2L) == (3L, 7L, 23333L)) // aa ab ab → 1+3+3
+    // determinism on the real corpus: training twice is byte-identical,
+    // segmentation twice row-identical
+    val d = Tables.table(spark, TestSpark.sf0001, "documents")
+    val m1 = Bpe.train(d, "text", nMerges = 20)
+    val m2 = Bpe.train(d, "text", nMerges = 20)
+    assert(m1 == m2 && m1.size == 20)
+    val s1 = Bpe.segmentStats(d, "doc_id", "text", m1).orderBy("doc_id").collect().toSeq
+    val s2 = Bpe.segmentStats(d, "doc_id", "text", m1).orderBy("doc_id").collect().toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    // fertility floor: at least one subword per token
+    s1.foreach(r => assert(r.getLong(3) >= 10000L))
+  }
+
   test("q161 merged-model scoring equals full-model scoring on the batch split") {
     // the incremental entry (corpus counts + batch counts merged key-wise)
     val got = SparkEntry.queries("q161_incremental_lm")(spark, TestSpark.sf0001)
