@@ -1182,6 +1182,40 @@ object Corpus {
         "FROM sc JOIN qs ON sc.lang = qs.lang " +
         "GROUP BY ALL ORDER BY sc.lang, band LIMIT 100")),
 
+    // Q164 — event-rate anomaly detection (pipeline-observability row:
+    // the ingest monitor — flag hours whose event count spikes against
+    // their own trailing 24-hour window). Moving z-score in EXACT
+    // integer arithmetic (the q88 variance-numerator discipline):
+    // z² > 9 ⟺ (n·cnt − s)² > 9·(cnt·s2 − s²) with s/s2 the trailing
+    // sums of n/n² — no float, no sqrt, the flag is a pure integer
+    // comparison both engines decide identically (DuckDB's window sums
+    // are HUGEINT, so ITS side never overflows; Spark's BIGINT bounds
+    // the spelling at ~1.2×10⁸ events/hour — past that, rescale n by a
+    // unit divisor first (n DIV 1000 moves the bound to 1.2×10¹¹), the
+    // same rescale-not-overflow posture as q129's lift). Windows run
+    // over the HOURLY AGGREGATE (hundreds of rows — the q143 window-
+    // over-aggregate discipline), spike requires ≥12 h of history and a
+    // POSITIVE deviation. devsq/varnum ride along so the row stays
+    // informative when no hour spikes. h is unique; spikes sort first.
+    // [dual: DuckDB CASTs for HUGEINT window sums]
+    DeclaredQuery("q164_rate_anomaly",
+      // COALESCE: the first hour's frame is empty → SUM is NULL, and
+      // NULL cells render differently across the comparator's two read
+      // paths (the q95 rule: no NULLs in hashed output). Shared text —
+      // the arithmetic is engine-agnostic (DuckDB runs it in HUGEINT).
+      "WITH hourly AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY ALL), " +
+        "w AS (SELECT h, n, " +
+        "COUNT(*) OVER win AS cnt, COALESCE(SUM(n) OVER win, 0) AS s, " +
+        "COALESCE(SUM(n * n) OVER win, 0) AS s2 " +
+        "FROM hourly WINDOW win AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT h, n, CAST(cnt AS BIGINT) AS w_hours, CAST(s AS BIGINT) AS w_sum, " +
+        "CAST((n * cnt - s) * (n * cnt - s) AS BIGINT) AS devsq, " +
+        "CAST(cnt * s2 - s * s AS BIGINT) AS varnum, " +
+        "CASE WHEN cnt >= 12 AND n * cnt > s " +
+        "AND (n * cnt - s) * (n * cnt - s) > 9 * (cnt * s2 - s * s) " +
+        "THEN 1 ELSE 0 END AS spike " +
+        "FROM w ORDER BY spike DESC, h LIMIT 100"),
+
     // Q159 — inverted-index posting lists (LLM-pipeline row: the
     // term → sorted-document-id index behind exact contamination lookup
     // and boolean retrieval over a corpus; df is the exact document
