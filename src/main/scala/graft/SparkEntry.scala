@@ -96,6 +96,23 @@ object SparkEntry {
     * AND the DuckDB text. */
   private val IncrementalSplitId = 400L
 
+  /** The bigram-LM family's (doc_id, k, k1) key stream: k = fused 32-bit
+    * hash of the bigram, k1 = fused hash of its prefix token. Both hash
+    * arrays are computed ONCE per document row and zipped BEFORE the
+    * explode, so each output row carries two longs — the first spelling
+    * carried the whole width-1 array through the explode (≈ array-length
+    * copies per document, ~84M longs at sf0.1) and that payload
+    * duplication was 2–3× the family's entire runtime (round-10
+    * profile, ProfileQ162). slice keeps the n−1 prefix positions, which
+    * is exactly the width-2 array's length. */
+  private def lmKeyStream(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        call_function("portable_shingle_hash", col("t"), lit(2)).as("h2"),
+        expr("slice(portable_shingle_hash(t, 1), 1, size(t) - 1)").as("h1p"))
+      .select(col("doc_id"), explode(arrays_zip(col("h2"), col("h1p"))).as("z"))
+      .select(col("doc_id"), col("z.h2").as("k"), col("z.h1p").as("k1"))
+
   /** Shared by q148 (batch HLL) and q154 (incremental HLL merge): the
     * merge is register-wise max, so split-build-merge equals the full
     * build on closed input — both hash against the identical replay. */
@@ -906,17 +923,7 @@ object SparkEntry {
     "q157_bigram_lm" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      val st = Checkpoints.cut(
-        d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
-          .select(col("doc_id"),
-            call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
-            posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
-          // pos is 0-based over the n-1 bigram shingles; the prefix
-          // unigram is u[pos+1] (1-based element_at, always in range —
-          // pos+1 <= n-1 < n = size(u), the ANSI rule)
-          .select(col("doc_id"), col("col").as("k"),
-            element_at(col("u"), col("pos") + lit(1)).as("k1")),
-        eager = false)
+      val st = Checkpoints.cut(lmKeyStream(d), eager = false)
       val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
       val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
       st.join(c2, Seq("k")).join(c1, Seq("k1"))
@@ -943,19 +950,12 @@ object SparkEntry {
     "q161_incremental_lm" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      def stream(docs: org.apache.spark.sql.DataFrame) = docs
-        .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
-        .select(col("doc_id"),
-          call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
-          posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
-        .select(col("doc_id"), col("col").as("k"),
-          element_at(col("u"), col("pos") + lit(1)).as("k1"))
       // in deployment the corpus model is read back from a sink; built
       // here from the corpus split (cut: two count aggregates read it)
       val corpus = Checkpoints.cut(
-        stream(d.filter(col("doc_id") < IncrementalSplitId)), eager = false)
+        lmKeyStream(d.filter(col("doc_id") < IncrementalSplitId)), eager = false)
       val batch = Checkpoints.cut(
-        stream(d.filter(col("doc_id") >= IncrementalSplitId)), eager = false)
+        lmKeyStream(d.filter(col("doc_id") >= IncrementalSplitId)), eager = false)
       val c2 = corpus.groupBy("k").agg(count(lit(1)).as("c2"))
         .unionByName(batch.groupBy("k").agg(count(lit(1)).as("c2")))
         .groupBy("k").agg(sum("c2").as("c2"))
@@ -971,39 +971,31 @@ object SparkEntry {
         .orderBy(col("lm_bp").desc, col("doc_id")).limit(100)
     },
     // Streaming bigram-LM build (round 10): the MODEL build side
-    // streamed — (k, k1) bigram counts accumulate as the streaming
-    // aggregate (count is algebraic; per-micro-batch partial
-    // aggregation IS q161's key-wise model merge), completing
-    // batch(q157)/incremental(q161)/streaming(here) for the LM
-    // operator, the same matrix the sketches closed. State equals the
-    // model itself — vocabulary-sized, the minimum an exact model
-    // build can hold, and the deliverable (unlike exact streaming
-    // dedup, where unbounded state is overhead, model-sized state IS
-    // the output accumulating). The batch tail derives both marginals
-    // from the one streamed table (k1 is the bigram's prefix hash) and
-    // runs q157's scoring join/rollup unchanged; on the closed input
-    // the streamed model equals the batch model, so the entry hashes
-    // against the IDENTICAL q157 oracle — streaming = batch, the
-    // q126/q149/q153 contract.
+    // streamed WITHOUT a state store — bigram counts are ADDITIVE, so
+    // each micro-batch appends its own partial (k, k1, m) table via
+    // foreachBatch (the standard streaming-ETL model-update sink) and
+    // the merge is one sum over the partials: q161's key-wise merge
+    // running per micro-batch, completing batch(q157)/incremental(q161)
+    // /streaming(here) for the LM operator, the same matrix the
+    // sketches closed. No vocabulary-sized state snapshots, no
+    // complete-mode driver re-materialization (the stateful-aggregate
+    // form measured 14.5 s at sf0.1; this shape ~2 s). The batch tail
+    // derives both marginals from the merged table (k1 is the bigram's
+    // prefix hash) and runs q157's scoring join/rollup unchanged; on
+    // the closed input the merged model equals the batch model, so the
+    // entry hashes against the IDENTICAL q157 oracle — streaming =
+    // batch, the q126/q149/q153 contract.
     "q162_stream_lm" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
       val stream = spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      // memory-sink table — re-reading it for the two marginals is a
-      // scan of materialized rows, not a stream recompute (no cut)
-      val model = graft.streaming.StreamOps.runToCompletion(spark,
-        graft.streaming.StreamOps.lmCountsStream(stream, "text"),
-        s"q162_mem_${math.abs(dir.hashCode)}")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q162").toString
+      val model = graft.streaming.StreamOps.lmModelStream(
+        spark, stream, "text", s"$tmp/partials")
       val c2 = model.groupBy("k").agg(sum("m").as("c2"))
       val c1 = model.groupBy("k1").agg(sum("m").as("c1"))
-      val st = docs
-        .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
-        .select(col("doc_id"),
-          call_function("portable_shingle_hash", col("t"), lit(1)).as("u"),
-          posexplode(call_function("portable_shingle_hash", col("t"), lit(2))))
-        .select(col("doc_id"), col("col").as("k"),
-          element_at(col("u"), col("pos") + lit(1)).as("k1"))
+      val st = lmKeyStream(docs)
       st.join(c2, Seq("k")).join(c1, Seq("k1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),

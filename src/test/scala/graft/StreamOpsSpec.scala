@@ -61,13 +61,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
-  test("streaming bigram-LM model build equals the batch count table on closed input") {
+  test("streaming bigram-LM model build equals the batch count table across forced micro-batches") {
+    // Force THREE micro-batches (3 parquet files + maxFilesPerTrigger=1)
+    // so the additive per-batch-partials merge is exercised across real
+    // batch boundaries, with shared bigram keys crossing batches.
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lm_src").toString
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$srcDir/p0")
+    docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/p1")
+    docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/p2")
     val stream = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
-    val streamed = StreamOps.runToCompletion(spark,
-      StreamOps.lmCountsStream(stream, "text"), "stream_lm")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_partials").toString
+    val streamed = StreamOps.lmModelStream(spark, stream, "text", s"$tmp/partials")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // more than one partial file proves the merge actually spanned batches
+    assert(new java.io.File(s"$tmp/partials").listFiles().count(_.getName.endsWith(".parquet")) > 1)
     graft.functions.PortableShingleHash.register(spark)
     val batch = docs
       .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
