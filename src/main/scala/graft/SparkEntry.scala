@@ -988,8 +988,7 @@ object SparkEntry {
     "q162_stream_lm" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q162").toString
       val model = graft.streaming.StreamOps.lmModelStream(
         spark, stream, "text", s"$tmp/partials")
@@ -1126,8 +1125,7 @@ object SparkEntry {
     "q142_stream_edit" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
       val corpus = docs.filter(col("doc_id") < IncrementalSplitId)
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
         .filter(col("doc_id") >= IncrementalSplitId)
       graft.streaming.StreamOps.runAppend(spark,
           graft.streaming.StreamOps.editDistanceAgainstCorpus(stream, corpus, "doc_id", "text"),
@@ -1152,8 +1150,7 @@ object SparkEntry {
           explode(call_function("portable_shingle_hash", col("t"), lit(3))).as("h"))
         .distinct()
       val filt = graft.operators.Sketches.bloomBuild(bench, "h")
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
         .filter(col("doc_id") >= IncrementalSplitId && col("doc_id") % 97 =!= 0)
       graft.streaming.StreamOps.runAppend(spark,
           graft.streaming.StreamOps.bloomGateStream(stream, filt, "doc_id", "text"),
@@ -1172,8 +1169,7 @@ object SparkEntry {
     "q153_stream_cms" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
       val cms = graft.streaming.StreamOps.runToCompletion(spark,
         graft.streaming.StreamOps.cmsBuildStream(stream, "text"),
         s"q153_mem_${math.abs(dir.hashCode)}")
@@ -1223,8 +1219,7 @@ object SparkEntry {
     "q155_stream_kmv" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
       val rows = stream
         .select(col("source").as("g"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 3)
@@ -1251,8 +1246,7 @@ object SparkEntry {
     "q156_stream_sample" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
       val rows = stream.select(col("lang").as("g"),
         element_at(call_function("portable_shingle_hash",
           array(coalesce(col("doc_id").cast("string"), lit(""))), lit(1)), 1).as("h"),
@@ -1302,8 +1296,7 @@ object SparkEntry {
       val docs = Tables.table(spark, dir, "documents")
       val corpus = docs.filter(col("doc_id") < IncrementalSplitId)
       val (base, banded) = TextDedup.portableIndexFrames(corpus, "doc_id", "text")
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
         .filter(col("doc_id") >= IncrementalSplitId)
       graft.streaming.StreamOps.runAppend(spark,
           graft.streaming.StreamOps.dedupAgainstCorpus(stream, base, banded, "doc_id", "text"),

@@ -336,6 +336,26 @@ object StreamOps {
       .agg(count(lit(1)).as("s"))
   }
 
+  /** File-stream source over the documents table, robust to BOTH
+    * physical layouts the table ships in: the driver's testdata is a
+    * single FILE `dir/documents.parquet` (the file source rejects a
+    * file as its path — "basePath must be a directory" — so that case
+    * scopes a pathGlobFilter over the parent), while Spark-written
+    * copies (ScaleTenX's replicated corpus, any `df.write.parquet`)
+    * are a DIRECTORY of part files the glob silently EXCLUDES — a
+    * zero-file source that streams nothing (round-10 finding: the
+    * first 10× points for the streaming doc entries measured exactly
+    * that empty stream). */
+  def docsSource(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   /** Per-batch bigram-LM partial counts: the stateless transform behind
     * `lmModelStream` — one document micro-batch in, its (k, k1, m)
     * count table out. Carries (long, long) keys only; k1 is the

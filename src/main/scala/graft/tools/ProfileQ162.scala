@@ -17,8 +17,7 @@ object ProfileQ162 {
       println(f"[p162] $label: ${(System.nanoTime() - s) / 1e9}%.2f s"); r
     }
     t("warm count")(docs.count())
-    val stream = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
     val tmp = java.nio.file.Files.createTempDirectory("p162").toString
     val model = t("lmModelStream")(
       graft.streaming.StreamOps.lmModelStream(spark, stream, "text", s"$tmp/partials"))
