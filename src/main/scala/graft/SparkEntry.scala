@@ -1261,6 +1261,39 @@ object SparkEntry {
           "doc_id", "h", Seq(2500, 5000, 7500, 9000, 9900))
         .orderBy("lang", "q_bp").limit(100)
     },
+    // Streaming weighted sampling (round 10): q160's deterministic
+    // priority sample built AS BOUNDED STREAMING STATE — priority =
+    // h DIV w is just another k-smallest order, so the SAME
+    // `kSmallestStream` primitive (≤ 10 (prio, doc_id) entries per
+    // language) holds the reproducible weighted sample under any
+    // micro-batch split (the KMV identity: k-smallest of a union =
+    // k-smallest of merged k-smallests; tie-break (prio, doc_id) is
+    // exactly q160's ORDER BY). The batch tail re-derives q160's rn
+    // with one row_number over the ≤ |langs|·10 final state, and the
+    // entry hashes against the IDENTICAL q160 oracle — streaming =
+    // batch on closed input, the q156 contract with a weighted order.
+    "q165_stream_weighted" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
+      val rows = stream.select(col("lang").as("g"),
+        // coalesce proves non-null to the hash's type check (doc_id is
+        // never null in documents — the q156 spelling)
+        expr("element_at(portable_shingle_hash(array(coalesce(CAST(doc_id AS STRING), '')), 1), 1) " +
+          "DIV (n_chars DIV 100 + 1)").as("h"),
+        col("doc_id").as("id"), col("n_chars").cast("long").as("v"))
+      val raw = graft.streaming.StreamOps.runUpdate(spark,
+        graft.streaming.StreamOps.kSmallestStream(rows, 10),
+        s"q165_mem_${math.abs(dir.hashCode)}")
+      graft.streaming.StreamOps.kSmallestFinal(raw)
+        .select(col("g").as("lang"), col("h").as("prio"),
+          col("id").as("doc_id"), col("v").as("n_chars"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy("prio", "doc_id")).cast("long"))
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"), col("prio"))
+        .orderBy("lang", "rn").limit(100)
+    },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
     // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
@@ -1680,6 +1713,10 @@ object SparkEntry {
       // against the identical text.
       "q157_bigram_lm" -> bigramLmOracle,
       "q162_stream_lm" -> bigramLmOracle,
+      // q165 (round 10): identical replay to q160 — the streamed
+      // k-smallest state equals the batch priority sample on closed
+      // input (same (prio, doc_id) order, same k).
+      "q165_stream_weighted" -> Corpus.byId("q160_weighted_sample").duckSql,
       // q161 (round 10): the q157 replay restricted to batch doc ids —
       // the model CTEs still aggregate over ALL documents, which equals
       // the Spark side's corpus+batch key-wise count merge on the closed
