@@ -1294,6 +1294,36 @@ object SparkEntry {
         .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"), col("prio"))
         .orderBy("lang", "rn").limit(100)
     },
+    // Streaming event-rate anomaly detection (round 10): q164's monitor
+    // with the hourly aggregate computed AS THE WATERMARKED STREAMING
+    // WINDOW (the q51 machinery — bounded per-hour state), then the
+    // integer z-score tail running over the tiny streamed hourly table
+    // (the window-over-aggregate discipline: trailing-24 h sums touch
+    // hundreds of rows, never the event stream). Per-type streamed
+    // counts sum to the per-hour totals exactly, so on closed input the
+    // entry hashes against the IDENTICAL q164 oracle — streaming =
+    // batch, and the ingest monitor this row models is precisely the
+    // thing one runs ON a stream in production.
+    "q166_stream_anomaly" -> { (spark, dir) =>
+      val hourly = graft.streaming.StreamOps.runToCompletion(spark,
+        graft.streaming.StreamOps.hourlyByType(
+          graft.streaming.StreamOps.eventsStream(spark, dir)),
+        s"q166_mem_${math.abs(dir.hashCode)}")
+      val hv = s"q166_hourly_${math.abs(dir.hashCode)}"
+      hourly.groupBy("h").agg(sum("n").as("n")).createOrReplaceTempView(hv)
+      spark.sql(
+        s"WITH w AS (SELECT h, n, " +
+          "COUNT(*) OVER win AS cnt, COALESCE(SUM(n) OVER win, 0) AS s, " +
+          "COALESCE(SUM(n * n) OVER win, 0) AS s2 " +
+          s"FROM $hv WINDOW win AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+          "SELECT h, n, CAST(cnt AS BIGINT) AS w_hours, CAST(s AS BIGINT) AS w_sum, " +
+          "CAST((n * cnt - s) * (n * cnt - s) AS BIGINT) AS devsq, " +
+          "CAST(cnt * s2 - s * s AS BIGINT) AS varnum, " +
+          "CASE WHEN cnt >= 12 AND n * cnt > s " +
+          "AND (n * cnt - s) * (n * cnt - s) > 9 * (cnt * s2 - s * s) " +
+          "THEN 1 ELSE 0 END AS spike " +
+          "FROM w ORDER BY spike DESC, h LIMIT 100")
+    },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without
     // recomputing intra-corpus pairs — the daily-crawl shape. The oracle
@@ -1717,6 +1747,9 @@ object SparkEntry {
       // k-smallest state equals the batch priority sample on closed
       // input (same (prio, doc_id) order, same k).
       "q165_stream_weighted" -> Corpus.byId("q160_weighted_sample").duckSql,
+      // q166 (round 10): identical replay to q164 — streamed hourly
+      // windows sum to the batch hourly counts on closed input.
+      "q166_stream_anomaly" -> Corpus.byId("q164_rate_anomaly").duckSql,
       // q161 (round 10): the q157 replay restricted to batch doc ids —
       // the model CTEs still aggregate over ALL documents, which equals
       // the Spark side's corpus+batch key-wise count merge on the closed
