@@ -1311,7 +1311,7 @@ object SparkEntry {
         s"q166_mem_${math.abs(dir.hashCode)}")
       val hv = s"q166_hourly_${math.abs(dir.hashCode)}"
       hourly.groupBy("h").agg(sum("n").as("n")).createOrReplaceTempView(hv)
-      spark.sql(
+      val out = spark.sql(
         s"WITH w AS (SELECT h, n, " +
           "COUNT(*) OVER win AS cnt, COALESCE(SUM(n) OVER win, 0) AS s, " +
           "COALESCE(SUM(n * n) OVER win, 0) AS s2 " +
@@ -1323,6 +1323,11 @@ object SparkEntry {
           "AND (n * cnt - s) * (n * cnt - s) > 9 * (cnt * s2 - s * s) " +
           "THEN 1 ELSE 0 END AS spike " +
           "FROM w ORDER BY spike DESC, h LIMIT 100")
+      // the analyzed plan holds the resolved relation — drop the helper
+      // view so the session catalog stays exactly the testdata tables
+      // (CatalogSpec's exact-set assertion)
+      spark.catalog.dropTempView(hv)
+      out
     },
     // Incremental near-dup (round 8): the incoming batch (doc_id ≥ split)
     // deduped AGAINST the existing corpus (doc_id < split) without

@@ -43,10 +43,15 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   // q18 is the documented SMALL-RESULT-ONLY global NTILE (annotated in
-  // Corpus.scala; its scale twin q73 runs with no Window node at all) —
-  // the only declared query allowed to shuffle everything to one
-  // partition under a window
-  private val globalWindowAllowed = Set("q18_ntile")
+  // Corpus.scala; its scale twin q73 runs with no Window node at all).
+  // q164/q166 (round 10) are the rate-anomaly monitors: their trailing
+  // window runs over the HOURLY ROLLUP of the event stream — a single
+  // global time series by construction (one row per hour; three years
+  // of 100 TB ingest is ~26k rows), so the single partition holds at
+  // any corpus scale. The event-stream aggregation BELOW the window is
+  // a normal partial+final hash aggregate.
+  private val globalWindowAllowed =
+    Set("q18_ntile", "q164_rate_anomaly", "q166_stream_anomaly")
 
   test("no single-partition exchange under a Window outside the q18 allowlist") {
     val dir = TestSpark.sf0001
