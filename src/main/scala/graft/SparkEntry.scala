@@ -1294,6 +1294,62 @@ object SparkEntry {
         .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"), col("prio"))
         .orderBy("lang", "rn").limit(100)
     },
+    // Incremental weighted sampling (round 10): the batch-vs-corpus form
+    // of q160 — the corpus keeps only its ≤ 10-row-per-language priority
+    // sample (a k-smallest sketch under the weighted order), a new batch
+    // computes its own, and the merged sample re-ranks the UNION of the
+    // two sketches: k-smallest of a union = k-smallest of merged
+    // k-smallests (the q156/q165 identity with priorities for hashes),
+    // so the result equals the full-corpus q160 answer — hash-proven
+    // against the IDENTICAL oracle. Corpus raw rows never re-read; the
+    // per-split windows stay partitioned by language.
+    "q167_incremental_weighted" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      def top10(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          expr("element_at(portable_shingle_hash(array(coalesce(CAST(doc_id AS STRING), '')), 1), 1) " +
+            "DIV (n_chars DIV 100 + 1)").as("prio"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("prio", "doc_id")))
+        .filter(col("rn") <= 10).drop("rn")
+      top10(d.filter(col("doc_id") < IncrementalSplitId))
+        .unionByName(top10(d.filter(col("doc_id") >= IncrementalSplitId)))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("prio", "doc_id")).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"), col("prio"))
+        .orderBy("lang", "rn").limit(100)
+    },
+    // Incremental inverted-index postings (round 10): the index-merge
+    // form of q159 — per-split posting summaries (exact df, sorted
+    // first-20 preview, min/max doc) merge by term: df is ADDITIVE over
+    // disjoint doc sets, the merged preview is the k-smallest of the
+    // union of per-split k-smallests (the same identity as q167), and
+    // min/max fold. The merged index equals the full q159 build —
+    // hash-proven against the IDENTICAL oracle — without re-reading
+    // corpus text: the daily index-update shape.
+    "q168_incremental_postings" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      def side(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("tok").orderBy("doc_id")))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(when(col("rn") <= 20, col("doc_id")))).as("p20"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      side(d.filter(col("doc_id") < IncrementalSplitId))
+        .unionByName(side(d.filter(col("doc_id") >= IncrementalSplitId)))
+        .groupBy("tok")
+        .agg(sum("df").as("df"),
+          expr("slice(sort_array(flatten(collect_list(p20))), 1, 20)").as("p20m"),
+          min("min_doc").as("min_doc"), max("max_doc").as("max_doc"))
+        .select(col("tok"), col("df"),
+          expr("array_join(transform(p20m, x -> CAST(x AS STRING)), ',')").as("posting20"),
+          col("min_doc").cast("long").as("min_doc"), col("max_doc").cast("long").as("max_doc"))
+        .orderBy(col("df").desc, col("tok")).limit(100)
+    },
     // Streaming event-rate anomaly detection (round 10): q164's monitor
     // with the hourly aggregate computed AS THE WATERMARKED STREAMING
     // WINDOW (the q51 machinery — bounded per-hour state), then the
@@ -1755,6 +1811,11 @@ object SparkEntry {
       // q166 (round 10): identical replay to q164 — streamed hourly
       // windows sum to the batch hourly counts on closed input.
       "q166_stream_anomaly" -> Corpus.byId("q164_rate_anomaly").duckSql,
+      // q167/q168 (round 10): identical replays to q160/q159 — the
+      // split-build-merge results equal the full builds on closed input
+      // (k-smallest and additive-count merge identities).
+      "q167_incremental_weighted" -> Corpus.byId("q160_weighted_sample").duckSql,
+      "q168_incremental_postings" -> Corpus.byId("q159_inverted_postings").duckSql,
       // q161 (round 10): the q157 replay restricted to batch doc ids —
       // the model CTEs still aggregate over ALL documents, which equals
       // the Spark side's corpus+batch key-wise count merge on the closed
