@@ -1216,6 +1216,42 @@ object Corpus {
         "THEN 1 ELSE 0 END AS spike " +
         "FROM w ORDER BY spike DESC, h LIMIT 100"),
 
+    // Q169 — temperature-based language rebalancing (LLM-pipeline row:
+    // the multilingual mixing step — sample languages proportional to
+    // n^α (α = 0.5 here) so high-resource languages stop drowning the
+    // tail, the standard multilingual-pretraining recipe). Integer-exact
+    // determinism: weights are FLOOR(SQRT(n)) — sqrt of an integer-
+    // valued double is CORRECTLY ROUNDED IEEE, identical in both
+    // engines, and the FLOOR makes them BIGINTs so the weight total and
+    // the per-language quotas (100·w DIV Σw) are exact integer
+    // arithmetic (never a float SUM, whose addition order is not
+    // associative). Selection inside each language is the reproducible
+    // md5-order of q121. The count/weight/quota side is |langs| rows —
+    // broadcast-sized at any corpus scale; the rank window runs
+    // partitioned per language over doc-level rows. (lang, rn) unique.
+    // [dual: STRING vs VARCHAR + DIV vs //]
+    DeclaredQuery("q169_temperature_mix",
+      "WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wl FROM cnt), " +
+        "tot AS (SELECT CAST(SUM(wl) AS BIGINT) AS tw FROM w), " +
+        "q AS (SELECT lang, n, wl, (100 * wl) DIV tw AS quota FROM w CROSS JOIN tot), " +
+        "rk AS (SELECT d.lang, d.doc_id, " +
+        "row_number() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id) AS rn " +
+        "FROM documents d) " +
+        "SELECT rk.lang, CAST(rk.rn AS BIGINT) AS rn, rk.doc_id, q.n AS n_lang, q.quota " +
+        "FROM rk JOIN q ON rk.lang = q.lang WHERE rk.rn <= q.quota " +
+        "ORDER BY rk.lang, rn LIMIT 100",
+      Some("WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wl FROM cnt), " +
+        "tot AS (SELECT CAST(SUM(wl) AS BIGINT) AS tw FROM w), " +
+        "q AS (SELECT lang, n, wl, CAST((100 * wl) // tw AS BIGINT) AS quota FROM w CROSS JOIN tot), " +
+        "rk AS (SELECT d.lang, d.doc_id, " +
+        "row_number() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn " +
+        "FROM documents d) " +
+        "SELECT rk.lang, CAST(rk.rn AS BIGINT) AS rn, rk.doc_id, q.n AS n_lang, q.quota " +
+        "FROM rk JOIN q ON rk.lang = q.lang WHERE rk.rn <= q.quota " +
+        "ORDER BY rk.lang, rn LIMIT 100")),
+
     // Q159 — inverted-index posting lists (LLM-pipeline row: the
     // term → sorted-document-id index behind exact contamination lookup
     // and boolean retrieval over a corpus; df is the exact document

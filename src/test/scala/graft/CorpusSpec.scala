@@ -72,7 +72,8 @@ class CorpusSpec extends AnyFunSuite {
       // q160: conv(substr(md5)) vs '0x'-cast 32-bit key (q132/q138
       //   equivalence) + STRING vs VARCHAR + DIV vs //
       "q158_quality_gate", "q159_inverted_postings",
-      "q160_weighted_sample"))
+      // q169: STRING vs VARCHAR + DIV vs // (q121/q160 class)
+      "q160_weighted_sample", "q169_temperature_mix"))
   }
 
   test("every query text ends with a LIMIT or is single-row") {
