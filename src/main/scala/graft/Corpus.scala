@@ -1233,8 +1233,8 @@ object Corpus {
     DeclaredQuery("q169_temperature_mix",
       "WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
         "w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wl FROM cnt), " +
-        "tot AS (SELECT CAST(SUM(wl) AS BIGINT) AS tw FROM w), " +
-        "q AS (SELECT lang, n, wl, (100 * wl) DIV tw AS quota FROM w CROSS JOIN tot), " +
+        "q AS (SELECT lang, n, wl, " +
+        "(100 * wl) DIV (SELECT CAST(SUM(wl) AS BIGINT) FROM w) AS quota FROM w), " +
         "rk AS (SELECT d.lang, d.doc_id, " +
         "row_number() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id) AS rn " +
         "FROM documents d) " +
@@ -1243,8 +1243,8 @@ object Corpus {
         "ORDER BY rk.lang, rn LIMIT 100",
       Some("WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
         "w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wl FROM cnt), " +
-        "tot AS (SELECT CAST(SUM(wl) AS BIGINT) AS tw FROM w), " +
-        "q AS (SELECT lang, n, wl, CAST((100 * wl) // tw AS BIGINT) AS quota FROM w CROSS JOIN tot), " +
+        "q AS (SELECT lang, n, wl, " +
+        "CAST((100 * wl) // (SELECT CAST(SUM(wl) AS BIGINT) FROM w) AS BIGINT) AS quota FROM w), " +
         "rk AS (SELECT d.lang, d.doc_id, " +
         "row_number() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn " +
         "FROM documents d) " +
