@@ -909,6 +909,50 @@ class TierESpec extends AnyFunSuite {
     s1.foreach(r => assert(r.getLong(3) >= 10000L))
   }
 
+  test("q164 flags exactly the planted spike hour (semantic pin, not just cross-engine)") {
+    import spark.implicits._
+    // 30 steady hours (10/12 events alternating) then one 100-event hour:
+    // only that hour may flag; the first 12 hours lack history (cnt < 12)
+    val base = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
+    val rows = (0 until 31).flatMap { h =>
+      val n = if (h == 30) 100 else if (h % 2 == 0) 10 else 12
+      (0 until n).map { i =>
+        (h.toLong * 1000 + i, new java.sql.Timestamp(base.getTime + h * 3600000L + i * 1000L),
+          1L, "click", 1.0, "{}")
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_q164").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    Tables.register(spark, dir)
+    val got = spark.sql(Corpus.byId("q164_rate_anomaly").sparkSql)
+      .collect().map(r => r.getTimestamp(0) -> r.getInt(6)).toMap
+    val spikes = got.filter(_._2 == 1).keys.toSeq
+    assert(spikes == Seq(new java.sql.Timestamp(base.getTime + 30 * 3600000L)),
+      s"spike hours: $spikes")
+    Tables.register(spark, TestSpark.sf0001)
+  }
+
+  test("q169 quotas are proportional to isqrt(n) and selection honors them (semantic pin)") {
+    import spark.implicits._
+    // langs aa:100 docs, bb:400 docs → weights 10, 20 → quotas 33, 66
+    val docs = ((0 until 100).map(i => (i.toLong, s"t $i", "aa", "s", 3L)) ++
+      (100 until 500).map(i => (i.toLong, s"t $i", "bb", "s", 3L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    Tables.register(spark, dir)
+    // the declared text LIMITs to 100; lift it for the full-selection pin
+    val full = spark.sql(Corpus.byId("q169_temperature_mix").sparkSql
+      .replace("LIMIT 100", "LIMIT 1000"))
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    val perLang = full.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang == Map("aa" -> 33, "bb" -> 66), s"got $perLang")
+    assert(full.filter(_._1 == "aa").forall(_._2 == 33L))
+    assert(full.filter(_._1 == "bb").forall(_._2 == 66L))
+    Tables.register(spark, TestSpark.sf0001)
+  }
+
   test("q161 merged-model scoring equals full-model scoring on the batch split") {
     // the incremental entry (corpus counts + batch counts merged key-wise)
     val got = SparkEntry.queries("q161_incremental_lm")(spark, TestSpark.sf0001)
