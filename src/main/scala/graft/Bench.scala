@@ -62,20 +62,27 @@ object Bench {
     // entries this is ~4.4 KB — LONGER than the driver's 2000-char tail
     // capture, which is why every BENCH_r*.json through r8 came back
     // "parsed": null (the line's head was clipped out of the window).
+    // Its `queries` object is in sorted-query-id order — the SAME order
+    // as the compact line's `qv` array below (that line carries no ids).
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
-    // Compact line LAST so it lands complete inside the tail window:
-    // q-number keys (unique by construction), millisecond precision.
-    // Graceful degradation if the corpus outgrows the window: drop to
-    // centisecond precision rather than dropping entries.
-    def compact(dec: Int): String = {
-      val inner = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
-      }.mkString("{", ",", "}")
-      val tot = BigDecimal(total).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
-      s"""{"metric":"total","value":$tot,"unit":"sec","reps":$reps,"queries":$inner,"sf":"$sfDir"}"""
+    // Compact line LAST so it lands complete inside the driver's
+    // 2000-char stdout tail window. r10 showed even a q-number-keyed
+    // OBJECT overruns the window at 166 entries (head clipped → "parsed":
+    // null), so encode the per-query vector as a bare JSON ARRAY of
+    // centisecond ints in sorted-query-id order (~5 chars/entry ⇒ fits
+    // past 300 entries); a failed query is -1. Ids are recoverable from
+    // the full-precision line / SparkEntry.queries.keys.toSeq.sorted.
+    def compact(divisor: Double, unit: String): String = {
+      val inner = results.map { case (_, v) =>
+        if (v < 0) "-1" else Math.round(v / divisor).toString
+      }.mkString("[", ",", "]")
+      val tot = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      s"""{"metric":"total","value":$tot,"unit":"sec","reps":$reps,"qv_unit":"$unit","qv":$inner,"sf":"$sfDir"}"""
     }
-    val line3 = compact(3)
-    println(if (line3.length <= 1850) line3 else compact(2))
+    val centi = compact(0.01, "centisec")
+    // graceful degradation if the corpus ever outgrows even the array
+    // form: coarser unit, never dropped entries
+    println(if (centi.length <= 1850) centi else compact(0.1, "decisec"))
     spark.stop()
   }
 }

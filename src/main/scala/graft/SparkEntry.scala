@@ -59,6 +59,29 @@ object SparkEntry {
     * both DuckDB texts. */
   private val EmbedMinScore = 25000000L
 
+  /** Self-sizing LSH width for the portable embedding family (q84/q97/
+    * q125): bits derives from the corpus count via
+    * Similarity.recommendedBits, so a regenerated or 10×-bigger
+    * embeddings table re-sizes its buckets instead of hitting the
+    * measured 13× occupancy blowup a pinned constant gave at 10×
+    * (BASELINE.md round 10). The count is cached per dir (one tiny
+    * pruned-scan count per JVM per dir); the LAST derived value is what
+    * `embedLshReplayCtes` interpolates into the DuckDB texts — safe
+    * because every gate path (Verify, ClusterCheck, the specs) runs the
+    * Spark entries against a single dir BEFORE the oracle dump, and all
+    * three entries resolve the same dir to the same value. Unresolved
+    * default 6 = recommendedBits at sf0.1's 2,000 vectors, the former
+    * pinned constant. */
+  private val embedBitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @volatile private var lastEmbedBits: Int = 6
+  private def embedBitsFor(spark: SparkSession, dir: String): Int = {
+    val b = embedBitsCache.computeIfAbsent(dir, d =>
+      graft.operators.Similarity.recommendedBits(
+        Tables.table(spark, d, "embeddings").count(), 32))
+    lastEmbedBits = b
+    b
+  }
+
   /** q101's per-language mix quotas in basis points — one constant for the
     * Spark entry AND the generated DuckDB text (documents.lang takes
     * exactly these five values, FIXTURES.md). */
@@ -72,7 +95,10 @@ object SparkEntry {
     * signatures via sign-bit sums, candidate pairs, integer-dot
     * verification. Ends with CTE `v(id_a, id_b, score)`. */
   private def embedLshReplayCtes: String = {
-    val planes = graft.operators.Similarity.portableHyperplanes(64, 8, 6)
+    // lastEmbedBits: set by the q84/q97/q125 entries' embedBitsFor — the
+    // oracle replays with the SAME derived width (def, re-generated per
+    // call, so Verify's run-queries-then-dump order binds it correctly)
+    val planes = graft.operators.Similarity.portableHyperplanes(64, 8, lastEmbedBits)
     val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
       tbl.zipWithIndex.map { case (p, b) =>
         s"($t, $b, ${p.mkString("[", ", ", "]")})"
@@ -96,6 +122,49 @@ object SparkEntry {
     * AND the DuckDB text. */
   private val IncrementalSplitId = 400L
 
+  /** q170-q172's perplexity-gate threshold: keep documents whose
+    * bits-per-bigram (×10⁴) under the bigram LM is ≤ this. 53200 ≈ 5.32
+    * bits/bigram = the sf0.01 corpus's MEDIAN (measured round 11: min
+    * 50833, q25 52666, median 53202, q75 53653, max 56800), so the gate
+    * genuinely splits the corpus rather than passing or dropping
+    * everything. One constant for the Spark entries AND the DuckDB
+    * texts — a distribution drift only moves the kept fraction, never
+    * cross-engine equality. */
+  private val PplGateBp = 53200L
+
+  /** Shared DuckDB replay for the perplexity-gate family (q170 batch,
+    * q171 incremental, q172 streaming): the q157 bigram model's two
+    * marginals, then per-document INTEGER surprisal — each bigram
+    * contributes `length(bin(c1 // c2))` = floor(log2(c1/c2)) + 1 bits,
+    * the q148-q152 leading-bit spelling both engines compute string-wise
+    * (a float log2 would be the exact libm-drift hazard CLAUDE.md bans:
+    * Spark's Math.log and DuckDB's std::log are not ulp-identical, and
+    * one flipped ulp under a FLOOR flips a hashed cell). bits-per-bigram
+    * ×10⁴ is log₂(perplexity) in basis points — integer end to end.
+    * `scoreFilter` restricts the SCORED documents (incremental/streaming
+    * twins score only the incoming batch; the model CTEs still aggregate
+    * over ALL documents, which equals the Spark side's merged model on
+    * the closed input — the q161 additivity identity). */
+  private def pplOracle(scoreFilter: String): String =
+    "WITH toks AS (" +
+      "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
+      "), st AS (" +
+      "SELECT doc_id, " +
+      "CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) AS k, " +
+      "CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS k1 " +
+      "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)" +
+      "), c2 AS (SELECT k, COUNT(*) AS c2 FROM st GROUP BY k), " +
+      "c1 AS (SELECT k1, COUNT(*) AS c1 FROM st GROUP BY k1), " +
+      "sc AS (SELECT st.doc_id, COUNT(*) AS n_bigrams, " +
+      "CAST(SUM(length(bin(c1.c1 // c2.c2))) AS BIGINT) AS bits_total " +
+      "FROM st JOIN c2 ON st.k = c2.k JOIN c1 ON st.k1 = c1.k1 " +
+      scoreFilter +
+      " GROUP BY st.doc_id) " +
+      "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, bits_total, " +
+      "CAST((bits_total * 10000) // n_bigrams AS BIGINT) AS ppl_bp " +
+      s"FROM sc WHERE (bits_total * 10000) // n_bigrams <= $PplGateBp " +
+      "ORDER BY ppl_bp DESC, doc_id LIMIT 100"
+
   /** The bigram-LM family's (doc_id, k, k1) key stream: k = fused 32-bit
     * hash of the bigram, k1 = fused hash of its prefix token. Both hash
     * arrays are computed ONCE per document row and zipped BEFORE the
@@ -112,6 +181,23 @@ object SparkEntry {
         expr("slice(portable_shingle_hash(t, 1), 1, size(t) - 1)").as("h1p"))
       .select(col("doc_id"), explode(arrays_zip(col("h2"), col("h1p"))).as("z"))
       .select(col("doc_id"), col("z.h2").as("k"), col("z.h1p").as("k1"))
+
+  /** Per-document integer surprisal over a joined (doc_id, c2, c1) bigram
+    * stream — the Spark half of `pplOracle`'s sc stage: each bigram is
+    * worth `length(bin(c1 DIV c2))` bits (floor(log₂)+1, string-wise —
+    * no libm log in the hashed path). */
+  private def pplAgg(joined: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(expr("c1 DIV c2"))).cast("long")).as("bits_total"))
+
+  /** Shared gate tail of q170-q172: bits-per-bigram ×10⁴, threshold,
+    * total order. */
+  private def pplGateTail(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored.withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+      .filter(col("ppl_bp") <= PplGateBp)
+      .select(col("doc_id"), col("n_bigrams"), col("bits_total"), col("ppl_bp"))
+      .orderBy(col("ppl_bp").desc, col("doc_id")).limit(100)
 
   /** Shared by q148 (batch HLL) and q154 (incremental HLL merge): the
     * merge is register-wise max, so split-build-merge equals the full
@@ -989,9 +1075,21 @@ object SparkEntry {
       val docs = Tables.table(spark, dir, "documents")
       graft.functions.PortableShingleHash.register(spark)
       val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q162").toString
-      val model = graft.streaming.StreamOps.lmModelStream(
-        spark, stream, "text", s"$tmp/partials")
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q162")
+      // the merged model is vocabulary-sized — cut its lineage eagerly so
+      // the parquet partials + streaming checkpoint can be deleted HERE
+      // instead of accumulating one temp tree per invocation under /tmp
+      // (round-11 advice: Bench's 3 reps × repeated Verify runs grew it
+      // unboundedly)
+      val model = graft.operators.Checkpoints.cut(
+        graft.streaming.StreamOps.lmModelStream(
+          spark, stream, "text", s"$tmpPath/partials"),
+        eager = true)
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(tmpPath.toFile)
       val c2 = model.groupBy("k").agg(sum("m").as("c2"))
       val c1 = model.groupBy("k1").agg(sum("m").as("c1"))
       val st = lmKeyStream(docs)
@@ -1002,6 +1100,77 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           expr("sp DIV n_bigrams").as("lm_bp"))
         .orderBy(col("lm_bp").desc, col("doc_id")).limit(100)
+    },
+    // Per-document perplexity gate (round 11, the natural composition of
+    // the LM family): score every document's bits-per-bigram under the
+    // q157 bigram model and keep the predictable ones — the model-based
+    // quality filter a curation pipeline runs after building its LM.
+    // Surprisal is INTEGER bits (length(bin(c1 DIV c2)) = floor(log₂)+1,
+    // the q148 leading-bit spelling): a libm log here would be the exact
+    // cross-engine ulp hazard CLAUDE.md bans from hashed cells, and
+    // integer bits-per-bigram ×10⁴ IS log₂(perplexity) at the gate's
+    // natural resolution. Same scale shape as q157: one (k, k1) key
+    // stream cut once, two vocabulary-sized marginals, hash joins.
+    "q170_ppl_gate" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val st = Checkpoints.cut(lmKeyStream(d), eager = false)
+      val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
+      val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
+      pplGateTail(pplAgg(st.join(c2, Seq("k")).join(c1, Seq("k1"))))
+    },
+    // Incremental perplexity gate (round 11): the corpus model's count
+    // tables persist, the incoming batch's counts merge key-wise (the
+    // q161 additivity identity), and only the BATCH documents score
+    // against the merged model — on the closed input that model equals
+    // the full q170 model, so the oracle is the q170 replay restricted
+    // to batch doc ids. Corpus text is never re-read or re-scored.
+    "q171_ppl_incremental" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val corpus = Checkpoints.cut(
+        lmKeyStream(d.filter(col("doc_id") < IncrementalSplitId)), eager = false)
+      val batch = Checkpoints.cut(
+        lmKeyStream(d.filter(col("doc_id") >= IncrementalSplitId)), eager = false)
+      val c2 = corpus.groupBy("k").agg(count(lit(1)).as("c2"))
+        .unionByName(batch.groupBy("k").agg(count(lit(1)).as("c2")))
+        .groupBy("k").agg(sum("c2").as("c2"))
+      val c1 = corpus.groupBy("k1").agg(count(lit(1)).as("c1"))
+        .unionByName(batch.groupBy("k1").agg(count(lit(1)).as("c1")))
+        .groupBy("k1").agg(sum("c1").as("c1"))
+      pplGateTail(pplAgg(batch.join(c2, Seq("k")).join(c1, Seq("k1"))))
+    },
+    // Streaming perplexity gate (round 11): incoming documents STREAMED
+    // and scored per micro-batch against the static full-corpus model —
+    // the q162 no-state-store shape (foreachBatch batch-scoring, zero
+    // streaming state at any scale: a document never splits across
+    // micro-batches, so per-batch scoring is complete). The model
+    // marginals are lineage-cut once so micro-batches don't re-aggregate
+    // them. On the closed input the output equals the batch answer
+    // restricted to incoming docs — hashes against the IDENTICAL q171
+    // replay (streaming = batch, the q126/q162 contract).
+    "q172_ppl_stream" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val st = Checkpoints.cut(lmKeyStream(docs), eager = false)
+      val c2 = Checkpoints.cut(
+        st.groupBy("k").agg(count(lit(1)).as("c2")), eager = false)
+      val c1 = Checkpoints.cut(
+        st.groupBy("k1").agg(count(lit(1)).as("c1")), eager = false)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q172")
+      val scored = graft.operators.Checkpoints.cut(
+        graft.streaming.StreamOps.runBatchesToParquet(spark, stream, s"$tmpPath/scores") { b =>
+          pplAgg(lmKeyStream(b).join(c2, Seq("k")).join(c1, Seq("k1")))
+        }.select("doc_id", "n_bigrams", "bits_total"),
+        eager = true)
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(tmpPath.toFile)
+      pplGateTail(scored)
     },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
@@ -1404,9 +1573,12 @@ object SparkEntry {
     // scores exact integers — the whole embedding near-dup pipeline
     // hash-checks (float-cosine q43 stays the production path).
     // minScore 25M ≈ cosine 0.25 on unit-norm vectors, matching q43's τ.
+    // bits self-sizes from the corpus count (round 11) — the oracle text
+    // interpolates the same derived width via lastEmbedBits.
     "q84_embedlsh_portable" -> { (spark, dir) =>
       Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
-          "vec_id", "embedding", minScore = EmbedMinScore)
+          "vec_id", "embedding", minScore = EmbedMinScore,
+          bits = embedBitsFor(spark, dir))
         .orderBy("id_a", "id_b").limit(100)
     },
     // Streaming ingest dedup run to completion on the closed input
@@ -1438,7 +1610,8 @@ object SparkEntry {
       Similarity.portableCrossEmbedPairs(
           vecs.filter(col("vec_id") < IncrementalSplitId),
           vecs.filter(col("vec_id") >= IncrementalSplitId),
-          "vec_id", "embedding", minScore = EmbedMinScore)
+          "vec_id", "embedding", minScore = EmbedMinScore,
+          bits = embedBitsFor(spark, dir))
         .orderBy("id_a", "id_b").limit(100)
     },
     // Transitive clustering over the hash-checked q84 pairs (round 6):
@@ -1448,7 +1621,8 @@ object SparkEntry {
     // over the SAME pair CTEs, so clustering itself is hash-checked.
     "q97_embed_clusters" -> { (spark, dir) =>
       val pairs = Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
-          "vec_id", "embedding", minScore = EmbedMinScore)
+          "vec_id", "embedding", minScore = EmbedMinScore,
+          bits = embedBitsFor(spark, dir))
         .select(col("id_a"), col("id_b"))
       TextDedup.nearDupClusters(pairs)
         .select(col("doc_id").as("vec_id"), col("cluster"))
@@ -1804,6 +1978,16 @@ object SparkEntry {
       // against the identical text.
       "q157_bigram_lm" -> bigramLmOracle,
       "q162_stream_lm" -> bigramLmOracle,
+      // q170-q172 (round 11): the perplexity-gate family — see
+      // `pplOracle`. q171/q172 score only the incoming batch against the
+      // full model (merged/streamed model = full model on closed input),
+      // so their replay is the q170 text with the scoring stage
+      // restricted to batch doc ids.
+      "q170_ppl_gate" -> pplOracle(""),
+      "q171_ppl_incremental" ->
+        pplOracle(s"WHERE st.doc_id >= $IncrementalSplitId"),
+      "q172_ppl_stream" ->
+        pplOracle(s"WHERE st.doc_id >= $IncrementalSplitId"),
       // q165 (round 10): identical replay to q160 — the streamed
       // k-smallest state equals the batch priority sample on closed
       // input (same (prio, doc_id) order, same k).

@@ -313,6 +313,30 @@ object Similarity {
       }.reduce(_ + _)
     }
 
+  /** (table, bucket) key stream of the portable embedding-LSH bucketing —
+    * the EXACT keys `portableEmbedPairs` pairs on, factored out so the
+    * occupancy audit below and the pair generator can never drift. */
+  private def portableBucketKeys(q: DataFrame, idCol: String,
+                                 planes: Seq[Seq[Array[Long]]]): DataFrame =
+    q.select(col(idCol),
+      posexplode(array(portableBucketCols(planes): _*)).as(Seq("__t", "__bkt")))
+
+  /** Occupancy audit for the portable embedding-LSH buckets: (t, bkt, n)
+    * per bucket — what DriftGuardSpec asserts margins on after the driver
+    * regenerates the testdata (a clustered or bigger corpus shows up here
+    * as occupancy approaching the cap — the silent recall-drop /
+    * quadratic-work failure mode, cf. TextDedup.portableOversizeBuckets).
+    * Aggregate-only; never collects bucket members. */
+  def portableEmbedBucketSizes(corpus: DataFrame, idCol: String, vecCol: String,
+                               tables: Int = 8, bits: Int = 6,
+                               dim: Int = 64, seed: Long = 11L,
+                               scale: Int = 10000): DataFrame = {
+    val planes = portableHyperplanes(dim, tables, bits, seed)
+    portableBucketKeys(portableQuantized(corpus, idCol, vecCol, scale), idCol, planes)
+      .groupBy(col("__t").as("t"), col("__bkt").as("bkt"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minScore: Long, tables: Int = 8, bits: Int = 6,
                          dim: Int = 64, seed: Long = 11L,
@@ -320,7 +344,6 @@ object Similarity {
                          maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
     val q = portableQuantized(corpus, idCol, vecCol, scale)
-    val bucketCols = portableBucketCols(planes)
     // Bucketing fans out KEYS ONLY — compact (t, bkt, id) triples, never
     // the vectors: carrying __qv here duplicates every vector tables×
     // through the corpus-wide bucket exchange and leaves collected buckets
@@ -330,8 +353,7 @@ object Similarity {
     // join sides is one cheap floor-cast pass over a pruned scan.
     // between(2, maxBucketSize): degenerate-bucket guard (cf.
     // TextDedup.DefaultMaxBucketSize), mirrored into the q84/q97 DuckDB text
-    val pairs = q.select(col(idCol),
-        posexplode(array(bucketCols: _*)).as(Seq("__t", "__bkt")))
+    val pairs = portableBucketKeys(q, idCol, planes)
       .groupBy("__t", "__bkt")
       .agg(collect_list(col(idCol)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
@@ -362,13 +384,10 @@ object Similarity {
                               scale: Int = 10000,
                               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
-    val bucketCols = portableBucketCols(planes)
     val qOld = portableQuantized(existing, idCol, vecCol, scale)
     val qNew = portableQuantized(incoming, idCol, vecCol, scale)
-    def keys(q: DataFrame) = q.select(col(idCol),
-      posexplode(array(bucketCols: _*)).as(Seq("__t", "__bkt")))
-    val bOld = keys(qOld)
-    val bNew = keys(qNew)
+    val bOld = portableBucketKeys(qOld, idCol, planes)
+    val bNew = portableBucketKeys(qNew, idCol, planes)
     val eligible = bOld.groupBy("__t", "__bkt").agg(count(lit(1)).as("__no"))
       .join(bNew.groupBy("__t", "__bkt").agg(count(lit(1)).as("__nn")), Seq("__t", "__bkt"))
       .filter(col("__no") + col("__nn") <= maxBucketSize)

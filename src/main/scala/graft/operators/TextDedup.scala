@@ -721,6 +721,24 @@ object TextDedup {
     // round 9: per-token md5 via the fused PortableShingleHash (n=1 ⇒
     // the tokens themselves; bit-identical to the conv(substring(md5))
     // spelling the q83 DuckDB text keeps)
+    // single-pass bucketing (cf. minhashCandidates): ONE shuffle of
+    // (combo, key, id, sim) and in-bucket pairs by double explode — the
+    // two-sided join shape recomputes the md5+signature subtree per side
+    // (measured ~2× at sf0.1)
+    // degenerate-bucket guard (cf. DefaultMaxBucketSize), mirrored into
+    // the q83 DuckDB text
+    simhashEmitPairs(portableSimhashChunkKeys(df, idCol, textCol),
+      32 / SimhashChunks, maxHamming, maxBucketSize)
+  }
+
+  /** (id, __combo, __ckey, __sim) combo-key stream of the portable simhash
+    * banding — the EXACT keys `portableSimhashPairs` buckets on, factored
+    * out so the occupancy audit below can never drift from the generator. */
+  private def portableSimhashChunkKeys(df: DataFrame, idCol: String,
+                                       textCol: String): DataFrame = {
+    // token hashes materialized first: the 32 bit-folds of
+    // portableSimhash32 each reference the array (CollapseProject note on
+    // signatureFrame); per-token md5 via the fused PortableShingleHash
     val th = df.select(col(idCol),
       array_distinct(portableShingleHashes(col(textCol), 1)).as("__th"))
     val sigs = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
@@ -733,21 +751,26 @@ object TextDedup {
     // narrower; the q83 DuckDB text spells the identical packing with an
     // indexed range lambda, so keys — and bucket-cap drops — stay
     // value-equal across engines)
-    val chunks = sigs.select(
+    sigs.select(
       col(idCol), col("__sim"),
       posexplode(array(simhashCombos.map { cs =>
         cs.zipWithIndex.map { case (c, i) =>
           shiftrightunsigned(col("__sim"), chunkBits * c).bitwiseAND(lit(mask)) * lit(1L << (chunkBits * i))
         }.reduce(_ + _)
       }: _*)).as(Seq("__combo", "__ckey")))
-    // single-pass bucketing (cf. minhashCandidates): ONE shuffle of
-    // (combo, key, id, sim) and in-bucket pairs by double explode — the
-    // two-sided join shape recomputes the md5+signature subtree per side
-    // (measured ~2× at sf0.1)
-    // degenerate-bucket guard (cf. DefaultMaxBucketSize), mirrored into
-    // the q83 DuckDB text
-    simhashEmitPairs(chunks, chunkBits, maxHamming, maxBucketSize)
   }
+
+  /** Occupancy audit for the portable simhash combo buckets: (combo, ckey,
+    * n) per bucket — DriftGuardSpec's margin probe against regenerated
+    * testdata (cf. `portableOversizeBuckets` for the minhash bands and
+    * `Similarity.portableEmbedBucketSizes`). Oversize buckets here are
+    * identical-signature boilerplate clusters the cap legitimately drops;
+    * what the guard bounds is the FRACTION of the corpus living in them. */
+  def portableSimhashBucketSizes(df: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    portableSimhashChunkKeys(df, idCol, textCol)
+      .groupBy(col("__combo").as("combo"), col("__ckey").as("ckey"))
+      .agg(count(lit(1)).as("n"))
 
   /** Shared tail of both simhash pair generators: bucket, cap, double
     * explode, min-combo single emission (simhashMinComboByMask — the pair

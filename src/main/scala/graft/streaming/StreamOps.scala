@@ -348,9 +348,15 @@ object StreamOps {
     * that empty stream). */
   def docsSource(spark: SparkSession, dir: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    if (new java.io.File(path).isDirectory)
-      spark.readStream.schema(schema).parquet(path)
+    // directory probe through the Hadoop FileSystem API, not java.io.File:
+    // File.isDirectory is always false for HDFS/S3 URIs, which would send
+    // every non-local deployment into the glob branch — a zero-file source
+    // that silently streams nothing for directory-shaped tables (the exact
+    // bug this helper exists to fix; round-11 advice)
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.getFileStatus(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path.toString)
     else
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -392,16 +398,33 @@ object StreamOps {
     * periodic compaction doing the sum. Returns the MERGED model after
     * the closed input drains. */
   def lmModelStream(spark: SparkSession, docStream: DataFrame, textCol: String,
-                    partialsPath: String): DataFrame = {
-    val q = docStream.writeStream
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        lmBatchCounts(df, textCol).write.mode("append").parquet(partialsPath)
+                    partialsPath: String): DataFrame =
+    runBatchesToParquet(spark, docStream, partialsPath)(lmBatchCounts(_, textCol))
+      .groupBy("k", "k1").agg(sum("m").as("m"))
+
+  /** Stateless foreachBatch runner: applies `transform` to each
+    * micro-batch as a plain batch job and lands the result under a
+    * batchId-derived subpath, then reads the union back (the subpaths
+    * appear as a `batch` partition column — aggregate or drop it).
+    * Each batch OVERWRITES its own subpath: a restart that replays a
+    * micro-batch whose parquet write committed before the streaming
+    * commit would otherwise double-count that batch's rows (round-11
+    * advice — append-mode foreachBatch is not idempotent under the
+    * checkpoint's replay contract; per-batch overwrite is the standard
+    * idempotent sink). This is the NO-state-store streaming shape for
+    * per-batch-complete work (model partials, per-doc scoring where a
+    * document never splits across batches): nothing is snapshotted per
+    * batch, so state cost is zero at any corpus scale. */
+  def runBatchesToParquet(spark: SparkSession, stream: DataFrame, path: String)
+                         (transform: DataFrame => DataFrame): DataFrame = {
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        transform(df).write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
-      .option("checkpointLocation", s"$partialsPath-ckpt")
+      .option("checkpointLocation", s"$path-ckpt")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(partialsPath)
-      .groupBy("k", "k1").agg(sum("m").as("m"))
+    spark.read.parquet(path)
   }
 
   /** Streaming k-smallest-by-(hash, id) custom state — the bounded-state

@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-start dev tool: prints the occupancy numbers DriftGuardSpec
+  * bounds (embed-LSH buckets at rule-derived bits, minhash bands, simhash
+  * combo buckets, edit-distance blocks) on the CURRENT driver testdata —
+  * run after the driver regenerates /root/testdata to refresh the
+  * "measured" comments in the spec when margins need re-tuning. */
+object DriftProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cap = TextDedup.DefaultMaxBucketSize
+    for (d <- Seq("/root/testdata/sf0.01","/root/testdata/sf0.1")) {
+      val emb = Tables.table(spark, d, "embeddings"); val n = emb.count()
+      val bits = Similarity.recommendedBits(n,32)
+      val r = Similarity.portableEmbedBucketSizes(emb,"vec_id","embedding",bits=bits)
+        .agg(max("n"),sum(col("n")*col("n")),sum("n")).head()
+      println(s"$d embed n=$n bits=$bits max=${r.getLong(0)} sq=${r.getLong(1)} tot=${r.getLong(2)}")
+      val docs = Tables.table(spark, d, "documents")
+      val (_, banded) = TextDedup.portableIndexFrames(docs,"doc_id","text")
+      val mb = banded.groupBy("__band","__bkey").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+      println(s"$d minhash maxband=$mb")
+      val ag = TextDedup.portableSimhashBucketSizes(docs,"doc_id","text")
+        .agg(sum(when(col("n")>cap,col("n")).otherwise(lit(0L))),sum("n")).head()
+      println(s"$d simhash dropped=${ag.getLong(0)} tot=${ag.getLong(1)}")
+      for ((lbl,k) <- Seq("prefix"->TextDedup.prefixKey(col("text"),TextDedup.EditPrefixLen),
+                          "suffix"->TextDedup.suffixKey(col("text"),TextDedup.EditPrefixLen))) {
+        val mx = docs.select(k.as("k")).groupBy("k").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+        println(s"$d edit $lbl max=$mx")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -89,24 +89,16 @@ object ScaleTenX {
       println(f"| $q | $base%.2f | $scaled%.2f | ${scaled / base}%.1f |")
     }
 
-    // Sizing-rule demonstration: the q84 entry pins bits=6 (the oracle
-    // constant = recommendedBits at sf0.1's 2,000 vectors); at 10× the
-    // rule says recommendedBits(20,000, 32) = 10 — rerun the same
-    // pipeline with rule-derived bits to show occupancy, not the
-    // operator, is what grows.
+    // Since round 11 the q84/q97 ENTRIES self-size bits from the corpus
+    // count (SparkEntry.embedBitsFor → Similarity.recommendedBits), so the
+    // timing table above already reflects rule-derived occupancy at 10× —
+    // no separate "sized" run needed (r10's pinned-bits 13.7× point was
+    // the motivation). Print the widths used for the record.
     if (queries.contains("q84_embedlsh_portable")) {
-      val sizedBits = graft.operators.Similarity.recommendedBits(ne, 32)
-      def sizedRun(): Double = {
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          graft.operators.Similarity.portableEmbedPairs(
-            Tables.table(spark, outDir, "embeddings"), "vec_id", "embedding",
-            minScore = 25000000L, bits = sizedBits).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        times.sorted.apply(1)
-      }
-      println(f"[scale10x] q84 pipeline at 10x with rule-derived bits=$sizedBits: ${sizedRun()}%.2f s (vs pinned bits=6 above)")
+      val b0 = graft.operators.Similarity.recommendedBits(
+        spark.read.parquet(s"$srcDir/embeddings.parquet").count(), 32)
+      val b1 = graft.operators.Similarity.recommendedBits(ne, 32)
+      println(s"[scale10x] q84/q97 self-sized bits: base=$b0, 10x=$b1")
     }
     spark.stop()
   }

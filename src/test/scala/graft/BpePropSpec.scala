@@ -53,6 +53,66 @@ class BpePropSpec extends AnyFunSuite {
     }, "bpe segmentation bounds")
   }
 
+  /** INDEPENDENT scalar segmenter (round-11 verdict #4 — q163 is the one
+    * rows-only entry whose core stage had only a hand fixture): applies
+    * each merge EXHAUSTIVELY IN RANK ORDER with one left-to-right scan
+    * per merge — the canonical Sennrich/HF formulation — where
+    * `Bpe.segmentStats` repeatedly merges the LOWEST-RANK pair present.
+    * The two algorithms are textbook-equivalent but share no code or
+    * structure, so corpus-wide agreement is a real cross-check, not a
+    * tautology. */
+  private def segmentRef(word: String, merges: Seq[Bpe.Merge]): Int = {
+    var syms: Vector[String] = word.map(_.toString).toVector :+ Bpe.EndOfWord
+    merges.sortBy(_.rank).foreach { m =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == m.left && syms(i + 1) == m.right) {
+          out += (m.left + m.right); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
+  private def refStats(docs: Seq[(Long, String)], merges: Seq[Bpe.Merge]): Map[Long, (Long, Long, Long)] = {
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    docs.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val ns = toks.map(w => memo.getOrElseUpdate(w, segmentRef(w, merges)).toLong).sum
+      id -> ((nt, ns, if (nt == 0) 0L else ns * 10000L / nt))
+    }.toMap
+  }
+
+  test("segmentStats equals the independent rank-order segmenter on arbitrary corpora") {
+    check(forAll(corpusGen, Gen.choose(0, 12)) { (docs, nMerges) =>
+      val ids = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = ids.toDF("doc_id", "text")
+      val merges = Bpe.train(df, "text", nMerges)
+      val got = Bpe.segmentStats(df, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      got == refStats(ids, merges)
+    }, "bpe segmentation cross-implementation equality")
+  }
+
+  test("segmentStats equals the independent segmenter over the FULL sf0.01 corpus (q163)") {
+    // the q163 entry's exact configuration (50 merges, real documents) —
+    // the corpus-wide second-implementation check standing in for the
+    // DuckDB replay an iterative trainer can't have
+    val df = Tables.table(spark, TestSpark.sf01, "documents")
+    val merges = Bpe.train(df, "text", nMerges = 50)
+    val docs = df.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = Bpe.segmentStats(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = refStats(docs, merges)
+    assert(got.size == want.size)
+    val diffs = want.collect { case (id, w) if got(id) != w => s"$id: got ${got(id)}, want $w" }
+    assert(diffs.isEmpty, diffs.take(5).mkString("; "))
+  }
+
   test("zero merges segments every word into characters + end marker") {
     val df = Seq((1L, "abc ab a"), (2L, "ccc")).toDF("doc_id", "text")
     val rows = Bpe.segmentStats(df, "doc_id", "text", Nil)

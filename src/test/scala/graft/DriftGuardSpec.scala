@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-start fixture-drift guard (round-11 verdict item #2): the driver
+  * REGENERATES /root/testdata between rounds, and every pinned oracle
+  * constant (bucket caps, edit-distance block keys, the embed-LSH sizing
+  * rule) was tuned against a particular data shape. A regenerated corpus
+  * that is bigger or more clustered would otherwise fail SILENTLY — either
+  * as a quadratic occupancy blowup inside capped buckets (the measured 13×
+  * at 10× with pinned bits, BASELINE.md r10) or as capped buckets dropping
+  * recall with no red signal. This spec turns that drift into a red test
+  * at round start, against the ACTUAL driver testdata.
+  *
+  * Margins are ≥2× the values measured on round-11 data (recorded in each
+  * assert message) so ordinary regeneration noise passes and structural
+  * drift fails. Run order note: CLAUDE.md's round-start checklist runs the
+  * full suite first — this spec is the part that validates the NEW data.
+  */
+class DriftGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    .filter(d => new java.io.File(d).isDirectory)
+  private val Cap = TextDedup.DefaultMaxBucketSize
+
+  test("driver testdata present (guard is meaningless without it)") {
+    assert(dirs.nonEmpty, "no /root/testdata/sf* dirs — drift guard cannot run")
+  }
+
+  test("events.ts sniffs to TimestampType at every SF (physical layout drifts between rounds)") {
+    dirs.foreach { d =>
+      val dt = Tables.table(spark, d, "events").schema("ts").dataType
+      assert(dt == TimestampType, s"$d/events.parquet ts read as $dt — Tables.register's footer sniff no longer normalizes this round's layout")
+    }
+  }
+
+  test("embed-LSH occupancy at rule-derived bits stays far from the cap (q84/q97/q125)") {
+    dirs.foreach { d =>
+      val emb = Tables.table(spark, d, "embeddings")
+      val n = emb.count()
+      val bits = Similarity.recommendedBits(n, 32)
+      val sizes = Similarity.portableEmbedBucketSizes(emb, "vec_id", "embedding", bits = bits)
+        .agg(max("n").as("mx"), sum(col("n") * col("n")).as("sq"), sum("n").as("tot")).head()
+      val (mx, sq, tot) = (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2))
+      // r11 measured (graft.tools.DriftProbe): sf0.01 (n=500, bits=4)
+      // max 53, sf0.1 (n=2000, bits=6) max 67 — cap/2 = 500
+      assert(mx <= Cap / 2,
+        s"$d: max embed bucket $mx > cap/2=${Cap / 2} at derived bits=$bits — corpus clustering drifted; capped buckets would drop recall silently")
+      // quadratic-work proxy: Σn² ≈ avg-occupancy × fan-out; the sizing
+      // rule targets occupancy 32, so 256× corpus×tables is ~8× headroom
+      assert(sq <= 256L * tot,
+        s"$d: Σ(bucket²)=$sq > 256×Σn=$tot×256 at bits=$bits — in-bucket pair work drifted toward quadratic")
+    }
+  }
+
+  test("minhash band occupancy under cap with margin (q82/q124/q126)") {
+    dirs.foreach { d =>
+      val docs = Tables.table(spark, d, "documents")
+      assert(TextDedup.portableOversizeBuckets(docs, "doc_id", "text").count() == 0,
+        s"$d: minhash band buckets now EXCEED the cap — pair generators silently drop them; re-tune bands or cap")
+      val (_, banded) = TextDedup.portableIndexFrames(docs, "doc_id", "text")
+      val mx = banded.groupBy("__band", "__bkey").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+      // r11 measured (DriftProbe): sf0.01 max 4, sf0.1 max 19
+      assert(mx <= Cap / 2,
+        s"$d: max minhash band bucket $mx > cap/2=${Cap / 2} — regenerated corpus is approaching the silent-drop regime")
+    }
+  }
+
+  test("simhash combo-bucket cap drops stay a bounded corpus fraction (q83)") {
+    dirs.foreach { d =>
+      val docs = Tables.table(spark, d, "documents")
+      val agg = TextDedup.portableSimhashBucketSizes(docs, "doc_id", "text")
+        .agg(sum(when(col("n") > Cap, col("n")).otherwise(lit(0L))).as("dropped"),
+          sum("n").as("tot")).head()
+      val (dropped, tot) = (agg.getLong(0), agg.getLong(1))
+      // identical-signature boilerplate clusters legitimately exceed the
+      // cap (the q83 cap fires at sf0.1, CLAUDE.md); the guard bounds the
+      // occupancy WEIGHT living in capped buckets so a drifted generator
+      // that makes most of the corpus one cluster goes red. r11 measured
+      // (DriftProbe): sf0.01 0/28,000, sf0.1 1,365/280,000 (~0.5%).
+      assert(dropped * 2 <= tot,
+        s"$d: ${dropped}/${tot} of simhash combo-bucket weight is in over-cap buckets (>50%) — most of the corpus would pair inside dropped buckets")
+    }
+  }
+
+  test("edit-distance prefix/suffix block occupancy under cap with margin (q136/q141/q142)") {
+    dirs.foreach { d =>
+      val docs = Tables.table(spark, d, "documents")
+      Seq("prefix" -> TextDedup.prefixKey(col("text"), TextDedup.EditPrefixLen),
+          "suffix" -> TextDedup.suffixKey(col("text"), TextDedup.EditPrefixLen))
+        .foreach { case (label, key) =>
+          val mx = docs.select(key.as("k")).groupBy("k").agg(count(lit(1)).as("n"))
+            .agg(max("n")).head().getLong(0)
+          // r11 measured (DriftProbe): sf0.01 prefix 3 / suffix 3,
+          // sf0.1 prefix 10 / suffix 9
+          assert(mx <= Cap / 2,
+            s"$d: max $label block $mx > cap/2=${Cap / 2} — q136/q141/q142's blocking keys drifted toward the m² regime")
+        }
+    }
+  }
+}

@@ -19,11 +19,22 @@ class PlanGuardSpec extends AnyFunSuite {
     "q73_ntile_dist", "q74_neardup_clusters", "q75_seq_pack",
     "q89_stream_sessions", // runs the session stream to completion at build
     "q97_embed_clusters",  // iterative fixpoint: checkpoint + head() actions at build
-    "q107_stream_static")  // runs the stream-static enrichment to completion at build
+    "q107_stream_static",  // runs the stream-static enrichment to completion at build
+    "q172_ppl_stream")     // runs the scoring stream to completion at build (q162 shape)
 
-  // intentional broadcast cross joins: a tiny side (query set, centroid
-  // set, benchmark set) against the corpus — BNL with a broadcast build
-  // IS the linear-scan plan, not a quadratic accident
+  // Intentional broadcast cross joins: a tiny side against the corpus —
+  // BNL with a broadcast build IS the linear-scan plan, not a quadratic
+  // accident. Each entry's SIZE CONTRACT (what keeps the broadcast side
+  // small at any corpus scale) is what earns its place here:
+  //  - q44_cosine_topk: the broadcast side is the QUERY set
+  //    (bruteForceTopK's contract: |queries| is user-bounded and tiny —
+  //    5 fixture rows; cost = one corpus scan × |queries|).
+  //  - q53_ann_ivf: the broadcast sides are the CENTROID set (nlist ≤
+  //    ~4096 by IVF design) and the probed query set — both
+  //    corpus-size-independent.
+  //  - q68_contamination: the broadcast side is the BENCHMARK suite
+  //    (eval sets are thousands of rows at most, fixed as the corpus
+  //    grows; contaminationScores scans the corpus once against it).
   private val bnlAllowed = Set("q44_cosine_topk", "q53_ann_ivf", "q68_contamination")
 
   test("no cartesian products or unintended nested-loop joins anywhere in the corpus") {
@@ -50,18 +61,34 @@ class PlanGuardSpec extends AnyFunSuite {
   // of 100 TB ingest is ~26k rows), so the single partition holds at
   // any corpus scale. The event-stream aggregation BELOW the window is
   // a normal partial+final hash aggregate.
+  // q80/q151 (round 11, Sort extension): the profile surface's trailing
+  // ORDER BY runs over the PROFILE OUTPUT — one row per profiled column
+  // across the 10 tables (~40 rows, bounded by schema width, not data).
+  // The SinglePartition exchanges the guard sees in its subtree are each
+  // branch's GLOBAL-aggregate final step (map-side partials → one final
+  // row; the exchange carries one partial-aggregate row per task, the
+  // normal global-agg plan), not a corpus funnel — verified in the (298)
+  // Sort / (295) Exchange nodes of the formatted q80 plan.
   private val globalWindowAllowed =
-    Set("q18_ntile", "q164_rate_anomaly", "q166_stream_anomaly")
+    Set("q18_ntile", "q164_rate_anomaly", "q166_stream_anomaly",
+      "q80_profile", "q151_sketch_profile")
 
-  test("no single-partition exchange under a Window outside the q18 allowlist") {
+  test("no single-partition exchange under a Window or Sort outside the q18 allowlist") {
     val dir = TestSpark.sf0001
-    def offendingWindows(planText: String): Boolean = {
+    // Window AND full Sort subtrees (round 11): a global orderBy that
+    // survives as `Sort` + `Exchange SinglePartition` funnels the whole
+    // input through one task — the corpus's trailing orderBy+limit pairs
+    // must compile to TakeOrderedAndProject instead (no exchange).
+    def offendingGlobal(planText: String): Boolean = {
       val lines = planText.linesIterator.toVector
       def prefixLen(l: String) = l.indexWhere(c => c.isLetter)
       lines.zipWithIndex.exists { case (line, i) =>
         val p = prefixLen(line)
-        p >= 0 && line.substring(p).startsWith("Window") && {
-          // scan the window's subtree: following lines with a deeper prefix
+        p >= 0 && {
+          val node = line.substring(p)
+          node.startsWith("Window") || node.startsWith("Sort")
+        } && {
+          // scan the node's subtree: following lines with a deeper prefix
           lines.drop(i + 1)
             .takeWhile(l => prefixLen(l) < 0 || prefixLen(l) > p)
             .exists(_.contains("Exchange SinglePartition"))
@@ -72,14 +99,14 @@ class PlanGuardSpec extends AnyFunSuite {
       if (eager(id) || globalWindowAllowed(id)) None
       else {
         val plan = build(spark, dir).queryExecution.executedPlan.toString
-        if (offendingWindows(plan)) Some(id) else None
+        if (offendingGlobal(plan)) Some(id) else None
       }
     }
     assert(offenders.isEmpty,
-      s"global (single-partition) window in: ${offenders.mkString(", ")} — " +
+      s"global (single-partition) window/sort in: ${offenders.mkString(", ")} — " +
         "partition the window or add an annotated scale twin like q73")
     // the guard must actually detect the shape it forbids: q18 trips it
     val q18 = SparkEntry.queries("q18_ntile")(spark, dir).queryExecution.executedPlan.toString
-    assert(offendingWindows(q18), "guard self-check: q18's global NTILE should match")
+    assert(offendingGlobal(q18), "guard self-check: q18's global NTILE should match")
   }
 }

@@ -76,8 +76,10 @@ class StreamOpsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lm_partials").toString
     val streamed = StreamOps.lmModelStream(spark, stream, "text", s"$tmp/partials")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // more than one partial file proves the merge actually spanned batches
-    assert(new java.io.File(s"$tmp/partials").listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    // more than one batch=N partial subdir proves the merge actually
+    // spanned batches (round 11: each batch overwrites its own
+    // batchId-derived subpath so checkpoint replays are idempotent)
+    assert(new java.io.File(s"$tmp/partials").listFiles().count(_.getName.startsWith("batch=")) > 1)
     graft.functions.PortableShingleHash.register(spark)
     val batch = docs
       .select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)

@@ -880,6 +880,37 @@ class TierESpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
   }
 
+  test("q170 perplexity gate matches hand-computed integer surprisal (round 11)") {
+    import spark.implicits._
+    // Same fixture as the q157 test: c2 (x,y)=6, (y,x)=3, (x,z)=1; c1
+    // x=7, y=3. Surprisal bits = length(bin(c1 DIV c2)):
+    //   (x,y): 7 DIV 6 = 1  → 1 bit;  (y,x): 3 DIV 3 = 1 → 1 bit
+    //   (x,z): 7 DIV 1 = 7  → bin "111" → 3 bits
+    // docs 1-3: n=3, bits=3, ppl_bp = 10000; doc 4: n=1, bits=3,
+    // ppl_bp = 30000 — all under the gate, doc 4 ranked first (desc).
+    val dir = java.nio.file.Files.createTempDirectory("graft_q170").toString
+    Seq((1L, "x y x y", "en", "s1", 7L), (2L, "x y x y", "en", "s1", 7L),
+      (3L, "x y x y", "en", "s1", 7L), (4L, "x z", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q170_ppl_gate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head == ((4L, 1L, 3L, 30000L)), s"got ${rows.head}")
+    assert(rows.drop(1).toSet == Set((1L, 3L, 3L, 10000L), (2L, 3L, 3L, 10000L), (3L, 3L, 3L, 10000L)))
+    Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
+  }
+
+  test("q172 streaming ppl gate equals q171 incremental on the closed input") {
+    // streaming = batch contract, pinned Spark-side (the oracle proves it
+    // cross-engine): both score the incoming half against the full model.
+    val inc = SparkEntry.queries("q171_ppl_incremental")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    val str = SparkEntry.queries("q172_ppl_stream")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(inc.nonEmpty, "fixture produced an empty gate — threshold drifted")
+    assert(inc == str)
+  }
+
   test("BPE: hand-computed merges and fertility on a fixture; deterministic on real docs") {
     import spark.implicits._
     import graft.operators.Bpe
