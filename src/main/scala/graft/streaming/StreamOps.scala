@@ -603,8 +603,16 @@ object StreamOps {
     * per session and never hit the lock. */
   private val boundedRunLock = new Object
 
+  /** Bench/local state-partition sizing knob (see runWithMode's scaladoc:
+    * a stateful op commits one state-store file per partition per
+    * micro-batch, so near-empty state wants FEW partitions; deployments
+    * size to state volume). Env-overridable for A/B measurement
+    * (graft.tools.StreamBench). */
+  private val DefaultStateParts =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS").map(_.toInt).getOrElse(4)
+
   private def runWithMode(spark: SparkSession, df: DataFrame, name: String,
-                          mode: String, statePartitions: Int = 4,
+                          mode: String, statePartitions: Int = DefaultStateParts,
                           noDataBatches: Boolean = false): DataFrame = boundedRunLock.synchronized {
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     val oldNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
@@ -617,6 +625,13 @@ object StreamOps {
         .outputMode(mode)
         .start()
       try q.processAllAvailable() finally q.stop()
+      // overhead triage aid (graft.tools.StreamParts): per-batch phase
+      // durations of the bounded run, printed only when asked
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-debug] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durations=${p.durationMs}")
+        }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", oldParts)
       oldNoData match {
