@@ -182,6 +182,47 @@ object SparkEntry {
       .select(col("doc_id"), explode(arrays_zip(col("h2"), col("h1p"))).as("z"))
       .select(col("doc_id"), col("z.h2").as("k"), col("z.h1p").as("k1"))
 
+  /** q173/q174's packed-occurrence constant — TextDedup.SpanPosPack
+    * interpolated (the pack is part of the canonical-occurrence
+    * definition both engines MIN over). */
+  private val SpanPosPackSql = TextDedup.SpanPosPack
+
+  /** Shared occurrence CTE for the span-dedup replays (q173/q174): every
+    * k-token window of every ≥k-token document as (doc_id, pos 0-based,
+    * 32-bit md5 hash) — the composed spelling of the fused
+    * PortableShingleHash at k = TextDedup.SpanK. */
+  private def spanOccCtes: String = {
+    val k = TextDedup.SpanK
+    "toks AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) " +
+      s"WHERE len(t) >= $k), " +
+      "occ AS (SELECT doc_id, i AS pos, " +
+      s"CAST(('0x' || substr(md5(array_to_string(t[i + 1:i + $k], ' ')), 1, 8)) AS BIGINT) AS h " +
+      s"FROM (SELECT doc_id, t, unnest(range(0, len(t) - $k + 1)) AS i FROM toks))"
+  }
+
+  /** q174-q176's shared removal replay: shared-span table, non-canonical
+    * occurrence coverage via generate_series, distinct-position count per
+    * doc, stats for every document. `docFilter` restricts the REPORTED
+    * documents (q175/q176 score only the incoming batch; the span CTEs
+    * still aggregate over ALL documents, which equals the merged/static
+    * index on the closed input). */
+  private def spanRemovalOracle(docFilter: String): String =
+    s"WITH $spanOccCtes, " +
+      s"sp AS (SELECT h, COUNT(*) AS n, MIN(doc_id * $SpanPosPackSql + pos) AS canon " +
+      "FROM occ GROUP BY h), " +
+      "rme AS (SELECT occ.doc_id AS doc_id, " +
+      s"unnest(generate_series(occ.pos, occ.pos + ${TextDedup.SpanK - 1})) AS p " +
+      "FROM occ JOIN sp ON occ.h = sp.h " +
+      s"WHERE sp.n >= 2 AND occ.doc_id * $SpanPosPackSql + occ.pos <> sp.canon), " +
+      "rm AS (SELECT doc_id, COUNT(DISTINCT p) AS nr FROM rme GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(COALESCE(rm.nr, 0) AS BIGINT) AS n_removed, " +
+      "CAST((len(string_split(d.text, ' ')) - COALESCE(rm.nr, 0)) * 10000 " +
+      "// len(string_split(d.text, ' ')) AS BIGINT) AS kept_bp " +
+      "FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id " +
+      docFilter +
+      " ORDER BY d.doc_id LIMIT 100"
+
   /** Per-document integer surprisal over a joined (doc_id, c2, c1) bigram
     * stream — the Spark half of `pplOracle`'s sc stage: each bigram is
     * worth `length(bin(c1 DIV c2))` bits (floor(log₂)+1, string-wise —
@@ -1172,6 +1213,66 @@ object SparkEntry {
       rmTree(tmpPath.toFile)
       pplGateTail(scored)
     },
+    // Exact-substring span sharing (round 11, Lee et al. 2021
+    // arXiv:2107.06499): the span-level complement to the document-level
+    // dedup family — WHERE the repeated k-token spans are, not just
+    // which documents overlap. Pure aggregation (no pair generation, no
+    // caps): one keys-only exchange of (hash, packed doc·pos) longs,
+    // linear at any span popularity.
+    "q173_shared_spans" -> { (spark, dir) =>
+      TextDedup.sharedSpanStats(Tables.table(spark, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("n_occ").desc, col("h")).limit(100)
+    },
+    // Span-removal accounting (round 11): every occurrence of a shared
+    // k-token span except its canonical first is marked for removal; a
+    // token position is removed if any non-canonical occurrence covers
+    // it — per-doc tokens/removed/kept_bp, the curation log of the Lee
+    // et al. dedup rewrite.
+    "q174_span_removal" -> { (spark, dir) =>
+      TextDedup.spanRemovalStats(Tables.table(spark, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id").limit(100)
+    },
+    // Incremental span removal (round 11): the daily-crawl form — the
+    // corpus contributes only its PERSISTED span index (mergeable by
+    // key-wise (sum, min), the sketch/LM discipline), the batch's own
+    // occurrences merge in, and only incoming docs score. Oracle = the
+    // q174 replay restricted to incoming doc ids (merged index ≡ full
+    // index on closed input).
+    "q175_incremental_spans" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      TextDedup.spanRemovalStatsCross(
+          d.filter(col("doc_id") < IncrementalSplitId),
+          d.filter(col("doc_id") >= IncrementalSplitId),
+          "doc_id", "text")
+        .orderBy("doc_id").limit(100)
+    },
+    // Streaming span removal (round 11): incoming documents STREAMED and
+    // scored per micro-batch against the static full-corpus shared-span
+    // table — the q172 no-state shape (foreachBatch batch-scoring; a doc
+    // never splits across micro-batches). Hashes against the identical
+    // q175 replay: streaming = batch on closed input.
+    "q176_stream_spans" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val spans = Checkpoints.cut(
+        TextDedup.spanIndex(docs, "doc_id", "text").filter(col("__n") >= 2),
+        eager = false)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q176")
+      val scored = Checkpoints.cut(
+        graft.streaming.StreamOps.runBatchesToParquet(spark, stream, s"$tmpPath/scores") { b =>
+          TextDedup.spanRemovalStatsAgainstIndex(b, spans, "doc_id", "text")
+        }.select("doc_id", "n_tokens", "n_removed", "kept_bp"),
+        eager = true)
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(tmpPath.toFile)
+      scored.orderBy("doc_id").limit(100)
+    },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
     // replaying the identical sequential rule per shard.
@@ -1988,6 +2089,30 @@ object SparkEntry {
         pplOracle(s"WHERE st.doc_id >= $IncrementalSplitId"),
       "q172_ppl_stream" ->
         pplOracle(s"WHERE st.doc_id >= $IncrementalSplitId"),
+      // q173/q174 (round 11): exact-substring span dedup — the k-gram
+      // occurrence stream replayed with the composed md5 spelling (the
+      // q98 window construction at k = TextDedup.SpanK), canonical
+      // occurrence as MIN over the packed doc·10⁶+pos BIGINT (a
+      // struct-min is not a shared spelling; the pack is), coverage via
+      // generate_series. len(t) >= k mirrors spanOccurrences' sub-k
+      // exclusion.
+      "q173_shared_spans" ->
+        (s"WITH $spanOccCtes, " +
+          s"sp AS (SELECT h, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs, " +
+          s"MIN(doc_id * $SpanPosPackSql + pos) AS canon FROM occ GROUP BY h) " +
+          "SELECT h, CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs, " +
+          s"CAST(canon // $SpanPosPackSql AS BIGINT) AS canon_doc, " +
+          s"CAST(canon % $SpanPosPackSql AS BIGINT) AS canon_pos " +
+          "FROM sp WHERE n_occ >= 2 ORDER BY n_occ DESC, h LIMIT 100"),
+      "q174_span_removal" -> spanRemovalOracle(""),
+      // q175/q176 (round 11): the same replay restricted to incoming doc
+      // ids — the merged (q175) / precomputed-static (q176) span index
+      // equals the full-corpus index on the closed input, so incremental
+      // and streaming both hash against the restricted batch answer.
+      "q175_incremental_spans" ->
+        spanRemovalOracle(s"WHERE d.doc_id >= $IncrementalSplitId"),
+      "q176_stream_spans" ->
+        spanRemovalOracle(s"WHERE d.doc_id >= $IncrementalSplitId"),
       // q165 (round 10): identical replay to q160 — the streamed
       // k-smallest state equals the batch priority sample on closed
       // input (same (prio, doc_id) order, same k).

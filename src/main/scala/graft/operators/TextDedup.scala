@@ -276,6 +276,162 @@ object TextDedup {
 
   private val MersennePrime61 = (1L << 61) - 1
 
+  /** Span length (in tokens) for exact-substring dedup (q173/q174) —
+    * interpolated into both DuckDB texts, cf. PortableShingleN. 8 tokens
+    * is the classic "long enough to be non-accidental" window (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, use 50 BPE tokens on web text; the
+    * synthetic corpus's 30-word vocabulary saturates 8-grams the way web
+    * text saturates 50-grams). */
+  val SpanK = 8
+
+  /** Packed (doc, pos) occurrence key: doc_id·10⁶ + pos — a single
+    * BIGINT both engines MIN identically (a struct/ROW min is not a
+    * shared spelling). Positions are bounded by document length ≪ 10⁶.
+    * Public: SparkEntry interpolates the same constant into the q173/
+    * q174 DuckDB texts (the pack is part of the canonical-occurrence
+    * definition). */
+  val SpanPosPack = 1000000L
+
+  /** Every k-token window occurrence: (id, pos 0-based, h). Keys-only —
+    * one long hash per window, token strings never leave the scan.
+    * Sub-k documents are excluded (a span of length k cannot occur in
+    * them; PortableShingleHash's clamped whole-doc hash would otherwise
+    * cover positions past the document's end in the removal accounting).
+    * Mirrored as `len(t) >= k` in the q173/q174 DuckDB texts. */
+  private def spanOccurrences(df: DataFrame, idCol: String, textCol: String,
+                              k: Int): DataFrame = {
+    graft.functions.PortableShingleHash.register(
+      org.apache.spark.sql.SparkSession.active)
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol),
+        posexplode(call_function("portable_shingle_hash", col("__t"), lit(k)))
+          .as(Seq("__pos", "__h")))
+  }
+
+  /** Exact-substring (k-token span) sharing report — the span-level
+    * complement to the document-level dedup family: minhash/simhash say
+    * WHICH documents overlap, this says WHERE — the repeated k-gram
+    * spans themselves, with occurrence/document counts and the canonical
+    * (first) occurrence. Output: (h, n_occ, n_docs, canon_doc,
+    * canon_pos), shared spans only (n_occ ≥ 2).
+    *
+    * Scale shape: one exchange of (h, id·10⁶+pos) longs — linear in
+    * corpus token count, map-side partial aggregation collapses
+    * per-partition duplicates; no strings, no pairs, no caps needed
+    * (aggregation is linear regardless of span popularity — unlike pair
+    * generators, a million-occurrence boilerplate span costs one
+    * aggregate row here). */
+  def sharedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = SpanK): DataFrame =
+    spanOccurrences(df, idCol, textCol, k)
+      .groupBy("__h")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol) * SpanPosPack + col("__pos")).as("__canon"))
+      .filter(col("n_occ") >= 2)
+      .select(col("__h").as("h"), col("n_occ"), col("n_docs"),
+        expr(s"__canon DIV $SpanPosPack").as("canon_doc"),
+        (col("__canon") % SpanPosPack).as("canon_pos"))
+
+  /** Span index over a corpus: (h, n occurrences, canonical packed
+    * occurrence) — the persisted artifact of incremental span dedup.
+    * MERGEABLE by (sum, min) per hash (the sketch/LM-family discipline):
+    * index(A ∪ B) = key-wise merge of index(A), index(B), which is what
+    * lets a daily batch update the corpus index without re-scanning the
+    * corpus (`spanRemovalStatsCross`). */
+  def spanIndex(df: DataFrame, idCol: String, textCol: String,
+                k: Int = SpanK): DataFrame =
+    spanOccurrences(df, idCol, textCol, k)
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__n"),
+        min(col(idCol) * SpanPosPack + col("__pos")).as("__canon"))
+
+  /** Shared removal tail: non-canonical occurrences of shared spans →
+    * coverage explode ×k → distinct-position count per doc → stats for
+    * every document of `docs` (zero-removal docs included). `spans` =
+    * (h, __n, __canon) with n ≥ 2 already filtered. */
+  private def spanRemovalTail(docs: DataFrame, occ: DataFrame, spans: DataFrame,
+                              idCol: String, textCol: String, k: Int): DataFrame = {
+    val removedPerDoc = occ.join(spans.select("__h", "__canon"), Seq("__h"))
+      .filter(col(idCol) * SpanPosPack + col("__pos") =!= col("__canon"))
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__p"))
+      .groupBy(idCol).agg(countDistinct(col("__p")).as("__nr"))
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(removedPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__nr"), lit(0L)).as("n_removed"))
+      .withColumn("kept_bp",
+        expr("(n_tokens - n_removed) * 10000 DIV n_tokens"))
+  }
+
+  /** Per-batch span scoring against a PRECOMPUTED shared-span table
+    * (`spanIndex(corpus).filter(n ≥ 2)`, lineage-cut by the caller) —
+    * the streaming form's micro-batch body (q176): a document never
+    * splits across micro-batches, so batch-local scoring against the
+    * static table is complete, with zero streaming state. */
+  def spanRemovalStatsAgainstIndex(docs: DataFrame, spans: DataFrame,
+                                   idCol: String, textCol: String,
+                                   k: Int = SpanK): DataFrame =
+    spanRemovalTail(docs, spanOccurrences(docs, idCol, textCol, k),
+      spans, idCol, textCol, k)
+
+  /** Incremental span removal: stats for an INCOMING batch against an
+    * EXISTING corpus — the daily-crawl form of `spanRemovalStats` (cf.
+    * portableCrossPairStats / editDistanceCrossPairs). The corpus
+    * contributes only its PERSISTED span index (`spanIndex`, merged
+    * key-wise with the batch's own — sum counts, min canonical); its
+    * raw text is never re-read, and since existing ids precede incoming
+    * ids, any span present in the corpus keeps its corpus-side canonical
+    * — every incoming occurrence of it is removed, while spans shared
+    * only WITHIN the batch keep their first batch occurrence. Equals
+    * `spanRemovalStats` on the concatenated corpus restricted to
+    * incoming docs (the q175 oracle). */
+  def spanRemovalStatsCross(existing: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = SpanK): DataFrame = {
+    // the batch occurrence stream feeds both the index merge and the
+    // removal join — cut once (cf. spanRemovalStats)
+    val occNew = Checkpoints.cut(
+      spanOccurrences(incoming, idCol, textCol, k), eager = false)
+    val merged = spanIndex(existing, idCol, textCol, k)
+      .unionByName(occNew.groupBy("__h")
+        .agg(count(lit(1)).as("__n"),
+          min(col(idCol) * SpanPosPack + col("__pos")).as("__canon")))
+      .groupBy("__h")
+      .agg(sum("__n").as("__n"), min("__canon").as("__canon"))
+      .filter(col("__n") >= 2)
+    spanRemovalTail(incoming, occNew, merged, idCol, textCol, k)
+  }
+
+  /** Exact-substring span REMOVAL stats (Lee et al. 2021's dedup
+    * operation, arXiv:2107.06499): every occurrence of a shared k-token
+    * span except its canonical first (min packed (doc, pos)) is marked
+    * for removal; a token position is removed if ANY non-canonical
+    * occurrence covers it. Output per document: (id, n_tokens,
+    * n_removed, kept_bp) — the cleanup accounting a curation run logs
+    * (the actual text rewrite is a trailing slice-and-join on the same
+    * coverage set).
+    *
+    * Scale shape: occurrences → vocabulary-sized span aggregate → hash
+    * join back (both sides keys-only) → coverage explode ×k on
+    * REMOVABLE occurrences only → distinct positions → per-doc count.
+    * Linear end to end; the ×k fan-out applies only to duplicated
+    * spans, which dedup's premise says are the minority. */
+  def spanRemovalStats(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = SpanK): DataFrame = {
+    // occ feeds BOTH the span aggregate and the removal join — cut the
+    // md5 window-hash pass once instead of recomputing it per reference
+    // (the q82 lineage-cut rule; the occurrence stream is 3 longs/row)
+    val occ = Checkpoints.cut(spanOccurrences(df, idCol, textCol, k), eager = false)
+    val spans = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__n"),
+        min(col(idCol) * SpanPosPack + col("__pos")).as("__canon"))
+      .filter(col("__n") >= 2)
+    spanRemovalTail(df, occ, spans, idCol, textCol, k)
+  }
+
   /** Parameters shared by `portablePairStats` and the q82 DuckDB oracle
     * text (SparkEntry interpolates them into the SQL) — one compile-time
     * source of truth so changing them cannot silently desynchronize the

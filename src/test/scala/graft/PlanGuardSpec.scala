@@ -20,7 +20,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q89_stream_sessions", // runs the session stream to completion at build
     "q97_embed_clusters",  // iterative fixpoint: checkpoint + head() actions at build
     "q107_stream_static",  // runs the stream-static enrichment to completion at build
-    "q172_ppl_stream")     // runs the scoring stream to completion at build (q162 shape)
+    "q172_ppl_stream",     // runs the scoring stream to completion at build (q162 shape)
+    "q176_stream_spans")   // runs the span-scoring stream to completion at build (q172 shape)
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic

@@ -900,6 +900,48 @@ class TierESpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
   }
 
+  test("span dedup (q173/q174) matches hand-computed sharing and removal") {
+    import spark.implicits._
+    // doc 1: 10 tokens; doc 2 embeds doc 1's first 8-gram at pos 1;
+    // doc 3 is identical to doc 1 (all three of its 8-windows shared).
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "z a b c d e f g h w"),
+      (3L, "a b c d e f g h x y"),
+      (4L, "p q r")   // sub-k: excluded from spans, still reported by q174
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.sharedSpanStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // (n_occ, n_docs, canon_doc, canon_pos): "a..h" ×3 docs; doc1/doc3's
+    // windows at pos 1 and 2 shared pairwise
+    assert(spans == Set((3L, 3L, 1L, 0L), (2L, 2L, 1L, 1L), (2L, 2L, 1L, 2L)))
+    val rm = TextDedup.spanRemovalStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rm(1L) == ((10L, 0L, 10000L)))  // canonical everywhere
+    assert(rm(2L) == ((10L, 8L, 2000L)))   // pos 1..8 covered
+    assert(rm(3L) == ((10L, 10L, 0L)))     // 0..7 ∪ 1..8 ∪ 2..9 = all
+    assert(rm(4L) == ((3L, 0L, 10000L)))   // sub-k: exempt, fully kept
+  }
+
+  test("incremental and streaming span removal equal the symmetric operator restricted to incoming (q175/q176)") {
+    import spark.implicits._
+    val d = Tables.table(spark, TestSpark.sf0001, "documents")
+    val split = 400L
+    val want = TextDedup.spanRemovalStats(d, "doc_id", "text")
+      .filter(col("doc_id") >= split).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cross = TextDedup.spanRemovalStatsCross(
+        d.filter(col("doc_id") < split), d.filter(col("doc_id") >= split),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(want.nonEmpty && cross == want,
+      "merged-index incremental removal must equal the symmetric operator on the batch split")
+    val stream = SparkEntry.queries("q176_stream_spans")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stream == want.toSeq.sortBy(_._1).take(100).toMap,
+      "streaming span scoring must equal the batch answer on the closed input")
+  }
+
   test("q172 streaming ppl gate equals q171 incremental on the closed input") {
     // streaming = batch contract, pinned Spark-side (the oracle proves it
     // cross-engine): both score the incoming half against the full model.
