@@ -321,6 +321,37 @@ object Similarity {
     q.select(col(idCol),
       posexplode(array(portableBucketCols(planes): _*)).as(Seq("__t", "__bkt")))
 
+  /** Occupancy-ADAPTIVE sizing — the clustered-corpus guard the
+    * size-only rule lacks (round-11 verdict: `recommendedBits` keys on
+    * corpus COUNT, but a heavily clustered corpus can overload buckets
+    * at any average occupancy, and the cap then silently drops them —
+    * recall collapse with no signal). Starts at the count-derived width
+    * and widens one bit at a time until the MAX bucket occupancy fits
+    * `maxOccupancy`, or the width cap (24) is reached — in which case
+    * the residual oversize buckets are sign-identical vector clusters
+    * no hyperplane count separates (genuine boilerplate;
+    * `DefaultMaxBucketSize`'s job, auditable via
+    * `portableEmbedBucketSizes`). Each probe is ONE aggregate over the
+    * keys-only bucket stream (no vectors move) — a bounded setup cost a
+    * production pipeline pays once per corpus snapshot. The DECLARED
+    * q84/q97 entries keep the pure count rule because their DuckDB
+    * replays interpolate a static width; production callers wanting the
+    * clustered-corpus guarantee size with this. */
+  def adaptiveBits(corpus: DataFrame, idCol: String, vecCol: String,
+                   targetOccupancy: Long = 32,
+                   maxOccupancy: Long = TextDedup.DefaultMaxBucketSize / 2,
+                   tables: Int = 8, dim: Int = 64, seed: Long = 11L,
+                   scale: Int = 10000): Int = {
+    val start = recommendedBits(corpus.count(), targetOccupancy)
+    var bits = start
+    while (bits < 24 && {
+      val mx = portableEmbedBucketSizes(corpus, idCol, vecCol,
+        tables, bits, dim, seed, scale).agg(max("n")).head().getLong(0)
+      mx > maxOccupancy
+    }) bits += 1
+    bits
+  }
+
   /** Occupancy audit for the portable embedding-LSH buckets: (t, bkt, n)
     * per bucket — what DriftGuardSpec asserts margins on after the driver
     * regenerates the testdata (a clustered or bigger corpus shows up here

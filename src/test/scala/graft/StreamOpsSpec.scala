@@ -92,6 +92,24 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("per-batch parquet partials are replay-idempotent (batchId overwrite, round-11 advice)") {
+    import spark.implicits._
+    // Simulate the streaming-replay hazard directly: a micro-batch whose
+    // parquet write committed but whose streaming commit did not is
+    // re-executed on restart. With append-mode partials the rows double;
+    // with the batchId-derived overwrite subpath they must not.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val part = Seq((1L, 2L, 3L), (4L, 5L, 6L)).toDF("k", "k1", "m")
+    part.write.mode("overwrite").parquet(s"$tmp/batch=0")
+    part.write.mode("overwrite").parquet(s"$tmp/batch=0") // the replay
+    Seq((7L, 8L, 9L)).toDF("k", "k1", "m").write.mode("overwrite").parquet(s"$tmp/batch=1")
+    val merged = spark.read.parquet(tmp).groupBy("k", "k1")
+      .agg(sum("m").as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == Map((1L, 2L) -> 3L, (4L, 5L) -> 6L, (7L, 8L) -> 9L),
+      "a replayed batch's partial must overwrite, not double-count")
+  }
+
   test("eventsStream adapts to every ts physical layout the driver has shipped") {
     // The driver regenerates /root/testdata between rounds and events.ts
     // has shipped as INT64 TIMESTAMP(NANOS) (rounds ≤8; reads as a raw ns
