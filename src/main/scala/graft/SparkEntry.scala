@@ -223,6 +223,12 @@ object SparkEntry {
       docFilter +
       " ORDER BY d.doc_id LIMIT 100"
 
+  /** q177's span-retention gate: drop documents retaining < 50% of their
+    * tokens after span removal (heavily-duplicated docs — the sf0.01
+    * corpus is bimodal: ~95% fully kept, a planted near-dup tail at
+    * 0-5000 bp). One constant for the Spark entry AND the DuckDB text. */
+  private val SpanKeepBp = 5000L
+
   /** Per-document integer surprisal over a joined (doc_id, c2, c1) bigram
     * stream — the Spark half of `pplOracle`'s sc stage: each bigram is
     * worth `length(bin(c1 DIV c2))` bits (floor(log₂)+1, string-wise —
@@ -1273,6 +1279,36 @@ object SparkEntry {
       rmTree(tmpPath.toFile)
       scored.orderBy("doc_id").limit(100)
     },
+    // Round-11 curation capstone: span-level dedup → model-based quality
+    // gate → per-language budget report, composed from the round's new
+    // operators exactly as a curation run ships them (the q140
+    // discipline: every stage is the linear shape its standalone entry
+    // proved — q174's removal accounting, q170's integer-bits perplexity
+    // — and the composition is what THIS row hash-proves). Documents
+    // losing ≥ half their tokens to shared spans are dropped, survivors
+    // must pass the LM gate, and the report totals what a mixture
+    // builder budgets on: kept docs, kept tokens, removed tokens, total
+    // surprisal per language.
+    "q177_curation_capstone" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val span = TextDedup.spanRemovalStats(docs, "doc_id", "text")
+        .filter(col("kept_bp") >= SpanKeepBp)
+      val st = Checkpoints.cut(lmKeyStream(docs), eager = false)
+      val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
+      val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
+      val ppl = pplAgg(st.join(c2, Seq("k")).join(c1, Seq("k1")))
+        .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+        .filter(col("ppl_bp") <= PplGateBp)
+      span.join(ppl.select("doc_id", "bits_total"), Seq("doc_id"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("n_removed").as("sum_removed"),
+          sum("bits_total").as("sum_bits"))
+        .orderBy("lang").limit(100)
+    },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
     // replaying the identical sequential rule per shard.
@@ -2113,6 +2149,47 @@ object SparkEntry {
         spanRemovalOracle(s"WHERE d.doc_id >= $IncrementalSplitId"),
       "q176_stream_spans" ->
         spanRemovalOracle(s"WHERE d.doc_id >= $IncrementalSplitId"),
+      // q177 (round 11 capstone): the composed curation path — span
+      // removal accounting (q174's CTEs, renamed tk8/…) feeding the
+      // retention gate, the LM surprisal stage (q170's CTEs, renamed
+      // tk2/…) feeding the perplexity gate, one per-language budget
+      // aggregate. Stage equivalences are individually hash-proven by
+      // q174/q170; this row proves the COMPOSITION (the q140
+      // discipline).
+      "q177_curation_capstone" -> {
+        val k = TextDedup.SpanK
+        "WITH tk8 AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) " +
+          s"WHERE len(t) >= $k), " +
+          "occ AS (SELECT doc_id, i AS pos, " +
+          s"CAST(('0x' || substr(md5(array_to_string(t[i + 1:i + $k], ' ')), 1, 8)) AS BIGINT) AS h " +
+          s"FROM (SELECT doc_id, t, unnest(range(0, len(t) - $k + 1)) AS i FROM tk8)), " +
+          s"sp AS (SELECT h, COUNT(*) AS n, MIN(doc_id * $SpanPosPackSql + pos) AS canon FROM occ GROUP BY h), " +
+          "rme AS (SELECT occ.doc_id AS doc_id, " +
+          s"unnest(generate_series(occ.pos, occ.pos + ${k - 1})) AS p " +
+          "FROM occ JOIN sp ON occ.h = sp.h " +
+          s"WHERE sp.n >= 2 AND occ.doc_id * $SpanPosPackSql + occ.pos <> sp.canon), " +
+          "rm AS (SELECT doc_id, COUNT(DISTINCT p) AS nr FROM rme GROUP BY doc_id), " +
+          "spst AS (SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tokens, " +
+          "COALESCE(rm.nr, 0) AS n_removed, " +
+          "(len(string_split(d.text, ' ')) - COALESCE(rm.nr, 0)) * 10000 " +
+          "// len(string_split(d.text, ' ')) AS kept_bp " +
+          "FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id), " +
+          "tk2 AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2), " +
+          "st AS (SELECT doc_id, " +
+          "CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) AS k, " +
+          "CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS k1 " +
+          "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tk2)), " +
+          "c2 AS (SELECT k, COUNT(*) AS c2 FROM st GROUP BY k), " +
+          "c1 AS (SELECT k1, COUNT(*) AS c1 FROM st GROUP BY k1), " +
+          "pp AS (SELECT st.doc_id, COUNT(*) AS n_bigrams, " +
+          "CAST(SUM(length(bin(c1.c1 // c2.c2))) AS BIGINT) AS bits_total " +
+          "FROM st JOIN c2 ON st.k = c2.k JOIN c1 ON st.k1 = c1.k1 GROUP BY st.doc_id) " +
+          "SELECT s.lang AS lang, COUNT(*) AS n_docs, CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens, " +
+          "CAST(SUM(s.n_removed) AS BIGINT) AS sum_removed, CAST(SUM(p.bits_total) AS BIGINT) AS sum_bits " +
+          "FROM spst s JOIN pp p ON p.doc_id = s.doc_id " +
+          s"WHERE s.kept_bp >= $SpanKeepBp AND (p.bits_total * 10000) // p.n_bigrams <= $PplGateBp " +
+          "GROUP BY s.lang ORDER BY lang LIMIT 100"
+      },
       // q165 (round 10): identical replay to q160 — the streamed
       // k-smallest state equals the batch priority sample on closed
       // input (same (prio, doc_id) order, same k).
