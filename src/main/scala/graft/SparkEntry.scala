@@ -129,8 +129,11 @@ object SparkEntry {
     * genuinely splits the corpus rather than passing or dropping
     * everything. One constant for the Spark entries AND the DuckDB
     * texts — a distribution drift only moves the kept fraction, never
-    * cross-engine equality. */
-  private val PplGateBp = 53200L
+    * cross-engine equality. private[graft]: DriftGuardSpec asserts the
+    * gate still SPLITS each regenerated corpus (a threshold stranded
+    * outside the new distribution stays hash-green but degenerates to
+    * keep-all/drop-all). */
+  private[graft] val PplGateBp = 53200L
 
   /** Shared DuckDB replay for the perplexity-gate family (q170 batch,
     * q171 incremental, q172 streaming): the q157 bigram model's two
@@ -226,8 +229,9 @@ object SparkEntry {
   /** q177's span-retention gate: drop documents retaining < 50% of their
     * tokens after span removal (heavily-duplicated docs — the sf0.01
     * corpus is bimodal: ~95% fully kept, a planted near-dup tail at
-    * 0-5000 bp). One constant for the Spark entry AND the DuckDB text. */
-  private val SpanKeepBp = 5000L
+    * 0-5000 bp). One constant for the Spark entry AND the DuckDB text;
+    * private[graft] for DriftGuardSpec's still-splits assertion. */
+  private[graft] val SpanKeepBp = 5000L
 
   /** Per-document integer surprisal over a joined (doc_id, c2, c1) bigram
     * stream — the Spark half of `pplOracle`'s sc stage: each bigram is
@@ -237,6 +241,19 @@ object SparkEntry {
     joined.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(length(bin(expr("c1 DIV c2"))).cast("long")).as("bits_total"))
+
+  /** UNGATED per-doc perplexity frame (doc_id, n_bigrams, bits_total) —
+    * the q170/q177 scoring stage before any threshold; private[graft] so
+    * DriftGuardSpec can assert the gate still splits a regenerated
+    * corpus. */
+  private[graft] def pplScoresAll(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+    graft.functions.PortableShingleHash.register(spark)
+    val st = Checkpoints.cut(lmKeyStream(d), eager = false)
+    val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
+    val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
+    pplAgg(st.join(c2, Seq("k")).join(c1, Seq("k1")))
+  }
 
   /** Shared gate tail of q170-q172: bits-per-bigram ×10⁴, threshold,
     * total order. */
@@ -1159,12 +1176,7 @@ object SparkEntry {
     // natural resolution. Same scale shape as q157: one (k, k1) key
     // stream cut once, two vocabulary-sized marginals, hash joins.
     "q170_ppl_gate" -> { (spark, dir) =>
-      val d = Tables.table(spark, dir, "documents")
-      graft.functions.PortableShingleHash.register(spark)
-      val st = Checkpoints.cut(lmKeyStream(d), eager = false)
-      val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
-      val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
-      pplGateTail(pplAgg(st.join(c2, Seq("k")).join(c1, Seq("k1"))))
+      pplGateTail(pplScoresAll(spark, dir))
     },
     // Incremental perplexity gate (round 11): the corpus model's count
     // tables persist, the incoming batch's counts merge key-wise (the
@@ -1294,10 +1306,7 @@ object SparkEntry {
       graft.functions.PortableShingleHash.register(spark)
       val span = TextDedup.spanRemovalStats(docs, "doc_id", "text")
         .filter(col("kept_bp") >= SpanKeepBp)
-      val st = Checkpoints.cut(lmKeyStream(docs), eager = false)
-      val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
-      val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
-      val ppl = pplAgg(st.join(c2, Seq("k")).join(c1, Seq("k1")))
+      val ppl = pplScoresAll(spark, dir)
         .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
         .filter(col("ppl_bp") <= PplGateBp)
       span.join(ppl.select("doc_id", "bits_total"), Seq("doc_id"))

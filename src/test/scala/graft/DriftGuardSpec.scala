@@ -87,6 +87,25 @@ class DriftGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 gate thresholds still SPLIT the regenerated corpus (q170/q174/q177)") {
+    // A threshold pinned to one round's distribution stays hash-green
+    // after regeneration but can degenerate to keep-all / drop-all —
+    // which hollow out the gate entries without any red signal. Assert
+    // both gates keep SOME and drop SOME at the oracle SF.
+    val dir = dirs.find(_.endsWith("sf0.01")).getOrElse(dirs.head)
+    val scored = SparkEntry.pplScoresAll(spark, dir)
+      .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+    val total = scored.count()
+    val kept = scored.filter(col("ppl_bp") <= SparkEntry.PplGateBp).count()
+    assert(kept > 0 && kept < total,
+      s"$dir: ppl gate keeps $kept of $total — PplGateBp=${SparkEntry.PplGateBp} is outside the regenerated bits distribution; re-measure the median (pplOracle comment)")
+    val span = TextDedup.spanRemovalStats(Tables.table(spark, dir, "documents"), "doc_id", "text")
+    val total2 = span.count()
+    val kept2 = span.filter(col("kept_bp") >= SparkEntry.SpanKeepBp).count()
+    assert(kept2 > 0 && kept2 < total2,
+      s"$dir: span retention gate keeps $kept2 of $total2 — SpanKeepBp=${SparkEntry.SpanKeepBp} no longer splits the regenerated duplication tail")
+  }
+
   test("edit-distance prefix/suffix block occupancy under cap with margin (q136/q141/q142)") {
     dirs.foreach { d =>
       val docs = Tables.table(spark, d, "documents")
