@@ -82,6 +82,25 @@ object SparkEntry {
     b
   }
 
+  /** Bind the oracle texts' derived constants to `dir` WITHOUT running
+    * any query — Verify calls this before dumping `oracleSql` so a
+    * SUBSET run (the 3-arg fast-iteration form) that skips the embed
+    * entries still interpolates the right LSH width into the q84/q97/
+    * q125 texts instead of the unbound default (round-11 review
+    * finding: order-dependence between query execution and text
+    * generation). */
+  def bindOracleDir(spark: SparkSession, dir: String): Unit = {
+    embedBitsFor(spark, dir); ()
+  }
+
+  /** Shared recursive delete for the streaming entries' temp trees
+    * (q162/q172/q176) and Verify's stale-dump removal. Null-safe:
+    * listFiles returns null on IO errors/races — treat as empty. */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** q101's per-language mix quotas in basis points — one constant for the
     * Spark entry AND the generated DuckDB text (documents.lang takes
     * exactly these five values, FIXTURES.md). */
@@ -1149,10 +1168,6 @@ object SparkEntry {
         graft.streaming.StreamOps.lmModelStream(
           spark, stream, "text", s"$tmpPath/partials"),
         eager = true)
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmTree)
-        f.delete(); ()
-      }
       rmTree(tmpPath.toFile)
       val c2 = model.groupBy("k").agg(sum("m").as("c2"))
       val c1 = model.groupBy("k1").agg(sum("m").as("c1"))
@@ -1224,10 +1239,6 @@ object SparkEntry {
           pplAgg(lmKeyStream(b).join(c2, Seq("k")).join(c1, Seq("k1")))
         }.select("doc_id", "n_bigrams", "bits_total"),
         eager = true)
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmTree)
-        f.delete(); ()
-      }
       rmTree(tmpPath.toFile)
       pplGateTail(scored)
     },
@@ -1284,10 +1295,6 @@ object SparkEntry {
           TextDedup.spanRemovalStatsAgainstIndex(b, spans, "doc_id", "text")
         }.select("doc_id", "n_tokens", "n_removed", "kept_bp"),
         eager = true)
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmTree)
-        f.delete(); ()
-      }
       rmTree(tmpPath.toFile)
       scored.orderBy("doc_id").limit(100)
     },

@@ -30,11 +30,7 @@ object Verify {
       // remove any previous dump first: a failing query must leave NO
       // output, not a stale one the comparator would grade as fresh
       val target = new java.io.File(s"$outDir/$name")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (target.exists()) rm(target)
+      if (target.exists()) SparkEntry.rmTree(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,6 +49,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // bind dir-derived oracle constants (embed-LSH width) BEFORE the
+    // dump: a subset run that skipped the embed entries would otherwise
+    // interpolate the unbound default width into their texts
+    SparkEntry.bindOracleDir(spark, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -32,8 +32,11 @@ object StreamParts {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(id)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // release checkpoint blocks OUTSIDE the timer (Bench's timing
+        // discipline — these numbers are compared against its medians)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (System.nanoTime() - t0) / 1e9
+        sec
       }
       val med = times.sorted.apply(1)
       total += med

@@ -52,7 +52,7 @@ class DriftGuardSpec extends AnyFunSuite {
       // quadratic-work proxy: Σn² ≈ avg-occupancy × fan-out; the sizing
       // rule targets occupancy 32, so 256× corpus×tables is ~8× headroom
       assert(sq <= 256L * tot,
-        s"$d: Σ(bucket²)=$sq > 256×Σn=$tot×256 at bits=$bits — in-bucket pair work drifted toward quadratic")
+        s"$d: Σ(bucket²)=$sq > 256×Σn=${256L * tot} (Σn=$tot) at bits=$bits — in-bucket pair work drifted toward quadratic")
     }
   }
 

@@ -87,7 +87,11 @@ class PlanGuardSpec extends AnyFunSuite {
         val p = prefixLen(line)
         p >= 0 && {
           val node = line.substring(p)
-          node.startsWith("Window") || node.startsWith("Sort")
+          // "Sort " (trailing space before the plan id) — a bare prefix
+          // would also match SortAggregate / SortMergeJoin, whose
+          // subtrees legitimately contain global-aggregate
+          // SinglePartition exchanges (round-11 review finding)
+          node.startsWith("Window") || node.startsWith("Sort ")
         } && {
           // scan the node's subtree: following lines with a deeper prefix
           lines.drop(i + 1)
