@@ -34,6 +34,18 @@ object DriftProbe {
         val mx = docs.select(k.as("k")).groupBy("k").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
         println(s"$d edit $lbl max=$mx")
       }
+      // gate-threshold distributions (round 11): what DriftGuardSpec's
+      // still-splits assertion bounds — re-tune PplGateBp / SpanKeepBp
+      // from these when a regeneration moves the distribution
+      val ppl = graft.SparkEntry.pplScoresAll(spark, d)
+        .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+        .agg(min("ppl_bp"), expr("percentile_approx(ppl_bp, 0.5)"), max("ppl_bp"),
+          count(lit(1))).head()
+      println(s"$d ppl_bp min=${ppl.getLong(0)} median~${ppl.getLong(1)} max=${ppl.getLong(2)} n=${ppl.getLong(3)}")
+      val span = TextDedup.spanRemovalStats(docs, "doc_id", "text")
+      val sk = span.agg(min("kept_bp"),
+        sum(when(col("kept_bp") >= 5000L, 1L).otherwise(0L)), count(lit(1))).head()
+      println(s"$d span kept_bp min=${sk.getLong(0)} kept@5000=${sk.getLong(1)}/${sk.getLong(2)}")
     }
     spark.stop()
   }
