@@ -107,6 +107,14 @@ object SparkEntry {
   private val MixQuotasBp: Map[String, Int] =
     Map("de" -> 9000, "en" -> 5000, "es" -> 2500, "fr" -> 10000, "zh" -> 1000)
 
+  /** q179's per-language token budget as a PERCENT of that language's own
+    * total — self-scaling, so a regenerated corpus can never strand it the
+    * way an absolute token count would (the DriftGuard lesson applied at
+    * design time: a relative threshold splits every corpus whose languages
+    * have >1 document). One constant for the Spark entry AND the DuckDB
+    * text. */
+  private val MixBudgetPct = 30L
+
   /** Shared CTE chain replaying the portable embedding-LSH pipeline in
     * DuckDB (q84 pair check, q97 clustering): quantized integer vectors,
     * hyperplanes as a generated VALUES table
@@ -1325,6 +1333,79 @@ object SparkEntry {
           sum("bits_total").as("sum_bits"))
         .orderBy("lang").limit(100)
     },
+    // Test-set leakage detection (round 11): the decontamination check a
+    // train/test split SHIPS WITH — verified near-dup pairs (the q82
+    // portable minhash pipeline, keys-only banding, capped buckets)
+    // crossing the q69 md5 split boundary. The split label is a pure
+    // function of doc_id, computed scan-locally on the verified pair rows
+    // — ZERO exchanges on top of q82's pipeline, so the entry scales
+    // exactly as far as q82 does. Output = (leaked test doc, its train
+    // near-twin) — the actionable removal list.
+    "q178_split_leakage" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(100L)) < 80, lit("train")).otherwise(lit("test"))
+      TextDedup.portablePairStats(docs, "doc_id", "text")
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+        .withColumn("sa", splitOf(col("id_a")))
+        .withColumn("sb", splitOf(col("id_b")))
+        .filter(col("sa") =!= col("sb"))
+        .select(
+          when(col("sa") === "test", col("id_a")).otherwise(col("id_b")).as("test_doc"),
+          when(col("sa") === "test", col("id_b")).otherwise(col("id_a")).as("train_doc"),
+          col("n_inter"), col("n_union"))
+        .orderBy("test_doc", "train_doc").limit(100)
+    },
+    // Token-budget mixture materialization (round 11): the step that turns
+    // a data recipe into an actual training corpus — per language, take
+    // documents in the q160 deterministic priority order until the
+    // language's cumulative tokens reach MixBudgetPct% of its total. The
+    // cumulative sum uses Scale.groupedPrefixSum (range-partition +
+    // boundary-carry two-pass), NOT a lang-partitioned running window:
+    // with ~5 languages a windowed cumsum serializes 1/5 of a 100 TB
+    // corpus through one task. Totals come from a broadcast-sized per-lang
+    // aggregate; the priority frame is scan-local arithmetic re-derived
+    // per reference (cheap subtree — no lineage cut warranted).
+    "q179_budget_mix" -> { (spark, dir) =>
+      val pr = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"),
+          col("n_chars"))
+        .withColumn("prio", expr("h DIV (n_chars DIV 100 + 1)"))
+      val cum = graft.operators.Scale.groupedPrefixSum(
+        pr, "lang", Seq(col("prio"), col("doc_id")), "n_toks", "cum_toks")
+      val tot = pr.groupBy("lang").agg(sum("n_toks").as("tot_toks"))
+      cum.join(broadcast(tot), Seq("lang"))
+        .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("toks_kept"),
+          max("tot_toks").as("tot_toks"))
+        .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
+        .orderBy("lang").limit(100)
+    },
+    // Dedup audit report (round 11): the cluster-size histogram a dedup
+    // run is judged by — per near-dup cluster size (q74's clustering,
+    // singletons via COALESCE), how many clusters, how many documents,
+    // and the characters that keep-longest canonicalization would remove
+    // (Σchars − Σmax_chars). Two narrow aggregates on top of the
+    // clustering: (comp) then (csize) — both broadcast-sized outputs.
+    "q180_dedup_audit" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val comp = d.join(TextDedup.nearDupClusters(adjacentJaccardPairs(d)), Seq("doc_id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("comp"), col("n_chars"))
+      comp.groupBy("comp")
+        .agg(count(lit(1)).as("csize"), sum("n_chars").as("chars"),
+          max("n_chars").as("max_chars"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("csize").as("n_docs"),
+          (sum("chars") - sum("max_chars")).as("dup_chars"))
+        .orderBy("csize").limit(100)
+    },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
     // replaying the identical sequential rule per shard.
@@ -2309,6 +2390,58 @@ object SparkEntry {
           "SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
           s"FROM v WHERE n_inter * 10 >= n_union * 9 AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId " +
           "ORDER BY id_a, id_b LIMIT 100"),
+      // round 11: the same verified-pair replay with the q69 md5 split
+      // label derived per id — hash equality proves the scan-local split
+      // projection finds exactly the cross-boundary near-dup pairs
+      "q178_split_leakage" ->
+        (s"WITH $minhashReplayCtes, " +
+          "sl AS (SELECT id_a, id_b, n_inter, n_union, " +
+          "CASE WHEN CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sa, " +
+          "CASE WHEN CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sb " +
+          "FROM v WHERE n_inter * 10 >= n_union * 9) " +
+          "SELECT CASE WHEN sa = 'test' THEN id_a ELSE id_b END AS test_doc, " +
+          "CASE WHEN sa = 'test' THEN id_b ELSE id_a END AS train_doc, " +
+          "CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
+          "FROM sl WHERE sa <> sb ORDER BY test_doc, train_doc LIMIT 100"),
+      // round 11: DuckDB's lang-partitioned running-sum window is the
+      // oracle for the distributed two-pass prefix sum (boundary-carry
+      // range partitioning — Scale.groupedPrefixSum); same q160 priority
+      // order, same relative token budget
+      "q179_budget_mix" ->
+        ("WITH pr AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h, n_chars " +
+          "FROM documents), " +
+          "wt AS (SELECT doc_id, lang, n_toks, CAST(h // (n_chars // 100 + 1) AS BIGINT) AS prio FROM pr), " +
+          "cs AS (SELECT lang, n_toks, " +
+          "SUM(n_toks) OVER (PARTITION BY lang ORDER BY prio, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "SUM(n_toks) OVER (PARTITION BY lang) AS tot FROM wt) " +
+          "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS toks_kept, " +
+          "CAST(MAX(tot) AS BIGINT) AS tot_toks, " +
+          "CAST(SUM(n_toks) * 10000 // MAX(tot) AS BIGINT) AS kept_bp " +
+          s"FROM cs WHERE cum * 100 <= tot * $MixBudgetPct " +
+          "GROUP BY lang ORDER BY lang LIMIT 100"),
+      // round 11: the q74/q131 recursive closure aggregated into the
+      // cluster-size histogram + keep-longest removal accounting
+      "q180_dedup_audit" ->
+        ("WITH RECURSIVE pairs AS (" +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+          "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+          "WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' ')))) * 10 >= " +
+          "len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' '))))) * 9" +
+          "), edges AS (" +
+          "SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs" +
+          "), reach(id, lbl) AS (" +
+          "SELECT src, src FROM edges " +
+          "UNION " +
+          "SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst" +
+          "), comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id), " +
+          "lab AS (SELECT d.doc_id, d.n_chars, COALESCE(c.cluster, d.doc_id) AS comp " +
+          "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id), " +
+          "sz AS (SELECT comp, COUNT(*) AS csize, SUM(n_chars) AS chars, MAX(n_chars) AS max_chars FROM lab GROUP BY comp) " +
+          "SELECT CAST(csize AS BIGINT) AS csize, COUNT(*) AS n_clusters, " +
+          "CAST(SUM(csize) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(chars) - SUM(max_chars) AS BIGINT) AS dup_chars " +
+          "FROM sz GROUP BY csize ORDER BY csize LIMIT 100"),
       // round 5: embedding LSH replayed relationally — hyperplanes as a
       // VALUES table generated from Similarity.portableHyperplanes (one
       // source of truth), buckets via SUM of sign bits, verification by

@@ -131,6 +131,82 @@ object Scale {
       org.apache.spark.sql.types.LongType, nullable = false))
   }
 
+  /** Scale-safe grouped running total: `SUM(value) OVER (PARTITION BY
+    * group ORDER BY orderCols ROWS UNBOUNDED PRECEDING)` without the
+    * per-group single-reducer window. A window partitioned by a
+    * LOW-cardinality group (language, source) serializes each group
+    * through ONE task — the q18 failure shape, fatal when one group is
+    * most of a 100 TB corpus. The distributed form mirrors `ntileExact`:
+    * range-repartition on (group, orderCols) + local sort lays every
+    * group out contiguously across partitions; pass 1 collects BOUNDARY
+    * metadata only — each partition's first/last group and their local
+    * sums (≤1 small tuple per partition, the zipWithIndex contract; never
+    * per-group state, so group cardinality is irrelevant); the driver
+    * threads a carry along the partition chain (a group spans a
+    * contiguous partition run, so only the first group of each partition
+    * can have an inbound offset); pass 2 emits the running sum
+    * scan-locally. Two jobs over ONE shuffle (the sort's shuffle files
+    * are reused). `orderCols` must be a total order within each group;
+    * `valueCol` must be LongType. */
+  def groupedPrefixSum(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+                       valueCol: String, outCol: String = "cum",
+                       partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val sortCols = col(groupCol) +: orderCols
+    val sorted = df.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val gi = sorted.schema.fieldIndex(groupCol)
+    val vi = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vi).dataType == org.apache.spark.sql.types.LongType,
+      s"groupedPrefixSum: $valueCol must be LongType, got ${sorted.schema(vi).dataType}")
+    val rdd = sorted.rdd
+    // pass 1: (firstGroup, firstGroupSum, lastGroup, lastGroupSum) per
+    // partition; None for empty partitions. Interior groups never cross a
+    // partition edge (contiguous layout), so they need no metadata.
+    val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator((i, None: Option[(Any, Long, Any, Long)]))
+      else {
+        var first: Any = null; var firstSum = 0L
+        var cur: Any = null; var curSum = 0L; var started = false
+        it.foreach { r =>
+          val g = r.get(gi); val v = r.getLong(vi)
+          if (!started) { first = g; cur = g; curSum = v; started = true }
+          else if (g == cur) curSum += v
+          else { if (cur == first) firstSum = curSum; cur = g; curSum = v }
+        }
+        if (cur == first) firstSum = curSum
+        Iterator((i, Option((first, firstSum, cur, curSum))))
+      }
+    }.collect().sortBy(_._1).map(_._2)
+    // driver carry: offset(i) = the cumulative sum of partition i's FIRST
+    // group accumulated in earlier partitions (0 when the group starts
+    // here). The carry after i is that group's cumulative-so-far when the
+    // partition holds a single group, else the last group's local sum.
+    val offsets = new Array[Long](bounds.length)
+    var carryGroup: Any = null; var carrySum = 0L; var seen = false
+    bounds.zipWithIndex.foreach {
+      case (None, i) => offsets(i) = 0L
+      case (Some((fg, fs, lg, ls)), i) =>
+        offsets(i) = if (seen && carryGroup == fg) carrySum else 0L
+        carrySum = if (fg == lg) offsets(i) + fs else ls
+        carryGroup = lg; seen = true
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val off = bOffsets.value(i)
+      var cur: Any = null; var running = 0L; var started = false
+      it.map { r =>
+        val g = r.get(gi); val v = r.getLong(vi)
+        if (!started) { cur = g; running = off + v; started = true }
+        else if (g == cur) running += v
+        else { cur = g; running = v }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
+      }
+    }
+    spark.createDataFrame(out, sorted.schema.add(outCol,
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** Deterministic train/test split by key hash: the same key lands in the
     * same split on every run, every machine, every scale factor — the only
     * split discipline that survives re-runs over a growing 100 TB corpus

@@ -123,6 +123,41 @@ class ScaleSpec extends AnyFunSuite {
       "ntileExact must not plan a window")
   }
 
+  test("groupedPrefixSum equals the window running sum, with no Window node (q179)") {
+    Tables.register(spark, TestSpark.sf0001)
+    // low-cardinality group (lang) + unique tie-break — the exact shape
+    // the operator exists for; 7 partitions force groups to span
+    // partition boundaries so the boundary-carry path is exercised
+    val docs = spark.sql(
+      "SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v FROM documents")
+    val want = spark.sql(
+      "SELECT lang, doc_id, SUM(CAST(n_chars AS BIGINT)) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM documents")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Scale.groupedPrefixSum(docs, "lang", Seq(col("doc_id")), "v",
+      "cum", partitions = 7)
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap == want)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "groupedPrefixSum must not plan a window")
+  }
+
+  test("groupedPrefixSum edge cases: single group, empty frame, more partitions than rows") {
+    // one group spanning every partition — the pure carry-chain path
+    val one = (1L to 20L).map(i => ("g", i, i)).toDF("g", "id", "v")
+    val got = Scale.groupedPrefixSum(one, "g", Seq(col("id")), "v", "cum", partitions = 6)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == (1L to 20L).map(i => i -> i * (i + 1) / 2).toMap)
+    // empty input
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "id", "v")
+    assert(Scale.groupedPrefixSum(empty, "g", Seq(col("id")), "v", partitions = 4).count() == 0)
+    // more partitions than rows (some partitions empty mid-chain)
+    val tiny = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("b", 3L, 11L)).toDF("g", "id", "v")
+    val got2 = Scale.groupedPrefixSum(tiny, "g", Seq(col("id")), "v", "cum", partitions = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got2 == Map(("a", 1L) -> 5L, ("a", 2L) -> 12L, ("b", 3L) -> 11L))
+  }
+
   test("ntileExact edge cases: fewer rows than buckets, uneven division") {
     val tiny = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("v", "id")
     // N=3 < n=5: buckets 1..3, one row each (window NTILE convention)

@@ -900,6 +900,89 @@ class TierESpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
   }
 
+  /** INDEPENDENT md5 split, JVM MessageDigest — shares no code with the
+    * engine's conv(substr(md5)) column spelling (q178/q179 references). */
+  private def md5Head(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("q178 split leakage matches the independent md5-split scalar reference (round 11)") {
+    import spark.implicits._
+    // 10 planted pairs of IDENTICAL adjacent docs (jaccard 1.0 — every
+    // minhash band collides) with token sets disjoint across pairs, so
+    // the candidate set is exactly the planted pairs. Expected leaks =
+    // the pairs the independent splitter puts on opposite sides
+    // (ids 8/9, 16/17, 18/19 — precomputed, asserted non-degenerate).
+    def split(id: Long): String = if (md5Head(id) % 100 < 80) "train" else "test"
+    val docs = (0 until 10).flatMap { i =>
+      val text = (0 until 6).map(j => s"w${i}_$j").mkString(" ")
+      Seq((2L * i, text), (2L * i + 1, text))
+    }.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_q178").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q178_split_leakage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 10).map(i => (2L * i, 2L * i + 1))
+      .filter { case (a, b) => split(a) != split(b) }
+      .map { case (a, b) => if (split(a) == "test") (a, b) else (b, a) }.toSet
+    assert(want.nonEmpty, "fixture degenerate: no cross-split pair planted")
+    assert(got == want, s"got $got want $want")
+    Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
+  }
+
+  test("q179 budget mix matches a scalar reference over planted priorities (round 11)") {
+    import spark.implicits._
+    // two languages, controlled token counts; the scalar reference sorts
+    // by the independently-computed (prio, doc_id), keeps the inclusive-
+    // cumsum ≤ 30% prefix, and aggregates — no Spark machinery shared.
+    case class D(id: Long, text: String, lang: String, nChars: Long) {
+      def nToks: Long = text.split(" ").length.toLong
+      def prio: Long = md5Head(id) / (nChars / 100 + 1)
+    }
+    val docs = (1L to 12L).map { id =>
+      val toks = (0 until (3 + (id % 5)).toInt).map(j => s"t${id}_$j")
+      D(id, toks.mkString(" "), if (id <= 6) "en" else "fr", id * 37 % 400 + 50)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_q179").toString
+    docs.map(d => (d.id, d.text, d.lang, "s1", d.nChars))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val want = docs.groupBy(_.lang).flatMap { case (lang, ds) =>
+      val tot = ds.map(_.nToks).sum
+      val ordered = ds.sortBy(d => (d.prio, d.id))
+      val kept = ordered.zip(ordered.scanLeft(0L)(_ + _.nToks).tail)
+        .filter { case (_, cum) => cum * 100 <= tot * 30 }.map(_._1)
+      if (kept.isEmpty) None
+      else Some(lang -> ((kept.size.toLong, kept.map(_.nToks).sum, tot,
+        kept.map(_.nToks).sum * 10000 / tot)))
+    }
+    val got = SparkEntry.queries("q179_budget_mix")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"got $got want $want")
+    Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
+  }
+
+  test("q180 dedup audit matches the hand-computed cluster histogram (round 11)") {
+    import spark.implicits._
+    // cluster {1,2,3} via the adjacent chain, {10,11}, singleton 20;
+    // dup_chars = Σchars − max per cluster: (10+20+15)−20=25, (9+9)−9=9
+    val a = "a b c d e f"; val p = "p q r s t u"
+    val docs = Seq(
+      (1L, a, "en", "s1", 10L), (2L, a, "en", "s1", 20L), (3L, a, "en", "s1", 15L),
+      (10L, p, "en", "s1", 9L), (11L, p, "en", "s1", 9L),
+      (20L, "x y z w v u2", "en", "s1", 7L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q180").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q180_dedup_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1L, 1L, 0L), (2L, 1L, 2L, 9L), (3L, 1L, 3L, 25L)), s"got $got")
+    Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
+  }
+
   test("span dedup (q173/q174) matches hand-computed sharing and removal") {
     import spark.implicits._
     // doc 1: 10 tokens; doc 2 embeds doc 1's first 8-gram at pos 1;
