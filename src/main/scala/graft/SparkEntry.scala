@@ -115,6 +115,25 @@ object SparkEntry {
     * text. */
   private val MixBudgetPct = 30L
 
+  /** q178/q181's shared tail: label each verified near-dup pair's ends
+    * with the q69 md5 split (a pure function of the id — scan-local, zero
+    * exchanges on the pair rows), keep cross-split pairs, and project the
+    * actionable (leaked test doc, train near-twin) removal list. */
+  private def crossSplitProjection(pairs: DataFrame): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(100L)) < 80, lit("train")).otherwise(lit("test"))
+    pairs
+      .withColumn("sa", splitOf(col("id_a")))
+      .withColumn("sb", splitOf(col("id_b")))
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        when(col("sa") === "test", col("id_a")).otherwise(col("id_b")).as("test_doc"),
+        when(col("sa") === "test", col("id_b")).otherwise(col("id_a")).as("train_doc"),
+        col("n_inter"), col("n_union"))
+      .orderBy("test_doc", "train_doc").limit(100)
+  }
+
   /** Shared CTE chain replaying the portable embedding-LSH pipeline in
     * DuckDB (q84 pair check, q97 clustering): quantized integer vectors,
     * hyperplanes as a generated VALUES table
@@ -413,6 +432,21 @@ object SparkEntry {
       s"FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id WHERE a.bsz <= $maxBucket), " +
       "v AS (SELECT id_a, id_b, len(list_intersect(ha, hb)) AS n_inter, len(list_distinct(list_concat(ha, hb))) AS n_union FROM pairs)"
   }
+
+  /** q178/q181's shared DuckDB tail (cf. crossSplitProjection): the
+    * verified-pair minhash replay, per-id md5 split labels, cross-split
+    * filter, (test_doc, train_doc) projection. `pairFilter` restricts the
+    * pair set (q181: the q124 incremental boundary). */
+  private def crossSplitLeakageOracle(pairFilter: String): String =
+    s"WITH $minhashReplayCtes, " +
+      "sl AS (SELECT id_a, id_b, n_inter, n_union, " +
+      "CASE WHEN CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sa, " +
+      "CASE WHEN CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sb " +
+      s"FROM v WHERE n_inter * 10 >= n_union * 9 $pairFilter) " +
+      "SELECT CASE WHEN sa = 'test' THEN id_a ELSE id_b END AS test_doc, " +
+      "CASE WHEN sa = 'test' THEN id_b ELSE id_a END AS train_doc, " +
+      "CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
+      "FROM sl WHERE sa <> sb ORDER BY test_doc, train_doc LIMIT 100"
 
   /** P-layer behaviors exercised through the engine path (Runner). */
   private def behaviorEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1343,19 +1377,25 @@ object SparkEntry {
     // near-twin) — the actionable removal list.
     "q178_split_leakage" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
-      def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        when(pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-          lit(100L)) < 80, lit("train")).otherwise(lit("test"))
-      TextDedup.portablePairStats(docs, "doc_id", "text")
-        .filter(col("n_inter") * 10 >= col("n_union") * 9)
-        .withColumn("sa", splitOf(col("id_a")))
-        .withColumn("sb", splitOf(col("id_b")))
-        .filter(col("sa") =!= col("sb"))
-        .select(
-          when(col("sa") === "test", col("id_a")).otherwise(col("id_b")).as("test_doc"),
-          when(col("sa") === "test", col("id_b")).otherwise(col("id_a")).as("train_doc"),
-          col("n_inter"), col("n_union"))
-        .orderBy("test_doc", "train_doc").limit(100)
+      crossSplitProjection(
+        TextDedup.portablePairStats(docs, "doc_id", "text")
+          .filter(col("n_inter") * 10 >= col("n_union") * 9))
+    },
+    // Incremental test-set leakage (round 11): q178 run the way ingest
+    // actually happens — each incoming batch (doc_id ≥ split) is banded
+    // against the EXISTING corpus only (q124's asymmetric
+    // portableCrossPairStats: corpus never reshuffles, combined-occupancy
+    // caps), then the cross-split projection flags incoming docs that
+    // near-dup an opposite-split existing doc BEFORE the batch is
+    // admitted. Oracle = the q124 replay + the q178 split labels.
+    "q181_incremental_leakage" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      crossSplitProjection(
+        TextDedup.portableCrossPairStats(
+            docs.filter(col("doc_id") < IncrementalSplitId),
+            docs.filter(col("doc_id") >= IncrementalSplitId),
+            "doc_id", "text")
+          .filter(col("n_inter") * 10 >= col("n_union") * 9))
     },
     // Token-budget mixture materialization (round 11): the step that turns
     // a data recipe into an actual training corpus — per language, take
@@ -2393,16 +2433,13 @@ object SparkEntry {
       // round 11: the same verified-pair replay with the q69 md5 split
       // label derived per id — hash equality proves the scan-local split
       // projection finds exactly the cross-boundary near-dup pairs
-      "q178_split_leakage" ->
-        (s"WITH $minhashReplayCtes, " +
-          "sl AS (SELECT id_a, id_b, n_inter, n_union, " +
-          "CASE WHEN CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sa, " +
-          "CASE WHEN CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sb " +
-          "FROM v WHERE n_inter * 10 >= n_union * 9) " +
-          "SELECT CASE WHEN sa = 'test' THEN id_a ELSE id_b END AS test_doc, " +
-          "CASE WHEN sa = 'test' THEN id_b ELSE id_a END AS train_doc, " +
-          "CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union " +
-          "FROM sl WHERE sa <> sb ORDER BY test_doc, train_doc LIMIT 100"),
+      "q178_split_leakage" -> crossSplitLeakageOracle(""),
+      // round 11: the q124 replay (pairs straddling the id split —
+      // incoming batch vs existing corpus) under the same split labels:
+      // the asymmetric plan's admission check equals the symmetric
+      // pipeline's cross-boundary leaks on the closed input
+      "q181_incremental_leakage" -> crossSplitLeakageOracle(
+        s"AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId "),
       // round 11: DuckDB's lang-partitioned running-sum window is the
       // oracle for the distributed two-pass prefix sum (boundary-carry
       // range partitioning — Scale.groupedPrefixSum); same q160 priority

@@ -28,4 +28,19 @@ object Checkpoints {
   def cut(df: DataFrame, eager: Boolean): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
+
+  /** Release a cut frame's persisted blocks once no downstream consumer
+    * remains. An iterative loop that cuts per round otherwise leaves
+    * O(rounds) generations of blocks in the block manager — at toy SF
+    * kilobytes, at 100 TB a label-table-sized leak PER ROUND that
+    * eventually evicts live working set. Only the localCheckpoint path
+    * holds droppable blocks (reliable checkpoints live as files; their
+    * cleanup is the configured dir's retention policy), and unpersisting
+    * a frame that was never cut is a no-op — safe to call
+    * unconditionally. Blocking=false: eviction races nothing (the caller
+    * guarantees the frame is dead). */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -738,9 +738,11 @@ object TextDedup {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("cluster").as("__nc"))
         .groupBy("id").agg(min("__nc").as("__nc"))
-      val step1 = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("__old"),
-          coalesce(least(col("cluster"), col("__nc")), col("cluster")).as("cluster"))
+      val step1 = Checkpoints.cut(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("cluster").as("__old"),
+            coalesce(least(col("cluster"), col("__nc")), col("cluster")).as("cluster")),
+        eager = false)
       val jumped = Checkpoints.cut(
         step1.as("a")
           .join(step1.select(col("id").as("__cid"), col("cluster").as("__cparent")),
@@ -751,10 +753,18 @@ object TextDedup {
             (col("cluster") =!= col("__old")).cast("long").as("__chg")),
         eager = false)
       changed = jumped.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+      // this round's blocks are live in `jumped` now — the previous
+      // round's labels and this round's step1 are dead; free them or the
+      // block manager holds O(rounds) label-table generations (a
+      // working-set leak at 100 TB, the Bench inter-entry lesson applied
+      // WITHIN the iterative operator)
+      Checkpoints.free(labels)
+      Checkpoints.free(step1)
       labels = jumped.select("id", "cluster")
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    Checkpoints.free(sym)
     labels
   }
 

@@ -933,6 +933,20 @@ class TierESpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
   }
 
+  test("q181 incremental leakage equals the symmetric q178 restricted to cross-boundary pairs") {
+    // the q175 discipline: the asymmetric batch-vs-corpus plan must find
+    // exactly the symmetric pipeline's pairs straddling the id split
+    val dir = TestSpark.sf0001
+    val sym = SparkEntry.queries("q178_split_leakage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sym.length < 100, "fixture outgrew the LIMIT — subset logic invalid")
+    val want = sym.filter { case (t, tr, _, _) =>
+      math.min(t, tr) < 400L && math.max(t, tr) >= 400L }.toSet
+    val got = SparkEntry.queries("q181_incremental_leakage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("q179 budget mix matches a scalar reference over planted priorities (round 11)") {
     import spark.implicits._
     // two languages, controlled token counts; the scalar reference sorts
