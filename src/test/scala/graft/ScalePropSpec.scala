@@ -42,6 +42,27 @@ class ScalePropSpec extends AnyFunSuite {
     }, "ntileExact")
   }
 
+  test("groupedPrefixSum equals the scalar per-group running sum on arbitrary inputs") {
+    // arbitrary (group, value) rows over a handful of group keys so
+    // groups collide, plus arbitrary partition counts so groups land
+    // fully inside, spanning, and straddling partition boundaries
+    val grpRowsGen: Gen[List[(Int, Long)]] =
+      Gen.choose(0, 50).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0, 4), Gen.choose(-1000L, 1000L))))
+    def scalar(rows: Seq[(Int, Long, Long)]): Map[Long, Long] = // (g, id, v) -> id -> cum
+      rows.groupBy(_._1).values.flatMap { grp =>
+        val ordered = grp.sortBy(_._2)
+        ordered.zip(ordered.scanLeft(0L)(_ + _._3).tail).map { case ((_, id, _), c) => id -> c }
+      }.toMap
+    check(forAll(grpRowsGen, Gen.choose(1, 7)) { (rows, parts) =>
+      val tagged = rows.zipWithIndex.map { case ((g, v), i) => (g.toString, i.toLong, v) }
+      val df = tagged.toDF("g", "id", "v")
+      val got = Scale.groupedPrefixSum(df, "g", Seq(col("id")), "v", "cum", partitions = parts)
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+      got == scalar(tagged.map { case (g, id, v) => (g.toInt, id, v) })
+    }, "groupedPrefixSum")
+  }
+
   test("packSequences invariants hold on arbitrary token lists") {
     val tokensGen: Gen[List[Long]] =
       Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.choose(1L, 150L)))
