@@ -115,23 +115,53 @@ object SparkEntry {
     * text. */
   private val MixBudgetPct = 30L
 
-  /** q178/q181's shared tail: label each verified near-dup pair's ends
-    * with the q69 md5 split (a pure function of the id — scan-local, zero
-    * exchanges on the pair rows), keep cross-split pairs, and project the
-    * actionable (leaked test doc, train near-twin) removal list. */
-  private def crossSplitProjection(pairs: DataFrame): DataFrame = {
-    def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-        lit(100L)) < 80, lit("train")).otherwise(lit("test"))
+  /** The q69 md5 split as a scan-local column — a pure function of the
+    * id, shared by the leakage family (q178/q181/q182) and spelled
+    * identically to `Scale.hashSplit(method = "md5")`. */
+  private def mdSplitCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L)) < 80, lit("train")).otherwise(lit("test"))
+
+  /** q178/q181/q182's shared tail: label each verified near-dup pair's
+    * ends with the md5 split (zero exchanges on the pair rows), keep
+    * cross-split pairs, and project the actionable (leaked test doc,
+    * train near-twin) removal list. */
+  private def crossSplitPairs(pairs: DataFrame): DataFrame =
     pairs
-      .withColumn("sa", splitOf(col("id_a")))
-      .withColumn("sb", splitOf(col("id_b")))
+      .withColumn("sa", mdSplitCol(col("id_a")))
+      .withColumn("sb", mdSplitCol(col("id_b")))
       .filter(col("sa") =!= col("sb"))
       .select(
         when(col("sa") === "test", col("id_a")).otherwise(col("id_b")).as("test_doc"),
         when(col("sa") === "test", col("id_b")).otherwise(col("id_a")).as("train_doc"),
         col("n_inter"), col("n_union"))
-      .orderBy("test_doc", "train_doc").limit(100)
+
+  private def crossSplitProjection(pairs: DataFrame): DataFrame =
+    crossSplitPairs(pairs).orderBy("test_doc", "train_doc").limit(100)
+
+  /** q179/q182's shared budget materializer: per language, documents in
+    * the q160 priority order until cumulative tokens reach MixBudgetPct%
+    * of the language's own total (Scale.groupedPrefixSum — no
+    * low-cardinality partitioned window), aggregated to the per-lang
+    * budget report. Unordered/unlimited: callers add the total order. */
+  private def budgetMixFrame(docs: DataFrame): DataFrame = {
+    val pr = docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        col("n_chars"))
+      .withColumn("prio", expr("h DIV (n_chars DIV 100 + 1)"))
+    val cum = graft.operators.Scale.groupedPrefixSum(
+      pr, "lang", Seq(col("prio"), col("doc_id")), "n_toks", "cum_toks")
+    val tot = pr.groupBy("lang").agg(sum("n_toks").as("tot_toks"))
+    cum.join(broadcast(tot), Seq("lang"))
+      .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("toks_kept"),
+        max("tot_toks").as("tot_toks"))
+      .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
   }
 
   /** Shared CTE chain replaying the portable embedding-LSH pipeline in
@@ -1408,23 +1438,32 @@ object SparkEntry {
     // aggregate; the priority frame is scan-local arithmetic re-derived
     // per reference (cheap subtree — no lineage cut warranted).
     "q179_budget_mix" -> { (spark, dir) =>
-      val pr = Tables.table(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_toks"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long").as("h"),
-          col("n_chars"))
-        .withColumn("prio", expr("h DIV (n_chars DIV 100 + 1)"))
-      val cum = graft.operators.Scale.groupedPrefixSum(
-        pr, "lang", Seq(col("prio"), col("doc_id")), "n_toks", "cum_toks")
-      val tot = pr.groupBy("lang").agg(sum("n_toks").as("tot_toks"))
-      cum.join(broadcast(tot), Seq("lang"))
-        .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_toks").as("toks_kept"),
-          max("tot_toks").as("tot_toks"))
-        .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
+      budgetMixFrame(Tables.table(spark, dir, "documents")).orderBy("lang").limit(100)
+    },
+    // Release gate (round 11 capstone v3): the composed path that ships a
+    // TRAINING split — q178's leaked train twins are dropped (keep the
+    // test set fixed, decontaminate train: the standard direction), then
+    // q179's token budget is materialized over the decontaminated train
+    // corpus, with the per-language leak count in the report. Stage
+    // equivalences individually hash-proven by q178/q179/q69; this row
+    // proves the composition (the q140/q177 discipline applied to the
+    // round's new operators). The leaked-id frame is pair-derived and
+    // referenced twice (anti-join + leak report) — lineage-cut once.
+    "q182_decon_release" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val leaked = Checkpoints.cut(
+        crossSplitPairs(
+          TextDedup.portablePairStats(docs, "doc_id", "text")
+            .filter(col("n_inter") * 10 >= col("n_union") * 9))
+          .select(col("train_doc").as("doc_id")).distinct(),
+        eager = false)
+      val train = docs.filter(mdSplitCol(col("doc_id")) === "train")
+        .join(leaked, Seq("doc_id"), "left_anti")
+      val lk = leaked.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang").agg(count(lit(1)).as("n_leaked"))
+      budgetMixFrame(train)
+        .join(lk, Seq("lang"), "left")
+        .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
         .orderBy("lang").limit(100)
     },
     // Dedup audit report (round 11): the cluster-size histogram a dedup
@@ -2440,6 +2479,35 @@ object SparkEntry {
       // pipeline's cross-boundary leaks on the closed input
       "q181_incremental_leakage" -> crossSplitLeakageOracle(
         s"AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId "),
+      // round 11 capstone v3: the composed release-gate replay — the q178
+      // leak CTEs feed an anti-join decontaminating the train split, the
+      // q179 budget CTEs run over the decontaminated frame, and the leak
+      // report joins back per language (ORDER BY qualified — the r10
+      // binder lesson)
+      "q182_decon_release" ->
+        (s"WITH $minhashReplayCtes, " +
+          "sl AS (SELECT id_a, id_b, " +
+          "CASE WHEN CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sa, " +
+          "CASE WHEN CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS sb " +
+          "FROM v WHERE n_inter * 10 >= n_union * 9), " +
+          "leak AS (SELECT DISTINCT CASE WHEN sa = 'test' THEN id_b ELSE id_a END AS doc_id FROM sl WHERE sa <> sb), " +
+          "tr AS (SELECT d.* FROM documents d WHERE " +
+          "CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 " +
+          "AND d.doc_id NOT IN (SELECT doc_id FROM leak)), " +
+          "pr AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h, n_chars FROM tr), " +
+          "wt AS (SELECT doc_id, lang, n_toks, CAST(h // (n_chars // 100 + 1) AS BIGINT) AS prio FROM pr), " +
+          "cs AS (SELECT lang, n_toks, " +
+          "SUM(n_toks) OVER (PARTITION BY lang ORDER BY prio, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "SUM(n_toks) OVER (PARTITION BY lang) AS tot FROM wt), " +
+          "bud AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS toks_kept, " +
+          "CAST(MAX(tot) AS BIGINT) AS tot_toks, " +
+          "CAST(SUM(n_toks) * 10000 // MAX(tot) AS BIGINT) AS kept_bp " +
+          s"FROM cs WHERE cum * 100 <= tot * $MixBudgetPct GROUP BY lang), " +
+          "lk AS (SELECT d.lang, COUNT(*) AS n_leaked FROM leak JOIN documents d ON d.doc_id = leak.doc_id GROUP BY d.lang) " +
+          "SELECT b.lang AS lang, b.n_docs, b.toks_kept, b.tot_toks, b.kept_bp, " +
+          "CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked " +
+          "FROM bud b LEFT JOIN lk l ON l.lang = b.lang ORDER BY b.lang LIMIT 100"),
       // round 11: DuckDB's lang-partitioned running-sum window is the
       // oracle for the distributed two-pass prefix sum (boundary-carry
       // range partitioning — Scale.groupedPrefixSum); same q160 priority

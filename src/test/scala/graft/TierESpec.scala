@@ -947,6 +947,36 @@ class TierESpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("q182 release gate matches the scalar composition on the planted fixture (round 11)") {
+    import spark.implicits._
+    // the q178 fixture again: identical-doc pairs at ids (2i, 2i+1).
+    // Scalar composition: leaked train twins out, 30% token budget over
+    // the decontaminated train split. Every doc has 6 tokens and
+    // n_chars < 100, so weight = 1 and priority = md5Head(id).
+    def split(id: Long): String = if (md5Head(id) % 100 < 80) "train" else "test"
+    val ids = (0 until 10).flatMap(i => Seq(2L * i, 2L * i + 1))
+    val docs = (0 until 10).flatMap { i =>
+      val text = (0 until 6).map(j => s"w${i}_$j").mkString(" ")
+      Seq((2L * i, text), (2L * i + 1, text))
+    }.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_q182").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val leaked = (0 until 10).map(i => (2L * i, 2L * i + 1))
+      .filter { case (a, b) => split(a) != split(b) }
+      .map { case (a, b) => if (split(a) == "test") b else a }.toSet
+    val train = ids.filter(id => split(id) == "train" && !leaked.contains(id))
+    val tot = 6L * train.size
+    val ordered = train.sortBy(id => (md5Head(id), id))
+    val kept = ordered.zipWithIndex.takeWhile { case (_, i) => (i + 1) * 6L * 100 <= tot * 30 }
+    val want = ("en", kept.size.toLong, kept.size * 6L, tot,
+      kept.size * 6L * 10000 / tot, leaked.size.toLong)
+    val got = SparkEntry.queries("q182_decon_release")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(want), s"got ${got.toSeq} want $want")
+    Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
+  }
+
   test("q179 budget mix matches a scalar reference over planted priorities (round 11)") {
     import spark.implicits._
     // two languages, controlled token counts; the scalar reference sorts
