@@ -1427,6 +1427,27 @@ object SparkEntry {
             "doc_id", "text")
           .filter(col("n_inter") * 10 >= col("n_union") * 9))
     },
+    // Streaming test-set leakage (round 11): q181's admission check run
+    // as the ingest stream itself — incoming documents STREAMED against
+    // the static corpus band index (the q126 machinery: corpus blocks
+    // keys-only, stateless stream-static join per micro-batch), the
+    // cross-split projection applied to the streamed pair output.
+    // Completes the leakage matrix {batch q178, incremental q181,
+    // streaming q183}; hashes against the identical q181 replay
+    // (streaming = batch on closed input, the q126/q142 contract).
+    "q183_stream_leakage" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < IncrementalSplitId)
+      val (base, banded) = TextDedup.portableIndexFrames(corpus, "doc_id", "text")
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      crossSplitProjection(
+        graft.streaming.StreamOps.runAppend(spark,
+            graft.streaming.StreamOps.dedupAgainstCorpus(stream, base, banded, "doc_id", "text"),
+            s"q183_mem_${math.abs(dir.hashCode)}")
+          .distinct() // multiset band output, cf. q126
+          .filter(col("n_inter") * 10 >= col("n_union") * 9))
+    },
     // Token-budget mixture materialization (round 11): the step that turns
     // a data recipe into an actual training corpus — per language, take
     // documents in the q160 deterministic priority order until the
@@ -2478,6 +2499,10 @@ object SparkEntry {
       // the asymmetric plan's admission check equals the symmetric
       // pipeline's cross-boundary leaks on the closed input
       "q181_incremental_leakage" -> crossSplitLeakageOracle(
+        s"AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId "),
+      // round 11: the STREAMING leakage form hashes against the identical
+      // q181 replay — streaming output = batch answer on closed input
+      "q183_stream_leakage" -> crossSplitLeakageOracle(
         s"AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId "),
       // round 11 capstone v3: the composed release-gate replay — the q178
       // leak CTEs feed an anti-join decontaminating the train split, the

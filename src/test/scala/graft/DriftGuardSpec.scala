@@ -106,6 +106,22 @@ class DriftGuardSpec extends AnyFunSuite {
       s"$dir: span retention gate keeps $kept2 of $total2 — SpanKeepBp=${SparkEntry.SpanKeepBp} no longer splits the regenerated duplication tail")
   }
 
+  test("the leakage family still finds cross-split pairs at the oracle SF (q178/q181-q183)") {
+    // the md5 split is a fixed pseudorandom 80/20 labeling, so ~32% of
+    // verified near-dup pairs should cross it; a regenerated corpus with
+    // ZERO cross pairs would leave the whole leakage family hash-green
+    // but hollow (empty = empty). r11 second regen measured: 7 cross
+    // pairs of 24 verified at sf0.01.
+    val dir = dirs.find(_.endsWith("sf0.01")).getOrElse(dirs.head)
+    val docs = Tables.table(spark, dir, "documents")
+    val verified = TextDedup.portablePairStats(docs, "doc_id", "text")
+      .filter(col("n_inter") * 10 >= col("n_union") * 9).count()
+    assert(verified > 0, s"$dir: no verified near-dup pairs at all — the minhash fixture degenerated")
+    val cross = SparkEntry.queries("q178_split_leakage")(spark, dir).count()
+    assert(cross > 0,
+      s"$dir: $verified verified pairs but 0 cross the md5 split — the leakage entries are hollow on this regen")
+  }
+
   test("edit-distance prefix/suffix block occupancy under cap with margin (q136/q141/q142)") {
     dirs.foreach { d =>
       val docs = Tables.table(spark, d, "documents")

@@ -933,6 +933,15 @@ class TierESpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
   }
 
+  test("q183 streaming leakage equals the incremental q181 on closed input") {
+    val dir = TestSpark.sf0001
+    val want = SparkEntry.queries("q181_incremental_leakage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = SparkEntry.queries("q183_stream_leakage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("q181 incremental leakage equals the symmetric q178 restricted to cross-boundary pairs") {
     // the q175 discipline: the asymmetric batch-vs-corpus plan must find
     // exactly the symmetric pipeline's pairs straddling the id split
