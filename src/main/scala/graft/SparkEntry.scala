@@ -1506,6 +1506,26 @@ object SparkEntry {
           (sum("chars") - sum("max_chars")).as("dup_chars"))
         .orderBy("csize").limit(100)
     },
+    // Benchmark span scrub (round 11): span-LEVEL decontamination —
+    // remove from the training corpus EVERY occurrence of any k-gram
+    // that appears in the evaluation set (the operation the big-model
+    // reports run before training), completing the decontamination
+    // ladder: doc-level overlap scores (q68), membership gate (q145),
+    // split-level near-dup (q178-q183), exact spans HERE. Benchmark =
+    // the q68 convention (every 97th doc); its span table is
+    // vocabulary-scale; training docs score against it via the q176
+    // batch machinery — the canonical-occurrence exemption is vacuous
+    // across the benchmark/train boundary (packed ids never collide), so
+    // every training occurrence is removed, single occurrences included
+    // (no n ≥ 2 filter: one benchmark appearance is enough). Output
+    // leads with the contaminated tail ((kept_bp, doc_id) total order).
+    "q184_benchmark_scrub" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val spans = TextDedup.spanIndex(docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      TextDedup.spanRemovalStatsAgainstIndex(
+          docs.filter(col("doc_id") % 97 =!= 0), spans, "doc_id", "text")
+        .orderBy("kept_bp", "doc_id").limit(100)
+    },
     // Greedy sequence packing (round 4): shard-parallel first-fit into
     // 512-token packs — oracle-checked against a DuckDB recursive CTE
     // replaying the identical sequential rule per shard.
@@ -2338,6 +2358,25 @@ object SparkEntry {
           s"CAST(canon % $SpanPosPackSql AS BIGINT) AS canon_pos " +
           "FROM sp WHERE n_occ >= 2 ORDER BY n_occ DESC, h LIMIT 100"),
       "q174_span_removal" -> spanRemovalOracle(""),
+      // round 11: the benchmark-scrub replay — benchmark span set as a
+      // DISTINCT hash table (no n ≥ 2, no canonical exemption: every
+      // training occurrence of a benchmark span is removed), coverage and
+      // stats as in the q174 replay, training docs only, contaminated
+      // tail first
+      "q184_benchmark_scrub" ->
+        (s"WITH $spanOccCtes, " +
+          "bs AS (SELECT DISTINCT h FROM occ WHERE doc_id % 97 = 0), " +
+          "rme AS (SELECT occ.doc_id AS doc_id, " +
+          s"unnest(generate_series(occ.pos, occ.pos + ${TextDedup.SpanK - 1})) AS p " +
+          "FROM occ JOIN bs ON occ.h = bs.h WHERE occ.doc_id % 97 <> 0), " +
+          "rm AS (SELECT doc_id, COUNT(DISTINCT p) AS nr FROM rme GROUP BY doc_id) " +
+          "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+          "CAST(COALESCE(rm.nr, 0) AS BIGINT) AS n_removed, " +
+          "CAST((len(string_split(d.text, ' ')) - COALESCE(rm.nr, 0)) * 10000 " +
+          "// len(string_split(d.text, ' ')) AS BIGINT) AS kept_bp " +
+          "FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id " +
+          "WHERE d.doc_id % 97 <> 0 " +
+          "ORDER BY kept_bp, d.doc_id LIMIT 100"),
       // q175/q176 (round 11): the same replay restricted to incoming doc
       // ids — the merged (q175) / precomputed-static (q176) span index
       // equals the full-corpus index on the closed input, so incremental

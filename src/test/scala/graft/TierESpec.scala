@@ -1036,6 +1036,30 @@ class TierESpec extends AnyFunSuite {
     Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
   }
 
+  test("q184 benchmark scrub removes every training occurrence of benchmark spans (round 11)") {
+    import spark.implicits._
+    // doc 0 is the benchmark (0 % 97 == 0): "a..h x y" (k=8 windows at
+    // pos 0,1,2). doc 1 embeds the benchmark's first 8-gram at pos 1 →
+    // coverage 1..8 removed (NO canonical exemption across the
+    // boundary); doc 2 is disjoint; doc 3 is sub-k (exempt, reported).
+    val docs = Seq(
+      (0L, "a b c d e f g h x y"),
+      (1L, "z a b c d e f g h w"),
+      (2L, "p q r s t u v w2 x2 j"),
+      (3L, "p q r")
+    ).map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_q184").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q184_benchmark_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((10L, 8L, 2000L)),
+      2L -> ((10L, 0L, 10000L)),
+      3L -> ((3L, 0L, 10000L))), s"got $got")
+    Tables.register(spark, TestSpark.sf0001) // rebind views for later specs
+  }
+
   test("span dedup (q173/q174) matches hand-computed sharing and removal") {
     import spark.implicits._
     // doc 1: 10 tokens; doc 2 embeds doc 1's first 8-gram at pos 1;
