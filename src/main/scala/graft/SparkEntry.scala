@@ -139,12 +139,14 @@ object SparkEntry {
   private def crossSplitProjection(pairs: DataFrame): DataFrame =
     crossSplitPairs(pairs).orderBy("test_doc", "train_doc").limit(100)
 
-  /** q179/q182's shared budget materializer: per language, documents in
-    * the q160 priority order until cumulative tokens reach MixBudgetPct%
-    * of the language's own total (Scale.groupedPrefixSum — no
-    * low-cardinality partitioned window), aggregated to the per-lang
-    * budget report. Unordered/unlimited: callers add the total order. */
-  private def budgetMixFrame(docs: DataFrame): DataFrame = {
+  /** q179/q182/q185's shared priority frame: per-document token count,
+    * the q160 deterministic hash priority (quality-weighted: shorter docs
+    * hash-rank earlier via the n_chars divisor), the per-language prefix
+    * sum in that order (Scale.groupedPrefixSum — range-partition +
+    * boundary-carry two-pass, never a low-cardinality partitioned
+    * window), and the broadcast-joined per-language totals. Columns:
+    * (lang, doc_id, n_toks, cum_toks, tot_toks). */
+  private def prioCumFrame(docs: DataFrame): DataFrame = {
     val pr = docs
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"),
@@ -156,12 +158,50 @@ object SparkEntry {
       pr, "lang", Seq(col("prio"), col("doc_id")), "n_toks", "cum_toks")
     val tot = pr.groupBy("lang").agg(sum("n_toks").as("tot_toks"))
     cum.join(broadcast(tot), Seq("lang"))
+  }
+
+  /** q179/q182's shared budget materializer: per language, documents in
+    * the q160 priority order until cumulative tokens reach MixBudgetPct%
+    * of the language's own total, aggregated to the per-lang budget
+    * report. Unordered/unlimited: callers add the total order. */
+  private def budgetMixFrame(docs: DataFrame): DataFrame =
+    prioCumFrame(docs)
       .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_toks").as("toks_kept"),
         max("tot_toks").as("tot_toks"))
       .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
+
+  /** q185's data-constrained upsampling budget as a PERCENT of each
+    * language's own total — deliberately > 100 (the q179 regime is
+    * budget < corpus; this is the epochs regime, Muennighoff-style
+    * repeat-aware scaling). 230% ⇒ every document repeats
+    * `230 DIV 100 = 2` full epochs and the highest-priority prefix
+    * holding `230 MOD 100 = 30%` of each language's tokens repeats once
+    * more. One constant for the Spark entry AND the DuckDB text. */
+  private val UpsamplePct = 230L
+
+  /** q185's materializer: per-document integer epoch counts under the
+    * UpsamplePct budget — `full` epochs for everyone plus one boost
+    * epoch for the priority prefix — aggregated to the per-lang report.
+    * Same plan shape as budgetMixFrame (one prefix-sum pass, broadcast
+    * totals); the boost indicator is scan-local arithmetic on the
+    * prefix-sum output, so upsampling costs exactly what downsampling
+    * does at any scale. Unordered/unlimited: callers add the order. */
+  private[graft] def epochUpsampleFrame(docs: DataFrame): DataFrame = {
+    val full = UpsamplePct / 100
+    val remPct = UpsamplePct % 100
+    prioCumFrame(docs)
+      .withColumn("boost",
+        when(col("cum_toks") * 100 <= col("tot_toks") * remPct, lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("boost").as("n_boosted"),
+        sum(col("n_toks") * (lit(full) + col("boost"))).as("emitted_toks"),
+        max("tot_toks").as("tot_toks"))
+      .withColumn("emitted_bp", expr("emitted_toks * 10000L DIV tot_toks"))
   }
 
   /** Shared CTE chain replaying the portable embedding-LSH pipeline in
@@ -1461,6 +1501,16 @@ object SparkEntry {
     "q179_budget_mix" -> { (spark, dir) =>
       budgetMixFrame(Tables.table(spark, dir, "documents")).orderBy("lang").limit(100)
     },
+    // Repeat-aware upsampling (round 11): q179's complement — the
+    // data-CONSTRAINED regime where the token budget EXCEEDS the corpus
+    // (Muennighoff et al., "Scaling Data-Constrained Language Models"),
+    // so documents get integer epoch repeats: every doc `full` epochs,
+    // the per-language highest-priority prefix one more. Completes the
+    // budget family {downsample q179, upsample q185} on the same
+    // priority order and the same single prefix-sum plan.
+    "q185_epoch_upsample" -> { (spark, dir) =>
+      epochUpsampleFrame(Tables.table(spark, dir, "documents")).orderBy("lang").limit(100)
+    },
     // Release gate (round 11 capstone v3): the composed path that ships a
     // TRAINING split — q178's leaked train twins are dropped (keep the
     // test set fixed, decontaminate train: the standard direction), then
@@ -2589,6 +2639,22 @@ object SparkEntry {
           "CAST(SUM(n_toks) * 10000 // MAX(tot) AS BIGINT) AS kept_bp " +
           s"FROM cs WHERE cum * 100 <= tot * $MixBudgetPct " +
           "GROUP BY lang ORDER BY lang LIMIT 100"),
+      // round 11: the upsampling twin — same priority/cumsum replay, the
+      // prefix boundary becomes a +1-epoch indicator instead of a filter
+      "q185_epoch_upsample" ->
+        ("WITH pr AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h, n_chars " +
+          "FROM documents), " +
+          "wt AS (SELECT doc_id, lang, n_toks, CAST(h // (n_chars // 100 + 1) AS BIGINT) AS prio FROM pr), " +
+          "cs AS (SELECT lang, n_toks, " +
+          "SUM(n_toks) OVER (PARTITION BY lang ORDER BY prio, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "SUM(n_toks) OVER (PARTITION BY lang) AS tot FROM wt), " +
+          s"bs AS (SELECT lang, n_toks, tot, CASE WHEN cum * 100 <= tot * ${UpsamplePct % 100} THEN 1 ELSE 0 END AS boost FROM cs) " +
+          "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(boost) AS BIGINT) AS n_boosted, " +
+          s"CAST(SUM(n_toks * (${UpsamplePct / 100} + boost)) AS BIGINT) AS emitted_toks, " +
+          "CAST(MAX(tot) AS BIGINT) AS tot_toks, " +
+          s"CAST(SUM(n_toks * (${UpsamplePct / 100} + boost)) * 10000 // MAX(tot) AS BIGINT) AS emitted_bp " +
+          "FROM bs GROUP BY lang ORDER BY lang LIMIT 100"),
       // round 11: the q74/q131 recursive closure aggregated into the
       // cluster-size histogram + keep-longest removal accounting
       "q180_dedup_audit" ->
