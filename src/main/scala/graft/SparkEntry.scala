@@ -82,6 +82,30 @@ object SparkEntry {
     b
   }
 
+  /** q186/q187's semantic-cluster count — self-sized like the LSH width:
+    * k targets ~125 vectors per cluster (SemDeDup's k ≪ n regime; the
+    * in-cluster pair term is then occupancy-bounded, not corpus-bounded),
+    * clamped to [16, 4096] so the centroid broadcast stays
+    * corpus-size-sublinear (the q53 IVF contract). Both Spark entries
+    * and both DuckDB texts interpolate the SAME derived value via
+    * `lastSemNlist` — the embedBitsFor pattern exactly. */
+  private val semNlistCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @volatile private var lastSemNlist: Int = 16
+  private[graft] def semNlistFor(spark: SparkSession, dir: String): Int = {
+    val k = semNlistCache.computeIfAbsent(dir, d =>
+      math.max(16, math.min(4096,
+        math.ceil(Tables.table(spark, d, "embeddings").count() / 125.0).toInt)))
+    lastSemNlist = k
+    k
+  }
+
+  /** q187's prototype-pruning fraction in basis points: drop the 20%
+    * most-prototypical (closest-to-centroid) members of each semantic
+    * cluster — the Sorscher et al. 2022 easy-example prune at the D4
+    * paper's operating region. One constant for the Spark entry AND the
+    * DuckDB text. */
+  private val ProtoDropBp = 2000
+
   /** Bind the oracle texts' derived constants to `dir` WITHOUT running
     * any query — Verify calls this before dumping `oracleSql` so a
     * SUBSET run (the 3-arg fast-iteration form) that skips the embed
@@ -90,7 +114,8 @@ object SparkEntry {
     * finding: order-dependence between query execution and text
     * generation). */
   def bindOracleDir(spark: SparkSession, dir: String): Unit = {
-    embedBitsFor(spark, dir); ()
+    embedBitsFor(spark, dir)
+    semNlistFor(spark, dir); ()
   }
 
   /** Shared recursive delete for the streaming entries' temp trees
@@ -232,6 +257,19 @@ object SparkEntry {
       "v AS (SELECT id_a, id_b, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
       "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b)"
   }
+
+  /** Shared DuckDB replay for the SemDeDup family (q186/q187): quantize,
+    * take the `lastSemNlist` lowest-id vectors as centroids, assign each
+    * vector to its integer-dot argmax centroid (ROW_NUMBER by s DESC,
+    * cid — the max_by(struct(s, -cid)) spelling), and carry cluster
+    * sizes. All BIGINT arithmetic over identical inputs — exact
+    * cross-engine (the q84 quantization rule). */
+  private def semClusterCtes: String =
+    "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
+      s"cent AS (SELECT vec_id AS cid, qv AS cv FROM c ORDER BY vec_id LIMIT $lastSemNlist), " +
+      "sc AS (SELECT c.vec_id, cent.cid, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * cent.cv[i])) AS BIGINT) AS s FROM c, cent), " +
+      "asg AS (SELECT vec_id, cid, s FROM (SELECT vec_id, cid, s, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r FROM sc) WHERE r = 1), " +
+      "csz AS (SELECT cid, COUNT(*) AS n_members FROM asg GROUP BY cid)"
 
   /** q124's corpus/batch boundary: doc_id < split = "existing corpus",
     * doc_id ≥ split = "incoming batch". One constant for the Spark entry
@@ -1985,6 +2023,28 @@ object SparkEntry {
           bits = embedBitsFor(spark, dir))
         .orderBy("id_a", "id_b").limit(100)
     },
+    // SemDeDup (round 11; Abbas et al. 2023): CLUSTER-then-pairwise
+    // semantic dedup — the published alternative to q84's LSH banding as
+    // the candidate generator (clusters give coherent semantic
+    // neighborhoods where hyperplane buckets give random slices; both
+    // bound the pair term, cluster count self-sizes like the LSH width).
+    // Per-cluster report: members, verified duplicate pairs (dot ≥ the
+    // q84 threshold), docs a greedy keep-lowest-id pass would drop.
+    "q186_semdedup" -> { (spark, dir) =>
+      Similarity.semDedupStats(Tables.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", minScore = EmbedMinScore,
+          nlist = semNlistFor(spark, dir))
+        .orderBy("cid").limit(100)
+    },
+    // Prototype pruning (round 11; Sorscher et al. 2022, the D4 step
+    // after SemDeDup): drop the 20% most-prototypical members of each
+    // semantic cluster — the dropped manifest, rank-exact cross-engine.
+    "q187_prototypes" -> { (spark, dir) =>
+      Similarity.semPrototypeDrops(Tables.table(spark, dir, "embeddings"),
+          "vec_id", "embedding",
+          nlist = semNlistFor(spark, dir), dropBp = ProtoDropBp)
+        .orderBy("cid", "proto_rank").limit(100)
+    },
     // Streaming ingest dedup run to completion on the closed input
     // (round 8): the incoming half STREAMED and deduped per micro-batch
     // against the static corpus index — stateless (no watermark, no join
@@ -2684,6 +2744,27 @@ object SparkEntry {
       "q84_embedlsh_portable" ->
         (s"WITH $embedLshReplayCtes " +
           s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore ORDER BY id_a, id_b LIMIT 100"),
+      // round 11: SemDeDup — cluster-then-pairwise; the cap mirrors the
+      // Spark degenerate-cluster guard (TextDedup.DefaultMaxBucketSize),
+      // COUNT(DISTINCT id_b) = the greedy keep-lowest-id drop set
+      "q186_semdedup" ->
+        (s"WITH $semClusterCtes, " +
+          "pr AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+          s"JOIN csz ON csz.cid = a.cid WHERE csz.n_members <= ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
+          "v AS (SELECT pr.cid, id_a, id_b FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b " +
+          s"WHERE CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) >= $EmbedMinScore), " +
+          "st AS (SELECT cid, COUNT(*) AS n_pairs, COUNT(DISTINCT id_b) AS n_dropped FROM v GROUP BY cid) " +
+          "SELECT csz.cid, csz.n_members, CAST(COALESCE(st.n_pairs, 0) AS BIGINT) AS n_pairs, " +
+          "CAST(COALESCE(st.n_dropped, 0) AS BIGINT) AS n_dropped " +
+          "FROM csz LEFT JOIN st ON st.cid = csz.cid ORDER BY csz.cid LIMIT 100"),
+      // round 11: prototype pruning — per-cluster centroid-affinity rank,
+      // integer quota (n_members × dropBp) DIV 10⁴, dropped manifest
+      "q187_prototypes" ->
+        (s"WITH $semClusterCtes, " +
+          "rk AS (SELECT vec_id, cid, s, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY s DESC, vec_id) AS proto_rank FROM asg), " +
+          "dr AS (SELECT rk.cid, rk.vec_id, rk.proto_rank, rk.s AS proto_score FROM rk JOIN csz ON csz.cid = rk.cid " +
+          s"WHERE rk.proto_rank <= (csz.n_members * $ProtoDropBp) // 10000) " +
+          "SELECT cid, vec_id, proto_rank, proto_score FROM dr ORDER BY cid, proto_rank LIMIT 100"),
       // round 8: incremental embedding near-dup — the same replay
       // restricted to pairs straddling the vec_id split (cf. q124)
       "q125_incremental_embed" ->

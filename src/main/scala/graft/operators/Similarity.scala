@@ -469,4 +469,186 @@ object Similarity {
         fastCosine(corpus, col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Deterministic semantic clustering for the SemDeDup family (q186/
+    * q187): assign every vector to its nearest of `nlist` centroids,
+    * where the centroids are the `nlist` LOWEST-ID vectors (the
+    * `ivfTopKInt` convention) and "nearest" is the exact integer-dot
+    * argmax over ×10⁴-quantized vectors — so any engine replays the
+    * IDENTICAL partition of the corpus (a float k-means would be both
+    * seed- and ulp-divergent cross-engine; Lloyd refinement stays the
+    * production path via `kmeansCentroids`, this is the hash-checkable
+    * twin). Ties break to the lowest centroid id.
+    *
+    * Scale shape: centroids are one broadcast (corpus-size-sublinear by
+    * contract — SemDeDup runs with k ≪ n; at k beyond broadcast range
+    * assignment goes through the IVF probe machinery instead), the
+    * corpus scans ONCE, and the argmax is a map-side max_by — no shuffle
+    * wider than (vec_id, cid, s). Output: (vec_id, cid, s BIGINT).
+    */
+  /** (vec_id, __v) quantized frame — the shared entry point of the
+    * semantic-cluster family. Cheap cast pass; re-derive per reference
+    * rather than cutting (CLAUDE.md). */
+  private[graft] def semQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                                  scale: Int = 10000): DataFrame =
+    corpus.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(vecCol), scale).as("__v"))
+
+  /** The `nlist` lowest-id vectors as a broadcast centroid frame
+    * (__cid, __cvec) — the deterministic seed set any engine reproduces. */
+  def semCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, scale: Int = 10000): DataFrame =
+    broadcast(semQuantized(corpus, idCol, vecCol, scale).orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("__cid"), col("__v").as("__cvec")))
+
+  /** Integer-dot argmax assignment of a quantized frame to a centroid
+    * frame. Score materialized ONCE as a column (CLAUDE.md: never inline
+    * an expensive subexpression into N branches), then argmax by
+    * (s desc, cid asc) via max_by on a (s, -cid) ordering struct. */
+  private def semAssignTo(q: DataFrame, centroids: DataFrame): DataFrame =
+    q.crossJoin(centroids)
+      .select(col("vec_id"), col("__cid"),
+        intDot(col("__v"), col("__cvec")).as("s"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("__cid"), col("s")),
+        struct(col("s"), (-col("__cid")).as("tb"))).as("__a"))
+      .select(col("vec_id"), col("__a.__cid").as("cid"), col("__a.s").as("s"))
+
+  def semAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nlist: Int, scale: Int = 10000): DataFrame =
+    semAssignTo(semQuantized(corpus, idCol, vecCol, scale),
+      semCentroids(corpus, idCol, vecCol, nlist, scale))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space, then search for semantic duplicates ONLY within
+    * clusters — the clustering replaces LSH banding as the candidate
+    * generator, turning the all-pairs O(n²) into Σ per-cluster m² with
+    * m bounded by `maxClusterSize` (the `DefaultMaxBucketSize`
+    * discipline: a degenerate cluster is skipped, never exploded —
+    * mirrored into the q186 DuckDB text). Within a cluster, pairs with
+    * quantized dot ≥ `minScore` are duplicates and the HIGHER id of each
+    * pair is dropped (greedy keep-lowest — deterministic, the
+    * `dedupNear` convention).
+    *
+    * Same keys-only exchange as `portableEmbedPairs`: only (cid, vec_id)
+    * rides the cluster shuffle, ids pair by double explode, vectors join
+    * back for candidate pairs alone. Output: one row per cluster —
+    * (cid, n_members, n_pairs, n_dropped), all BIGINT. */
+  def semDedupStats(corpus: DataFrame, idCol: String, vecCol: String,
+                    minScore: Long, nlist: Int, scale: Int = 10000,
+                    maxClusterSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(vecCol), scale).as("__v"))
+    // the assignment subtree (n × nlist dot products) feeds BOTH the
+    // cluster sizes and the pair generator — cut its lineage once
+    // (CLAUDE.md discipline: a frame referenced N times recomputes its
+    // subtree N times per action)
+    val asg = Checkpoints.cut(
+      semAssign(corpus, idCol, vecCol, nlist, scale).select("vec_id", "cid"),
+      eager = false)
+    val csz = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val pairs = asg
+      .groupBy("cid")
+      .agg(collect_list(col("vec_id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxClusterSize))
+      .select(col("cid"), explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("cid"), col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val verified = pairs
+      .join(q.select(col("vec_id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(q.select(col("vec_id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .filter(intDot(col("__va"), col("__vb")) >= minScore)
+      .select("cid", "id_a", "id_b")
+    val st = verified.groupBy("cid")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_b")).as("n_dropped"))
+    csz.join(st, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Prototype pruning (Sorscher et al. 2022 "Beyond neural scaling
+    * laws"; the D4 recipe of Tirumala et al. 2023 runs it after
+    * SemDeDup): within each semantic cluster, the examples CLOSEST to
+    * the centroid are the most prototypical — and on large corpora the
+    * most redundant — so the top `dropBp`/10⁴ fraction of each cluster
+    * by centroid affinity is pruned. Rank = integer-dot to the assigned
+    * centroid, descending, vec_id tie-break — exact cross-engine.
+    *
+    * The per-cluster window partitions by cid (parallel across
+    * clusters, never a global sort); the rank-vs-quota join is
+    * cluster-sizes (broadcast-sized) back onto the ranked frame.
+    * Output: the DROPPED manifest (cid, vec_id, proto_rank,
+    * proto_score) — what a curation run logs before deleting. */
+  def semPrototypeDrops(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, dropBp: Int, scale: Int = 10000): DataFrame = {
+    val asg = Checkpoints.cut(
+      semAssign(corpus, idCol, vecCol, nlist, scale), eager = false)
+    val csz = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("cid").orderBy(col("s").desc, col("vec_id"))
+    asg.withColumn("proto_rank", row_number().over(w))
+      .join(broadcast(csz), Seq("cid"))
+      .filter(col("proto_rank") <= expr(s"(n_members * $dropBp) DIV 10000"))
+      .select(col("cid"), col("vec_id"), col("proto_rank"),
+        col("s").as("proto_score"))
+  }
+
+  /** Incremental SemDeDup (the q125 shape for the cluster family): an
+    * INCOMING vector batch deduped against an EXISTING corpus — centroids
+    * come from the existing corpus alone (the persisted-index contract:
+    * the cluster structure never moves when a batch arrives), both sides
+    * assign to them, and candidate pairs are existing × incoming within a
+    * cluster. The cap keys on the EXISTING-side cluster size only: that
+    * bounds the fan-out PER INCOMING ROW (work stays linear in the batch
+    * at any corpus scale) and — unlike a combined-occupancy cap — is
+    * micro-batch-invariant, so the streaming twin equals this batch form
+    * on any input split (the q126 streaming=batch contract holds by
+    * construction, not by luck). Keys-only exchanges throughout; vectors
+    * join back for candidate pairs alone.
+    * Output: (cid, id_a ∈ existing, id_b ∈ incoming, score BIGINT). */
+  def semCrossPairs(existing: DataFrame, incoming: DataFrame,
+                    idCol: String, vecCol: String,
+                    minScore: Long, nlist: Int, scale: Int = 10000,
+                    maxExistingCluster: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val qE = semQuantized(existing, idCol, vecCol, scale)
+    val qI = semQuantized(incoming, idCol, vecCol, scale)
+    val centroids = semCentroids(existing, idCol, vecCol, nlist, scale)
+    val asgE = Checkpoints.cut(
+      semAssignTo(qE, centroids).select("vec_id", "cid"), eager = false)
+    val asgI = semAssignTo(qI, centroids).select("vec_id", "cid")
+    val eligible = asgE.groupBy("cid").agg(count(lit(1)).as("__ne"))
+      .filter(col("__ne") <= maxExistingCluster)
+      .select("cid")
+    val cands = asgE.join(eligible, Seq("cid"))
+      .select(col("cid"), col("vec_id").as("id_a"))
+      .join(asgI.select(col("cid"), col("vec_id").as("id_b")), Seq("cid"))
+    cands
+      .join(qE.select(col("vec_id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(qI.select(col("vec_id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .select(col("cid"), col("id_a"), col("id_b"),
+        intDot(col("__va"), col("__vb")).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
+  /** Per-row argmax assignment against DRIVER-COLLECTED centroid literals
+    * — the streaming form of `semAssignTo` (a streaming groupBy would be
+    * a stateful aggregation; with the centroid set manifest-sized by the
+    * nlist ≤ 4096 contract, inlining it makes assignment a pure codegen'd
+    * expression, the hyperplane-literal discipline). Returns a (cid, s)
+    * struct column. */
+  def semAssignExpr(vec: Column, cents: Seq[(Long, Seq[Long])]): Column = {
+    require(cents.nonEmpty, "semAssignExpr needs at least one centroid")
+    val entries = cents.map { case (cid, cv) =>
+      struct(intDot(vec, typedlit(cv)).as("s"), lit(-cid).as("negcid"))
+    }
+    val best = array_max(array(entries: _*))
+    struct((-best.getField("negcid")).as("cid"), best.getField("s").as("s"))
+  }
+
+  /** Collect a centroid frame to driver literals for `semAssignExpr` —
+    * bounded by the nlist clamp (a manifest-sized collect, the allowed
+    * class). */
+  def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Long])] =
+    centroids.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toList).toList.sortBy(_._1)
 }

@@ -122,6 +122,32 @@ class DriftGuardSpec extends AnyFunSuite {
       s"$dir: $verified verified pairs but 0 cross the md5 split — the leakage entries are hollow on this regen")
   }
 
+  test("semantic-cluster occupancy under cap with margin; SemDeDup gates still split (q186/q187)") {
+    dirs.foreach { d =>
+      val emb = Tables.table(spark, d, "embeddings")
+      val k = SparkEntry.semNlistFor(spark, d)
+      val asg = Similarity.semAssign(emb, "vec_id", "embedding", nlist = k)
+      val mx = asg.groupBy("cid").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+      // r11 second-regen measured: sf0.01 (n=500, k=16) max 42,
+      // sf0.1 (n=2000, k=16) max 148 — cap/2 = 500. The self-sizing
+      // targets occupancy ~125, so a regen can only breach cap/2 through
+      // CLUSTERING skew, exactly what this guard is for.
+      assert(mx <= Cap / 2,
+        s"$d: max semantic cluster $mx > cap/2=${Cap / 2} at k=$k — q186 would silently skip its biggest clusters")
+    }
+    // degenerate-output guard at the oracle SF: the dedup must find SOME
+    // pairs yet not drop EVERYTHING, and the prototype prune must drop a
+    // nonzero strict subset (r11 second regen: 518 pairs, 288/500
+    // dropped; 93 prototype drops of 500).
+    val dir = dirs.find(_.endsWith("sf0.01")).getOrElse(dirs.head)
+    val st = SparkEntry.queries("q186_semdedup")(spark, dir)
+      .agg(sum("n_members").as("m"), sum("n_pairs").as("p"), sum("n_dropped").as("dr")).head()
+    assert(st.getLong(1) > 0 && st.getLong(2) < st.getLong(0),
+      s"$dir: semdedup pairs=${st.getLong(1)} dropped=${st.getLong(2)} of ${st.getLong(0)} — the threshold no longer splits this regen's vector clustering")
+    val protos = SparkEntry.queries("q187_prototypes")(spark, dir).count()
+    assert(protos > 0, s"$dir: prototype prune dropped nothing — clusters shrank below the 20% quota floor")
+  }
+
   test("edit-distance prefix/suffix block occupancy under cap with margin (q136/q141/q142)") {
     dirs.foreach { d =>
       val docs = Tables.table(spark, d, "documents")

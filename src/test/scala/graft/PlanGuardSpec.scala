@@ -36,7 +36,12 @@ class PlanGuardSpec extends AnyFunSuite {
   //  - q68_contamination: the broadcast side is the BENCHMARK suite
   //    (eval sets are thousands of rows at most, fixed as the corpus
   //    grows; contaminationScores scans the corpus once against it).
-  private val bnlAllowed = Set("q44_cosine_topk", "q53_ann_ivf", "q68_contamination")
+  //  - q186_semdedup / q187_prototypes: the broadcast side is the
+  //    SEMANTIC-CENTROID set (semNlistFor clamps k to ≤ 4096 — the same
+  //    corpus-size-independent bound as q53's IVF centroids); the corpus
+  //    scans once against it for assignment.
+  private val bnlAllowed = Set("q44_cosine_topk", "q53_ann_ivf", "q68_contamination",
+    "q186_semdedup", "q187_prototypes")
 
   test("no cartesian products or unintended nested-loop joins anywhere in the corpus") {
     val dir = TestSpark.sf0001

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup family (q186/q187) vs an INDEPENDENT scalar reference: the
+  * whole pipeline — quantization, lowest-id centroids, integer-dot argmax
+  * assignment, within-cluster pair verification, greedy keep-lowest-id
+  * drops, prototype ranking — recomputed with plain Scala collections and
+  * compared exactly. Also pins cluster recovery on planted structure and
+  * run-to-run determinism (the property the DuckDB oracle relies on). */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Scale = 10000L
+  // the DataFrame column is array<float>: quantization sees the FLOAT32
+  // value widened back to double (exactly what the engine computes)
+  private def quant(v: Seq[Double]): Seq[Long] =
+    v.map(x => math.floor(x.toFloat.toDouble * Scale).toLong)
+  private def dot(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+
+  /** Scalar replay of semAssign: nearest of the `nlist` lowest-id vectors
+    * by quantized dot, ties to the lowest centroid id. */
+  private def refAssign(vecs: Map[Long, Seq[Double]], nlist: Int): Map[Long, (Long, Long)] = {
+    val q = vecs.map { case (id, v) => id -> quant(v) }
+    val cents = q.keys.toSeq.sorted.take(nlist).map(id => id -> q(id))
+    q.map { case (id, v) =>
+      val (cid, s) = cents.map { case (c, cv) => (c, dot(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }
+      id -> (cid, s)
+    }
+  }
+
+  private def refStats(vecs: Map[Long, Seq[Double]], nlist: Int, minScore: Long,
+                       cap: Int = graft.operators.TextDedup.DefaultMaxBucketSize)
+  : Map[Long, (Long, Long, Long)] = {
+    val q = vecs.map { case (id, v) => id -> quant(v) }
+    val asg = refAssign(vecs, nlist)
+    val byCluster = asg.toSeq.groupBy(_._2._1).map { case (cid, m) => cid -> m.map(_._1).sorted }
+    byCluster.map { case (cid, ids) =>
+      val pairs =
+        if (ids.size < 2 || ids.size > cap) Seq.empty
+        else for { a <- ids; b <- ids if a < b && dot(q(a), q(b)) >= minScore } yield (a, b)
+      cid -> (ids.size.toLong, pairs.size.toLong, pairs.map(_._2).distinct.size.toLong)
+    }
+  }
+
+  private def refProtoDrops(vecs: Map[Long, Seq[Double]], nlist: Int, dropBp: Int)
+  : Seq[(Long, Long, Long, Long)] = {
+    val asg = refAssign(vecs, nlist)
+    asg.toSeq.groupBy(_._2._1).toSeq.flatMap { case (cid, m) =>
+      val ranked = m.map { case (id, (_, s)) => (id, s) }.sortBy { case (id, s) => (-s, id) }
+      val quota = ranked.size.toLong * dropBp / 10000
+      ranked.zipWithIndex.take(quota.toInt)
+        .map { case ((id, s), i) => (cid, id, (i + 1).toLong, s) }
+    }.sortBy { case (cid, _, r, _) => (cid, r) }
+  }
+
+  /** 3 planted clusters in dim 8: members are axis-aligned prototypes with
+    * small deterministic jitter, ids interleaved so centroid ids (lowest
+    * nlist) span all clusters. */
+  private def plantedVecs(n: Int): Map[Long, Seq[Double]] = {
+    (0 until n).map { i =>
+      val axis = i % 3
+      val base = Seq.tabulate(8)(d => if (d == axis) 1.0 else 0.0)
+      val jit = Seq.tabulate(8)(d => ((i * 31 + d * 7) % 11 - 5) * 0.01)
+      i.toLong -> base.zip(jit).map { case (b, j) => b + j }
+    }.toMap
+  }
+
+  private def toDf(vecs: Map[Long, Seq[Double]]) = {
+    import spark.implicits._
+    vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("semAssign matches the scalar argmax and recovers the planted clusters") {
+    val vecs = plantedVecs(60)
+    val ref = refAssign(vecs, nlist = 3)
+    val got = Similarity.semAssign(toDf(vecs), "vec_id", "embedding", nlist = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === ref)
+    // planted recovery: members of one axis share their centroid (ids
+    // 0/1/2 are one prototype of each axis, so cid == id % 3's centroid)
+    val byAxis = got.groupBy(_._1 % 3).view.mapValues(_.values.map(_._1).toSet).toMap
+    byAxis.foreach { case (axis, cids) =>
+      assert(cids.size == 1 && cids.head == axis,
+        s"axis $axis scattered over centroids $cids")
+    }
+  }
+
+  test("semDedupStats equals the scalar reference (planted + threshold that splits)") {
+    val vecs = plantedVecs(60)
+    // within-axis dots ≈ 1.0×Scale² ≥ minScore; cross-axis ≈ 0 — the
+    // threshold genuinely splits
+    val minScore = 50000000L
+    val ref = refStats(vecs, nlist = 3, minScore = minScore)
+    val got = Similarity.semDedupStats(toDf(vecs), "vec_id", "embedding",
+        minScore = minScore, nlist = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === ref)
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._3).sum < 60,
+      "fixture degenerated: no pairs or everything dropped")
+  }
+
+  test("semDedupStats skips clusters over the cap but still reports their size") {
+    val vecs = plantedVecs(30)
+    val ref = refStats(vecs, nlist = 3, minScore = 50000000L, cap = 9)
+    val got = Similarity.semDedupStats(toDf(vecs), "vec_id", "embedding",
+        minScore = 50000000L, nlist = 3, maxClusterSize = 9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === ref)
+    assert(got.values.exists { case (m, p, _) => m > 9 && p == 0L },
+      "cap fixture degenerated: no over-cap cluster present")
+  }
+
+  test("semPrototypeDrops equals the scalar rank reference") {
+    val vecs = plantedVecs(60)
+    val ref = refProtoDrops(vecs, nlist = 3, dropBp = 2000)
+    val got = Similarity.semPrototypeDrops(toDf(vecs), "vec_id", "embedding",
+        nlist = 3, dropBp = 2000)
+      .orderBy("cid", "proto_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3))).toSeq
+    assert(got === ref)
+    assert(got.nonEmpty && got.size < 60, "prune fixture degenerated")
+  }
+
+  test("run-to-run determinism (what the cross-engine hash relies on)") {
+    val df = toDf(plantedVecs(45))
+    def run() = Similarity.semDedupStats(df, "vec_id", "embedding",
+      minScore = 50000000L, nlist = 3).orderBy("cid").collect().toSeq
+    assert(run() === run())
+  }
+}
