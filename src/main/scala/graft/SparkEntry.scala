@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Checkpoints, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Checkpoints, Dsir, Multimodal, NaiveBayes, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -275,6 +275,122 @@ object SparkEntry {
     * doc_id ≥ split = "incoming batch". One constant for the Spark entry
     * AND the DuckDB text. */
   private val IncrementalSplitId = 400L
+
+  /** q190/q193's split WITHIN the labeled train set (doc_id <
+    * IncrementalSplitId): counts from [0, NbInnerSplitId) merged with
+    * counts from [NbInnerSplitId, IncrementalSplitId) must equal the
+    * full-train counts — the additivity identity the incremental
+    * classifier/DSIR twins demonstrate Spark-side. */
+  private val NbInnerSplitId = 200L
+
+  /** q192-q194's DSIR target domain: the train docs of this language
+    * define p_target; all train docs define p_raw. private[graft] so
+    * DriftGuardSpec can assert the target stays non-empty (and a strict
+    * subset) on each regenerated corpus. */
+  private[graft] val DsirTargetLang = "en"
+
+  /** Shared q188/q189 classifier pipeline: Naive Bayes trained on the
+    * labeled train split, EVERY document scored, true label joined
+    * back. private[graft] for NbSpec's scalar cross-check. */
+  private[graft] def nbScoresAll(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+    val m = NaiveBayes.model(d.filter(col("doc_id") < IncrementalSplitId), "text", "lang")
+    NaiveBayes.score(d, m, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+  }
+
+  /** Shared prediction output of q188/q190/q191: per-doc predicted
+    * label, its total surprisal bits, and the runner-up margin (the
+    * confidence a downstream gate thresholds on). */
+  private def nbPredOut(scored: DataFrame): DataFrame =
+    scored.select(col("doc_id"), col("lang"), col("pred_label").as("pred_lang"),
+        col("best_bits"), (col("second_bits") - col("best_bits")).as("margin"))
+      .orderBy("doc_id").limit(100)
+
+  /** Shared DSIR output tail of q192-q194. */
+  private def dsirOut(scored: DataFrame, docs: DataFrame): DataFrame =
+    scored.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_feat"), col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id")).limit(100)
+
+  /** Model CTEs of the Naive Bayes replay (q188-q191): train token
+    * stream → capped vocab (count DESC, token tie-break — the Spark
+    * side's exact ordering) → per-(lang, token) counts, in-vocab label
+    * totals, doc-count priors → integer-bit label stats. bits0 = the
+    * unseen-token cost length(bin((nl+V)·2¹⁰)); prior = length(bin(
+    * (D+L)·2¹⁰ // (nd+1))); delta = the SEEN-pair rebate below bits0 —
+    * all the q148 leading-bit spelling (a libm log in a hashed cell is
+    * the banned cross-engine ulp hazard). */
+  private def nbCtes: String =
+    "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      s"ttk0 AS (SELECT tk.doc_id, d.lang, tk.tok FROM tk JOIN documents d ON tk.doc_id = d.doc_id WHERE tk.doc_id < $IncrementalSplitId), " +
+      "voc AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM ttk0 GROUP BY tok " +
+      s"ORDER BY n DESC, tok LIMIT ${NaiveBayes.DefaultVocab})), " +
+      "ttk AS (SELECT ttk0.doc_id, ttk0.lang, ttk0.tok FROM ttk0 JOIN voc ON ttk0.tok = voc.tok), " +
+      "tc AS (SELECT lang, tok, COUNT(*) AS n FROM ttk GROUP BY lang, tok), " +
+      "nl AS (SELECT lang, COUNT(*) AS nl FROM ttk GROUP BY lang), " +
+      s"dl AS (SELECT lang, COUNT(*) AS nd FROM documents WHERE doc_id < $IncrementalSplitId GROUP BY lang), " +
+      "ls AS (SELECT nl.lang, " +
+      "CAST(length(bin((nl.nl + (SELECT COUNT(*) FROM voc)) * 1024)) AS BIGINT) AS bits0, " +
+      s"CAST(length(bin(((SELECT COUNT(*) FROM documents WHERE doc_id < $IncrementalSplitId) + " +
+      "(SELECT COUNT(*) FROM dl)) * 1024 // (dl.nd + 1))) AS BIGINT) AS prior_bits " +
+      "FROM nl JOIN dl ON nl.lang = dl.lang), " +
+      "tcd AS (SELECT tc.lang, tc.tok, " +
+      "CAST(length(bin((nl.nl + (SELECT COUNT(*) FROM voc)) * 1024)) - " +
+      "length(bin((nl.nl + (SELECT COUNT(*) FROM voc)) * 1024 // (tc.n + 1))) AS BIGINT) AS delta " +
+      "FROM tc JOIN nl ON tc.lang = nl.lang)"
+
+  /** Scoring CTEs of the Naive Bayes replay: per-doc in-vocab token
+    * counts → surprisal per (doc, label) via the inner-join rebate
+    * rearrangement → argmin prediction + runner-up. `scoreFilter`
+    * restricts the SCORED documents (q190/q191 score only the incoming
+    * batch; the model CTEs always aggregate the full train split, which
+    * equals the Spark side's merged artifact on the closed input — the
+    * q161 additivity identity). */
+  private def nbScoreCtes(scoreFilter: String): String =
+    s"dtok AS (SELECT tk.doc_id, tk.tok, COUNT(*) AS cnt FROM tk JOIN voc ON tk.tok = voc.tok $scoreFilter GROUP BY tk.doc_id, tk.tok), " +
+      "m AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS m FROM dtok GROUP BY doc_id), " +
+      "adj AS (SELECT dtok.doc_id, tcd.lang, CAST(SUM(dtok.cnt * tcd.delta) AS BIGINT) AS adj " +
+      "FROM dtok JOIN tcd ON dtok.tok = tcd.tok GROUP BY dtok.doc_id, tcd.lang), " +
+      "sc AS (SELECT m.doc_id, ls.lang AS cl, m.m * ls.bits0 + ls.prior_bits - COALESCE(adj.adj, 0) AS score " +
+      "FROM m CROSS JOIN ls LEFT JOIN adj ON adj.doc_id = m.doc_id AND adj.lang = ls.lang), " +
+      "rk AS (SELECT doc_id, cl, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score, cl) AS rn FROM sc), " +
+      "pr AS (SELECT doc_id, MAX(CASE WHEN rn = 1 THEN cl END) AS pred_lang, " +
+      "MAX(CASE WHEN rn = 1 THEN score END) AS best_bits, " +
+      "MAX(CASE WHEN rn = 2 THEN score END) AS second_bits FROM rk GROUP BY doc_id)"
+
+  private def nbOracle(scoreFilter: String): String =
+    s"WITH $nbCtes, ${nbScoreCtes(scoreFilter)} " +
+      "SELECT pr.doc_id, d.lang, pr.pred_lang, CAST(pr.best_bits AS BIGINT) AS best_bits, " +
+      "CAST(pr.second_bits - pr.best_bits AS BIGINT) AS margin " +
+      "FROM pr JOIN documents d ON pr.doc_id = d.doc_id ORDER BY pr.doc_id LIMIT 100"
+
+  /** Shared DuckDB replay for the DSIR family (q192-q194): hashed-bigram
+    * buckets (the pplOracle md5-prefix hash mod Dsir.Buckets), train
+    * target/raw histograms, basis-point normalization (overflow-safe at
+    * any corpus scale — totals never multiply each other), per-bucket
+    * integer-bit log ratio minus bits(2¹⁰) = 11. `scoreFilter` restricts
+    * the SCORED documents (q193/q194 score only the incoming batch; the
+    * histogram CTEs aggregate the full train split = the merged
+    * histograms on the closed input). */
+  private def dsirOracle(scoreFilter: String): String =
+    "WITH dtoks AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2), " +
+      s"bg AS (SELECT doc_id, CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) % ${Dsir.Buckets} AS f " +
+      "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM dtoks)), " +
+      s"tgt AS (SELECT f, COUNT(*) AS tn FROM bg JOIN documents d ON bg.doc_id = d.doc_id " +
+      s"WHERE d.lang = '$DsirTargetLang' AND bg.doc_id < $IncrementalSplitId GROUP BY f), " +
+      s"rawc AS (SELECT f, COUNT(*) AS rn FROM bg WHERE doc_id < $IncrementalSplitId GROUP BY f), " +
+      "w AS (SELECT rawc.f, " +
+      "CAST(length(bin(((COALESCE(tgt.tn, 0) * 10000 // (SELECT CAST(SUM(tn) AS BIGINT) FROM tgt)) + 1) * 1024 " +
+      "// ((rawc.rn * 10000 // (SELECT CAST(SUM(rn) AS BIGINT) FROM rawc)) + 1))) AS BIGINT) - 11 AS wb " +
+      "FROM rawc LEFT JOIN tgt ON rawc.f = tgt.f), " +
+      s"df AS (SELECT doc_id, f, COUNT(*) AS cnt FROM bg $scoreFilter GROUP BY doc_id, f), " +
+      "sc AS (SELECT df.doc_id, CAST(SUM(df.cnt) AS BIGINT) AS n_feat, " +
+      "CAST(SUM(df.cnt * w.wb) AS BIGINT) AS dsir_score " +
+      "FROM df JOIN w ON df.f = w.f GROUP BY df.doc_id) " +
+      "SELECT sc.doc_id, d.lang, sc.n_feat, sc.dsir_score " +
+      "FROM sc JOIN documents d ON sc.doc_id = d.doc_id " +
+      "ORDER BY sc.dsir_score DESC, sc.doc_id LIMIT 100"
 
   /** q170-q172's perplexity-gate threshold: keep documents whose
     * bits-per-bigram (×10⁴) under the bigram LM is ≤ this. 53200 ≈ 5.32
@@ -2045,6 +2161,149 @@ object SparkEntry {
           nlist = semNlistFor(spark, dir), dropBp = ProtoDropBp)
         .orderBy("cid", "proto_rank").limit(100)
     },
+    // TRAINED-classifier gate (round 11, session 2): multinomial Naive
+    // Bayes over token counts — the fastText-style model-based language/
+    // quality filter (CCNet / GPT-3-era curation), completing the gate
+    // ladder: heuristic (q47/q158), LM perplexity (q170), trained
+    // classifier here. Training is pure counting, so the model is
+    // mergeable (the q161 additivity) and the incremental/streaming
+    // twins fall out of the LM family's machinery. Scores are INTEGER
+    // bits end to end (the q148 leading-bit spelling over 2¹⁰-scaled
+    // ratios): per (doc, label) surprisal = m·bits0 + prior − Σ
+    // cnt·delta, computed via an INNER join on observed (label, token)
+    // pairs — the dense label × vocab cross never materializes. The one
+    // tiny-dim cross join (per-doc base × label stats) is the q44/q53
+    // broadcast-cross class: |labels| rows at any corpus scale
+    // (PlanGuardSpec allowlist). Prediction = argmin with lexicographic
+    // tie-break; margin = runner-up gap, the downstream confidence gate.
+    "q188_nb_langid" -> { (spark, dir) =>
+      nbPredOut(nbScoresAll(spark, dir))
+    },
+    // Classifier evaluation (round 11, session 2): q188's predictions
+    // against the held labels as a confusion matrix — ≤ |labels|² rows,
+    // broadcast-sized at any corpus scale.
+    "q189_nb_confusion" -> { (spark, dir) =>
+      nbScoresAll(spark, dir)
+        .groupBy(col("lang"), col("pred_label").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang").limit(100)
+    },
+    // Incremental classifier (round 11, session 2): the labeled corpus
+    // persists its counting artifact; a labeled increment merges in
+    // key-wise (sum) and the model re-derives from merged counts — the
+    // corpus's documents are never re-tokenized. Only the unlabeled
+    // batch is scored. Merged ≡ full-train counts on the closed input →
+    // hashes against the q188 replay restricted to batch doc ids.
+    "q190_nb_incremental" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val train = d.filter(col("doc_id") < IncrementalSplitId)
+      val merged = NaiveBayes.mergeCounts(
+        NaiveBayes.counts(train.filter(col("doc_id") < NbInnerSplitId), "text", "lang"),
+        NaiveBayes.counts(train.filter(col("doc_id") >= NbInnerSplitId), "text", "lang"))
+      val m = NaiveBayes.modelFromCounts(merged)
+      nbPredOut(
+        NaiveBayes.score(d.filter(col("doc_id") >= IncrementalSplitId), m, "doc_id", "text")
+          .join(d.select("doc_id", "lang"), Seq("doc_id")))
+    },
+    // Streaming classifier train (round 11, session 2): labeled TRAIN
+    // documents streamed; each micro-batch appends its own counting
+    // artifact through the idempotent batchId-subpath parquet sink (the
+    // q162 shape — counts are additive, no state store), the merge is
+    // one key-wise sum over the partials, and the unlabeled batch is
+    // scored against the derived model. Streamed ≡ batch model on the
+    // closed input → hashes against the q190 replay.
+    "q191_nb_stream" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, d.schema)
+        .filter(col("doc_id") < IncrementalSplitId)
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q191")
+      val partials = graft.streaming.StreamOps.runBatchesToParquet(
+          spark, stream, s"$tmpPath/partials") { b =>
+        NaiveBayes.counts(b, "text", "lang")
+      }
+      val merged = partials.groupBy("__kind", "__lab", "__tok")
+        .agg(sum("__n").as("__n"))
+      // modelFromCounts cuts the artifact EAGERLY, so the parquet
+      // partials + checkpoint can be deleted here (the q162 rule)
+      val m = NaiveBayes.modelFromCounts(merged)
+      rmTree(tmpPath.toFile)
+      nbPredOut(
+        NaiveBayes.score(d.filter(col("doc_id") >= IncrementalSplitId), m, "doc_id", "text")
+          .join(d.select("doc_id", "lang"), Seq("doc_id")))
+    },
+    // DSIR importance weighting (round 11, session 2; Xie et al. 2023,
+    // arXiv:2302.03169): rank documents by how much their hashed-bigram
+    // distribution resembles a TARGET domain (lang = DsirTargetLang
+    // among train docs) relative to the RAW train distribution —
+    // Σ cnt·(log₂ p_t − log₂ p_r) in integer bits over 64-bucket
+    // histograms normalized to basis points (overflow-safe cross-
+    // multiplication at any corpus scale — raw totals never multiply
+    // each other). The feature stream is hashed ONCE and cut (the q82
+    // md5-pass rule): target/raw histograms and the scoring pass all
+    // read the cut; the weight table is 64 rows, broadcast.
+    "q192_dsir_weights" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val feats = Checkpoints.cut(
+        Dsir.featStream(d, "doc_id", "text", carry = Seq("lang")), eager = false)
+      val train = feats.filter(col("__id") < IncrementalSplitId)
+      val wgt = Dsir.weights(
+        Dsir.featCounts(train.filter(col("lang") === DsirTargetLang)),
+        Dsir.featCounts(train))
+      dsirOut(Dsir.scoreFeats(feats, wgt, "doc_id"), d)
+    },
+    // Incremental DSIR (round 11, session 2): the corpus persists its
+    // 64-bucket target/raw histograms; an increment's histograms merge
+    // key-wise and only the incoming batch is scored — the ingest
+    // prioritization check. Merged ≡ full-train histograms on the
+    // closed input → hashes against the q192 replay restricted to
+    // batch doc ids.
+    "q193_dsir_incremental" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val feats = Checkpoints.cut(
+        Dsir.featStream(d, "doc_id", "text", carry = Seq("lang")), eager = false)
+      val corpus = feats.filter(col("__id") < NbInnerSplitId)
+      val inc = feats.filter(
+        col("__id") >= NbInnerSplitId && col("__id") < IncrementalSplitId)
+      val wgt = Dsir.weights(
+        Dsir.mergeFeatCounts(
+          Dsir.featCounts(corpus.filter(col("lang") === DsirTargetLang)),
+          Dsir.featCounts(inc.filter(col("lang") === DsirTargetLang))),
+        Dsir.mergeFeatCounts(Dsir.featCounts(corpus), Dsir.featCounts(inc)))
+      dsirOut(
+        Dsir.scoreFeats(feats.filter(col("__id") >= IncrementalSplitId), wgt, "doc_id"), d)
+    },
+    // Streaming DSIR (round 11, session 2): incoming documents STREAMED
+    // and scored per micro-batch against the static train-built weight
+    // table — the q172 zero-state shape (foreachBatch batch-scoring; a
+    // doc never splits across micro-batches). The weight table is cut
+    // EAGERLY so each micro-batch broadcasts the materialized 64 rows
+    // instead of re-running the histogram aggregation. Streaming ≡
+    // batch on the closed input → hashes against the q193 replay.
+    "q194_dsir_stream" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val tf = Checkpoints.cut(
+        Dsir.featStream(d.filter(col("doc_id") < IncrementalSplitId),
+          "doc_id", "text", carry = Seq("lang")), eager = false)
+      val wgt = Checkpoints.cut(
+        Dsir.weights(
+          Dsir.featCounts(tf.filter(col("lang") === DsirTargetLang)),
+          Dsir.featCounts(tf)),
+        eager = true)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, d.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q194")
+      val scored = Checkpoints.cut(
+        graft.streaming.StreamOps.runBatchesToParquet(
+            spark, stream, s"$tmpPath/scores") { b =>
+          Dsir.score(b, wgt, "doc_id", "text")
+        },
+        eager = true)
+      rmTree(tmpPath.toFile)
+      dsirOut(scored, d)
+    },
     // Streaming ingest dedup run to completion on the closed input
     // (round 8): the incoming half STREAMED and deduped per micro-batch
     // against the static corpus index — stateless (no watermark, no join
@@ -2765,6 +3024,30 @@ object SparkEntry {
           "dr AS (SELECT rk.cid, rk.vec_id, rk.proto_rank, rk.s AS proto_score FROM rk JOIN csz ON csz.cid = rk.cid " +
           s"WHERE rk.proto_rank <= (csz.n_members * $ProtoDropBp) // 10000) " +
           "SELECT cid, vec_id, proto_rank, proto_score FROM dr ORDER BY cid, proto_rank LIMIT 100"),
+      // round 11 session 2: Naive Bayes classifier family — train-split
+      // token counts, capped vocab, integer-bit label stats/rebates,
+      // per-(doc,label) surprisal, argmin prediction + runner-up margin
+      "q188_nb_langid" -> nbOracle(""),
+      "q189_nb_confusion" ->
+        (s"WITH $nbCtes, ${nbScoreCtes("")} " +
+          "SELECT d.lang, pr.pred_lang, COUNT(*) AS n " +
+          "FROM pr JOIN documents d ON pr.doc_id = d.doc_id " +
+          "GROUP BY d.lang, pr.pred_lang ORDER BY d.lang, pr.pred_lang LIMIT 100"),
+      // incremental/streaming twins score only the incoming batch; the
+      // model CTEs aggregate the full train split = the merged artifact
+      "q190_nb_incremental" ->
+        nbOracle(s"WHERE tk.doc_id >= $IncrementalSplitId"),
+      "q191_nb_stream" ->
+        nbOracle(s"WHERE tk.doc_id >= $IncrementalSplitId"),
+      // round 11 session 2: DSIR importance weights — hashed-bigram
+      // 64-bucket histograms (the pplOracle hash spelling mod buckets),
+      // basis-point normalization, integer-bit log ratio minus the 2¹⁰
+      // scale's own bit count
+      "q192_dsir_weights" -> dsirOracle(""),
+      "q193_dsir_incremental" ->
+        dsirOracle(s"WHERE doc_id >= $IncrementalSplitId"),
+      "q194_dsir_stream" ->
+        dsirOracle(s"WHERE doc_id >= $IncrementalSplitId"),
       // round 8: incremental embedding near-dup — the same replay
       // restricted to pairs straddling the vec_id split (cf. q124)
       "q125_incremental_embed" ->

@@ -163,4 +163,29 @@ class DriftGuardSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("classifier/DSIR train fixtures survive regeneration (q188-q194)") {
+    // q188-q191 pin the train split at doc_id < IncrementalSplitId and
+    // q192-q194 pin the DSIR target domain at lang = DsirTargetLang
+    // inside it; both are hash-green for ANY non-degenerate data, but a
+    // regenerated corpus that dropped the target language (tgt total = 0
+    // divides in the weight formula) or emptied a split side would break
+    // or hollow the entries. Assert every side is non-empty and the
+    // target is a strict subset at each SF.
+    dirs.foreach { d =>
+      val docs = Tables.table(spark, d, "documents")
+      val train = docs.filter(col("doc_id") < 400L)
+      val nTrain = train.count()
+      val nBatch = docs.filter(col("doc_id") >= 400L).count()
+      val nTgt = train.filter(col("lang") === SparkEntry.DsirTargetLang).count()
+      assert(nTrain > 0 && nBatch > 0,
+        s"$d: train=$nTrain batch=$nBatch — the doc_id split boundary no longer divides the regenerated corpus")
+      assert(nTgt > 0 && nTgt < nTrain,
+        s"$d: DSIR target '${SparkEntry.DsirTargetLang}' covers $nTgt of $nTrain train docs — not a usable target domain")
+      // the train split must keep ≥2 labels or the classifier degenerates
+      val nLabels = train.select("lang").distinct().count()
+      assert(nLabels >= 2,
+        s"$d: $nLabels train labels — Naive Bayes needs a multi-class train split")
+    }
+  }
 }

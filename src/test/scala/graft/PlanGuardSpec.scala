@@ -21,7 +21,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q97_embed_clusters",  // iterative fixpoint: checkpoint + head() actions at build
     "q107_stream_static",  // runs the stream-static enrichment to completion at build
     "q172_ppl_stream",     // runs the scoring stream to completion at build (q162 shape)
-    "q176_stream_spans")   // runs the span-scoring stream to completion at build (q172 shape)
+    "q176_stream_spans",   // runs the span-scoring stream to completion at build (q172 shape)
+    "q191_nb_stream",      // runs the counting stream to completion at build (q162 shape)
+    "q194_dsir_stream")    // runs the scoring stream to completion at build (q172 shape)
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic
@@ -40,8 +42,15 @@ class PlanGuardSpec extends AnyFunSuite {
   //    SEMANTIC-CENTROID set (semNlistFor clamps k to ≤ 4096 — the same
   //    corpus-size-independent bound as q53's IVF centroids); the corpus
   //    scans once against it for assignment.
+  //  - q188/q189/q190 (Naive Bayes): the broadcast side is the LABEL-
+  //    STATS table — one row per class label (5 langs here; bounded by
+  //    the classification task, never the corpus); every document needs
+  //    a surprisal row per label, so per-doc base × labels IS the
+  //    linear scan. (q191, the streaming twin, shares the scorer but is
+  //    eager-excluded above.)
   private val bnlAllowed = Set("q44_cosine_topk", "q53_ann_ivf", "q68_contamination",
-    "q186_semdedup", "q187_prototypes")
+    "q186_semdedup", "q187_prototypes",
+    "q188_nb_langid", "q189_nb_confusion", "q190_nb_incremental")
 
   test("no cartesian products or unintended nested-loop joins anywhere in the corpus") {
     val dir = TestSpark.sf0001
