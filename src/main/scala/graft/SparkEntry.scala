@@ -374,7 +374,15 @@ object SparkEntry {
     * histogram CTEs aggregate the full train split = the merged
     * histograms on the closed input). */
   private def dsirOracle(scoreFilter: String): String =
-    "WITH dtoks AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2), " +
+    s"WITH ${dsirScoreCtes(scoreFilter)} " +
+      "SELECT sc.doc_id, d.lang, sc.n_feat, sc.dsir_score " +
+      "FROM sc JOIN documents d ON sc.doc_id = d.doc_id " +
+      "ORDER BY sc.dsir_score DESC, sc.doc_id LIMIT 100"
+
+  /** The DSIR replay's CTE body through the per-doc score table `sc` —
+    * shared by q192-q194's ranking tail and q196's budget tail. */
+  private def dsirScoreCtes(scoreFilter: String): String =
+    "dtoks AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2), " +
       s"bg AS (SELECT doc_id, CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) % ${Dsir.Buckets} AS f " +
       "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM dtoks)), " +
       s"tgt AS (SELECT f, COUNT(*) AS tn FROM bg JOIN documents d ON bg.doc_id = d.doc_id " +
@@ -387,10 +395,24 @@ object SparkEntry {
       s"df AS (SELECT doc_id, f, COUNT(*) AS cnt FROM bg $scoreFilter GROUP BY doc_id, f), " +
       "sc AS (SELECT df.doc_id, CAST(SUM(df.cnt) AS BIGINT) AS n_feat, " +
       "CAST(SUM(df.cnt * w.wb) AS BIGINT) AS dsir_score " +
-      "FROM df JOIN w ON df.f = w.f GROUP BY df.doc_id) " +
-      "SELECT sc.doc_id, d.lang, sc.n_feat, sc.dsir_score " +
-      "FROM sc JOIN documents d ON sc.doc_id = d.doc_id " +
-      "ORDER BY sc.dsir_score DESC, sc.doc_id LIMIT 100"
+      "FROM df JOIN w ON df.f = w.f GROUP BY df.doc_id)"
+
+  /** The adjacent-Jaccard near-dup closure shared by the q180 and q195
+    * replays: verified adjacent pairs → undirected edges → recursive
+    * reachability → component = min reachable doc_id. */
+  private def adjClusterCtes: String =
+    "pairs AS (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+      "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+      "WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' ')))) * 10 >= " +
+      "len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' '))))) * 9" +
+      "), edges AS (" +
+      "SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs" +
+      "), reach(id, lbl) AS (" +
+      "SELECT src, src FROM edges " +
+      "UNION " +
+      "SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst" +
+      "), comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id)"
 
   /** q170-q172's perplexity-gate threshold: keep documents whose
     * bits-per-bigram (×10⁴) under the bigram LM is ≤ this. 53200 ≈ 5.32
@@ -2304,6 +2326,64 @@ object SparkEntry {
       rmTree(tmpPath.toFile)
       dsirOut(scored, d)
     },
+    // Cluster-aware train/test split (round 11 session 2): the PREVENTION
+    // counterpart to q178's leakage DETECTION — near-dup clusters (q74's
+    // connected components over verified pairs, singletons via COALESCE)
+    // are assigned WHOLE to one side by hashing the CLUSTER
+    // representative through the q69 md5 split, so no verified pair can
+    // ever straddle the boundary (GroupShuffleSplit semantics; the
+    // standard fix once q178 finds leaks). Split labeling is scan-local
+    // arithmetic on the cluster id — zero exchanges beyond the
+    // clustering itself. ClusterSplitSpec pins the guarantee (0 cross
+    // pairs) against the doc-id split's measured leakage.
+    "q195_cluster_split" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val comp = d.join(TextDedup.nearDupClusters(adjacentJaccardPairs(d)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("cluster"), col("doc_id")).as("comp"))
+      graft.operators.Scale.hashSplit(comp, "comp", 80, method = "md5")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("comp").as("n_clusters"))
+        .orderBy("split", "lang").limit(100)
+    },
+    // DSIR-ranked token budget (round 11 session 2): importance
+    // resampling DEPLOYED — per language, documents selected in q192's
+    // DSIR-importance order (highest target affinity first, doc_id
+    // tie-break) until the q179 relative token budget fills. Same single
+    // prefix-sum plan as q179 (range-partition + boundary-carry
+    // groupedPrefixSum — never a low-cardinality partitioned window),
+    // with the hash priority swapped for the model-based one; the
+    // priority frame carries the scoring join, so it is lineage-cut once
+    // (totals + prefix sum both read it).
+    "q196_dsir_budget" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val feats = Checkpoints.cut(
+        Dsir.featStream(d, "doc_id", "text", carry = Seq("lang")), eager = false)
+      val train = feats.filter(col("__id") < IncrementalSplitId)
+      val wgt = Dsir.weights(
+        Dsir.featCounts(train.filter(col("lang") === DsirTargetLang)),
+        Dsir.featCounts(train))
+      val pr = Checkpoints.cut(
+        d.select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .join(Dsir.scoreFeats(feats, wgt, "doc_id")
+            .select(col("doc_id"), col("dsir_score")), Seq("doc_id"))
+          .withColumn("prio", -col("dsir_score")),
+        eager = false)
+      val cum = graft.operators.Scale.groupedPrefixSum(
+        pr, "lang", Seq(col("prio"), col("doc_id")), "n_toks", "cum_toks")
+      val tot = pr.groupBy("lang").agg(sum("n_toks").as("tot_toks"))
+      cum.join(broadcast(tot), Seq("lang"))
+        .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks_kept"),
+          max("tot_toks").as("tot_toks"), sum("dsir_score").as("score_kept"))
+        .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
+        .select("lang", "n_docs", "toks_kept", "tot_toks", "kept_bp", "score_kept")
+        .orderBy("lang").limit(100)
+    },
     // Streaming ingest dedup run to completion on the closed input
     // (round 8): the incoming half STREAMED and deduped per micro-batch
     // against the static corpus index — stateless (no watermark, no join
@@ -2977,18 +3057,7 @@ object SparkEntry {
       // round 11: the q74/q131 recursive closure aggregated into the
       // cluster-size histogram + keep-longest removal accounting
       "q180_dedup_audit" ->
-        ("WITH RECURSIVE pairs AS (" +
-          "SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
-          "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
-          "WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' ')))) * 10 >= " +
-          "len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')), list_distinct(string_split(b.text, ' '))))) * 9" +
-          "), edges AS (" +
-          "SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs" +
-          "), reach(id, lbl) AS (" +
-          "SELECT src, src FROM edges " +
-          "UNION " +
-          "SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst" +
-          "), comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id), " +
+        (s"WITH RECURSIVE $adjClusterCtes, " +
           "lab AS (SELECT d.doc_id, d.n_chars, COALESCE(c.cluster, d.doc_id) AS comp " +
           "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id), " +
           "sz AS (SELECT comp, COUNT(*) AS csize, SUM(n_chars) AS chars, MAX(n_chars) AS max_chars FROM lab GROUP BY comp) " +
@@ -2996,6 +3065,33 @@ object SparkEntry {
           "CAST(SUM(csize) AS BIGINT) AS n_docs, " +
           "CAST(SUM(chars) - SUM(max_chars) AS BIGINT) AS dup_chars " +
           "FROM sz GROUP BY csize ORDER BY csize LIMIT 100"),
+      // round 11 session 2: cluster-aware split — whole near-dup
+      // clusters assigned by the q69 md5 rule on the CLUSTER id
+      "q195_cluster_split" ->
+        (s"WITH RECURSIVE $adjClusterCtes, " +
+          "lab AS (SELECT d.doc_id, d.lang, COALESCE(c.cluster, d.doc_id) AS comp " +
+          "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id), " +
+          "sp AS (SELECT lang, comp, CASE WHEN " +
+          "CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 " +
+          "THEN 'train' ELSE 'test' END AS split FROM lab) " +
+          "SELECT split, lang, COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_clusters " +
+          "FROM sp GROUP BY split, lang ORDER BY split, lang LIMIT 100"),
+      // round 11 session 2: DSIR-ranked token budget — the q192 score as
+      // the q179 priority; DuckDB's lang-partitioned running sum is the
+      // oracle for the distributed boundary-carry prefix sum
+      "q196_dsir_budget" ->
+        (s"WITH ${dsirScoreCtes("")}, " +
+          "dtk AS (SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_toks, sc.dsir_score " +
+          "FROM documents d JOIN sc ON sc.doc_id = d.doc_id), " +
+          "cs AS (SELECT lang, doc_id, n_toks, dsir_score, " +
+          "SUM(n_toks) OVER (PARTITION BY lang ORDER BY (0 - dsir_score), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "SUM(n_toks) OVER (PARTITION BY lang) AS tot FROM dtk) " +
+          "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS toks_kept, " +
+          "CAST(MAX(tot) AS BIGINT) AS tot_toks, " +
+          "CAST(CAST(SUM(n_toks) AS BIGINT) * 10000 // MAX(tot) AS BIGINT) AS kept_bp, " +
+          "CAST(SUM(dsir_score) AS BIGINT) AS score_kept " +
+          s"FROM cs WHERE cum * 100 <= tot * $MixBudgetPct " +
+          "GROUP BY lang ORDER BY lang LIMIT 100"),
       // round 5: embedding LSH replayed relationally — hyperplanes as a
       // VALUES table generated from Similarity.portableHyperplanes (one
       // source of truth), buckets via SUM of sign bits, verification by

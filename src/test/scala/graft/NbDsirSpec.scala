@@ -145,4 +145,31 @@ class NbDsirSpec extends AnyFunSuite {
     assert(inc === expect)
     assert(dsirOutOf("q194_dsir_stream") === inc)
   }
+
+  test("q196 budget selection equals the scalar DSIR-priority prefix over the full sf0.001 corpus") {
+    val byLang = docs.flatMap { case (id, text, lang) =>
+      refDsir.get(id).map { case (_, s) =>
+        (lang, id, toks(text).size.toLong, s)
+      }
+    }.groupBy(_._1)
+    val expect = byLang.toSeq.map { case (lang, rows) =>
+      val ordered = rows.sortBy { case (_, id, _, s) => (-s, id) }
+      val tot = ordered.map(_._3).sum
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cum = 0L
+      ordered.foreach { case (_, id, n, s) =>
+        cum += n
+        if (cum * 100 <= tot * 30) kept += ((id, n, s))
+      }
+      (lang, kept.size.toLong, kept.map(_._2).sum, tot,
+        kept.map(_._2).sum * 10000L / tot, kept.map(_._3).sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q196_dsir_budget")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    // the budget must genuinely cut (not keep everything)
+    got.foreach { case (lang, _, keptToks, tot, _, _) =>
+      assert(keptToks < tot, s"$lang: budget kept the whole language") }
+  }
 }

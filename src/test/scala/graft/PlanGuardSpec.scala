@@ -23,7 +23,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q172_ppl_stream",     // runs the scoring stream to completion at build (q162 shape)
     "q176_stream_spans",   // runs the span-scoring stream to completion at build (q172 shape)
     "q191_nb_stream",      // runs the counting stream to completion at build (q162 shape)
-    "q194_dsir_stream")    // runs the scoring stream to completion at build (q172 shape)
+    "q194_dsir_stream",    // runs the scoring stream to completion at build (q172 shape)
+    "q195_cluster_split")  // iterative CC fixpoint at build (q74/q97 shape)
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic
