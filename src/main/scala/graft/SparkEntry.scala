@@ -307,6 +307,38 @@ object SparkEntry {
         col("best_bits"), (col("second_bits") - col("best_bits")).as("margin"))
       .orderBy("doc_id").limit(100)
 
+  /** q197/q198's shared admission tail: batch-vs-corpus verified pairs +
+    * corpus clusters → per-batch-doc inherited representative (MIN over
+    * the twins' cluster reps, corpus-singleton twins via COALESCE; own
+    * doc_id when novel) → the q69 md5 split on the representative. A doc
+    * that near-dups an existing cluster therefore joins that cluster's
+    * side — the admission-time form of q195's guarantee. Batch-internal
+    * pairs are out of scope by design (the incremental contract:
+    * corpus-relative assignment now, full q195 consistency at the next
+    * compaction). */
+  private def admissionOut(batch: DataFrame, cross: DataFrame, comp: DataFrame): DataFrame = {
+    val rep = cross
+      .join(comp.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left")
+      .select(col("id_b").as("doc_id"), coalesce(col("cluster"), col("id_a")).as("r"))
+      .groupBy("doc_id").agg(min("r").as("rep"), count(lit(1)).as("n_twins"))
+    graft.operators.Scale.hashSplit(
+        batch.select("doc_id").join(rep, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rep"), col("doc_id")).as("rep"),
+            coalesce(col("n_twins"), lit(0L)).as("n_twins")),
+        "rep", 80, method = "md5")
+      .select("doc_id", "rep", "split", "n_twins")
+      .orderBy("doc_id").limit(100)
+  }
+
+  /** Corpus-side near-dup clusters over the q82 portable-minhash verified
+    * pairs — q197/q198's static cluster table. */
+  private def corpusClusters(corpus: DataFrame): DataFrame =
+    TextDedup.nearDupClusters(
+      TextDedup.portablePairStats(corpus, "doc_id", "text")
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+        .select("id_a", "id_b"))
+
   /** Shared DSIR output tail of q192-q194. */
   private def dsirOut(scored: DataFrame, docs: DataFrame): DataFrame =
     scored.join(docs.select("doc_id", "lang"), Seq("doc_id"))
@@ -396,6 +428,34 @@ object SparkEntry {
       "sc AS (SELECT df.doc_id, CAST(SUM(df.cnt) AS BIGINT) AS n_feat, " +
       "CAST(SUM(df.cnt * w.wb) AS BIGINT) AS dsir_score " +
       "FROM df JOIN w ON df.f = w.f GROUP BY df.doc_id)"
+
+  /** q197/q198's shared DuckDB replay: the q82 minhash pipeline's
+    * verified pairs restricted to the corpus (→ recursive closure →
+    * cluster reps) and to the batch-vs-corpus boundary (→ per-batch-doc
+    * inherited rep via MIN over twins' clusters), then the q69 md5 CASE
+    * on the representative. Restricting the GLOBAL replay's pair set
+    * equals the Spark side's corpus-only/asymmetric pipelines because
+    * bucket membership is pairwise (and DriftGuardSpec holds occupancy
+    * under cap, so the cap never truncates one side only — the q124
+    * equivalence). */
+  private def admissionOracle: String =
+    s"WITH RECURSIVE $minhashReplayCtes, " +
+      "vv AS (SELECT id_a, id_b FROM v WHERE n_inter * 10 >= n_union * 9), " +
+      s"cp AS (SELECT id_a, id_b FROM vv WHERE id_b < $IncrementalSplitId), " +
+      "aedges AS (SELECT id_a AS src, id_b AS dst FROM cp UNION ALL SELECT id_b, id_a FROM cp), " +
+      "areach(id, lbl) AS (SELECT src, src FROM aedges " +
+      "UNION SELECT e.src, r.lbl FROM aedges e JOIN areach r ON r.id = e.dst), " +
+      "acomp AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM areach GROUP BY id), " +
+      s"cx AS (SELECT id_a, id_b FROM vv WHERE id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId), " +
+      "arep AS (SELECT cx.id_b AS doc_id, MIN(COALESCE(c.cluster, cx.id_a)) AS rep, COUNT(*) AS n_twins " +
+      "FROM cx LEFT JOIN acomp c ON c.doc_id = cx.id_a GROUP BY cx.id_b), " +
+      "aout AS (SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS rep, " +
+      "CAST(COALESCE(r.n_twins, 0) AS BIGINT) AS n_twins " +
+      s"FROM documents d LEFT JOIN arep r ON r.doc_id = d.doc_id WHERE d.doc_id >= $IncrementalSplitId) " +
+      "SELECT doc_id, rep, CASE WHEN " +
+      "CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 " +
+      "THEN 'train' ELSE 'test' END AS split, n_twins " +
+      "FROM aout ORDER BY doc_id LIMIT 100"
 
   /** The adjacent-Jaccard near-dup closure shared by the q180 and q195
     * replays: verified adjacent pairs → undirected edges → recursive
@@ -2384,6 +2444,42 @@ object SparkEntry {
         .select("lang", "n_docs", "toks_kept", "tot_toks", "kept_bp", "score_kept")
         .orderBy("lang").limit(100)
     },
+    // Incremental cluster-split admission (round 11 session 2): q195's
+    // guarantee applied at INGEST time — an incoming document that
+    // near-dups an existing cluster (q124's asymmetric batch-vs-corpus
+    // verified pairs; the corpus is banded once, never reshuffled) is
+    // assigned that cluster's side: split = the q69 md5 rule on the
+    // inherited representative (MIN over its twins' corpus-cluster reps,
+    // q74's clustering over the q82 corpus pairs), own doc_id when
+    // novel. Completes {batch q195, incremental here, streaming q198}.
+    "q197_incremental_cluster_split" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < IncrementalSplitId)
+      val batch = docs.filter(col("doc_id") >= IncrementalSplitId)
+      val cross = TextDedup.portableCrossPairStats(corpus, batch, "doc_id", "text")
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+      admissionOut(batch, cross, corpusClusters(corpus))
+    },
+    // Streaming admission (round 11 session 2): the q197 check per
+    // micro-batch — incoming docs banded against the STATIC corpus index
+    // (the q126/q183 machinery, zero streaming state), then the same
+    // inherited-representative split. Streaming ≡ batch on the closed
+    // input → hashes against the q197 replay.
+    "q198_stream_admission" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < IncrementalSplitId)
+      val batch = docs.filter(col("doc_id") >= IncrementalSplitId)
+      val comp = Checkpoints.cut(corpusClusters(corpus), eager = false)
+      val (base, banded) = TextDedup.portableIndexFrames(corpus, "doc_id", "text")
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      val cross = graft.streaming.StreamOps.runAppend(spark,
+          graft.streaming.StreamOps.dedupAgainstCorpus(stream, base, banded, "doc_id", "text"),
+          s"q198_mem_${math.abs(dir.hashCode)}")
+        .distinct() // multiset band output, cf. q126
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+      admissionOut(batch, cross, comp)
+    },
     // Streaming ingest dedup run to completion on the closed input
     // (round 8): the incoming half STREAMED and deduped per micro-batch
     // against the static corpus index — stateless (no watermark, no join
@@ -3135,6 +3231,13 @@ object SparkEntry {
         nbOracle(s"WHERE tk.doc_id >= $IncrementalSplitId"),
       "q191_nb_stream" ->
         nbOracle(s"WHERE tk.doc_id >= $IncrementalSplitId"),
+      // round 11 session 2: admission-time cluster split — the minhash
+      // replay's verified pairs split into corpus pairs (recursive
+      // closure → clusters) and cross pairs (per-batch-doc inherited
+      // rep), the q69 md5 CASE on the rep; q198 = the same replay
+      // (streaming ≡ batch on closed input)
+      "q197_incremental_cluster_split" -> admissionOracle,
+      "q198_stream_admission" -> admissionOracle,
       // round 11 session 2: DSIR importance weights — hashed-bigram
       // 64-bucket histograms (the pplOracle hash spelling mod buckets),
       // basis-point normalization, integer-bit log ratio minus the 2¹⁰

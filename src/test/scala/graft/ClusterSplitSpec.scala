@@ -52,6 +52,26 @@ class ClusterSplitSpec extends AnyFunSuite {
       "the doc-id split no longer leaks on this corpus — the contrast q195 demonstrates is gone; re-check the fixture")
   }
 
+  test("q197 admission inherits corpus-side reps; q198 (streamed) equals q197") {
+    val out = SparkEntry.queries("q197_incremental_cluster_split")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out.nonEmpty)
+    // the fixture must exercise BOTH paths: inherited and novel
+    assert(out.exists(_._4 > 0L), "no batch doc inherited a corpus twin — admission fixture vacuous")
+    assert(out.exists(_._4 === 0L), "every batch doc inherited — novel path untested")
+    out.foreach { case (id, rep, split, nTwins) =>
+      if (nTwins > 0)
+        assert(rep < 400L, s"doc $id: inherited rep $rep is not a corpus id")
+      else
+        assert(rep === id, s"doc $id: novel doc must be its own representative")
+      // the split column is exactly the md5 rule on the representative
+      assert(split === md5Split(rep), s"doc $id: split drifted from md5(rep)")
+    }
+    val streamed = SparkEntry.queries("q198_stream_admission")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(streamed === out)
+  }
+
   test("q195 counts equal the scalar closure + split over the full sf0.001 corpus") {
     val langs = Tables.table(spark, dir, "documents")
       .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -24,7 +24,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q176_stream_spans",   // runs the span-scoring stream to completion at build (q172 shape)
     "q191_nb_stream",      // runs the counting stream to completion at build (q162 shape)
     "q194_dsir_stream",    // runs the scoring stream to completion at build (q172 shape)
-    "q195_cluster_split")  // iterative CC fixpoint at build (q74/q97 shape)
+    "q195_cluster_split",  // iterative CC fixpoint at build (q74/q97 shape)
+    "q197_incremental_cluster_split", // CC fixpoint at build (q74/q97 shape)
+    "q198_stream_admission") // CC fixpoint + admission stream at build
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic
