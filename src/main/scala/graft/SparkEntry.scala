@@ -185,18 +185,26 @@ object SparkEntry {
     cum.join(broadcast(tot), Seq("lang"))
   }
 
+  /** Shared budget tail of q179/q182/q196: keep the per-lang prefix
+    * whose cumulative tokens fit MixBudgetPct% of the language's own
+    * total, aggregate to the per-lang report (+ caller-supplied extra
+    * aggregates). One spelling for the filter and the kept_bp DIV —
+    * these must stay in lockstep with the q179 AND q196 DuckDB texts. */
+  private def budgetReport(cumFrame: DataFrame,
+                           extraAggs: org.apache.spark.sql.Column*): DataFrame =
+    cumFrame
+      .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("n_toks").as("toks_kept") +: max("tot_toks").as("tot_toks") +: extraAggs): _*)
+      .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
+
   /** q179/q182's shared budget materializer: per language, documents in
     * the q160 priority order until cumulative tokens reach MixBudgetPct%
     * of the language's own total, aggregated to the per-lang budget
     * report. Unordered/unlimited: callers add the total order. */
   private def budgetMixFrame(docs: DataFrame): DataFrame =
-    prioCumFrame(docs)
-      .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_toks").as("toks_kept"),
-        max("tot_toks").as("tot_toks"))
-      .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
+    budgetReport(prioCumFrame(docs))
 
   /** q185's data-constrained upsampling budget as a PERCENT of each
     * language's own total — deliberately > 100 (the q179 regime is
@@ -273,8 +281,10 @@ object SparkEntry {
 
   /** q124's corpus/batch boundary: doc_id < split = "existing corpus",
     * doc_id ≥ split = "incoming batch". One constant for the Spark entry
-    * AND the DuckDB text. */
-  private val IncrementalSplitId = 400L
+    * AND the DuckDB text; private[graft] so the specs (DriftGuardSpec,
+    * ClusterSplitSpec, NbDsirSpec) reference it instead of re-spelling
+    * 400 — a retuned boundary must move every guard with it. */
+  private[graft] val IncrementalSplitId = 400L
 
   /** q190/q193's split WITHIN the labeled train set (doc_id <
     * IncrementalSplitId): counts from [0, NbInnerSplitId) merged with
@@ -2435,12 +2445,8 @@ object SparkEntry {
       val cum = graft.operators.Scale.groupedPrefixSum(
         pr, "lang", Seq(col("prio"), col("doc_id")), "n_toks", "cum_toks")
       val tot = pr.groupBy("lang").agg(sum("n_toks").as("tot_toks"))
-      cum.join(broadcast(tot), Seq("lang"))
-        .filter(col("cum_toks") * 100 <= col("tot_toks") * MixBudgetPct)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks_kept"),
-          max("tot_toks").as("tot_toks"), sum("dsir_score").as("score_kept"))
-        .withColumn("kept_bp", expr("toks_kept * 10000L DIV tot_toks"))
+      budgetReport(cum.join(broadcast(tot), Seq("lang")),
+          sum("dsir_score").as("score_kept"))
         .select("lang", "n_docs", "toks_kept", "tot_toks", "kept_bp", "score_kept")
         .orderBy("lang").limit(100)
     },

@@ -61,7 +61,8 @@ class ClusterSplitSpec extends AnyFunSuite {
     assert(out.exists(_._4 === 0L), "every batch doc inherited — novel path untested")
     out.foreach { case (id, rep, split, nTwins) =>
       if (nTwins > 0)
-        assert(rep < 400L, s"doc $id: inherited rep $rep is not a corpus id")
+        assert(rep < SparkEntry.IncrementalSplitId,
+          s"doc $id: inherited rep $rep is not a corpus id")
       else
         assert(rep === id, s"doc $id: novel doc must be its own representative")
       // the split column is exactly the md5 rule on the representative

@@ -174,9 +174,10 @@ class DriftGuardSpec extends AnyFunSuite {
     // target is a strict subset at each SF.
     dirs.foreach { d =>
       val docs = Tables.table(spark, d, "documents")
-      val train = docs.filter(col("doc_id") < 400L)
+      val split = SparkEntry.IncrementalSplitId
+      val train = docs.filter(col("doc_id") < split)
       val nTrain = train.count()
-      val nBatch = docs.filter(col("doc_id") >= 400L).count()
+      val nBatch = docs.filter(col("doc_id") >= split).count()
       val nTgt = train.filter(col("lang") === SparkEntry.DsirTargetLang).count()
       assert(nTrain > 0 && nBatch > 0,
         s"$d: train=$nTrain batch=$nBatch — the doc_id split boundary no longer divides the regenerated corpus")

@@ -14,7 +14,7 @@ class NbDsirSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
-  private val Split = 400L // SparkEntry.IncrementalSplitId
+  private val Split = SparkEntry.IncrementalSplitId
   private val Scale = 1024L
 
   private lazy val docs: Seq[(Long, String, String)] = {
@@ -152,7 +152,10 @@ class NbDsirSpec extends AnyFunSuite {
         (lang, id, toks(text).size.toLong, s)
       }
     }.groupBy(_._1)
-    val expect = byLang.toSeq.map { case (lang, rows) =>
+    // a language whose first doc alone exceeds the budget keeps nothing
+    // and (like the Spark entry's filter-before-groupBy and the oracle's
+    // WHERE-before-GROUP BY) produces NO output row — flatMap, not map
+    val expect = byLang.toSeq.flatMap { case (lang, rows) =>
       val ordered = rows.sortBy { case (_, id, _, s) => (-s, id) }
       val tot = ordered.map(_._3).sum
       val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -161,8 +164,9 @@ class NbDsirSpec extends AnyFunSuite {
         cum += n
         if (cum * 100 <= tot * 30) kept += ((id, n, s))
       }
-      (lang, kept.size.toLong, kept.map(_._2).sum, tot,
-        kept.map(_._2).sum * 10000L / tot, kept.map(_._3).sum)
+      if (kept.isEmpty) None
+      else Some((lang, kept.size.toLong, kept.map(_._2).sum, tot,
+        kept.map(_._2).sum * 10000L / tot, kept.map(_._3).sum))
     }.sortBy(_._1)
     val got = SparkEntry.queries("q196_dsir_budget")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
