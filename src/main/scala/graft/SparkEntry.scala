@@ -286,6 +286,14 @@ object SparkEntry {
     * 400 — a retuned boundary must move every guard with it. */
   private[graft] val IncrementalSplitId = 400L
 
+  /** q199's frequency head: the Zipf fit runs over the top-ZipfHead
+    * terms per language (the power-law HEAD — standard practice, and
+    * what keeps the per-lang rank window WindowGroupLimit-prunable and
+    * the regression sums far from BIGINT overflow: with x ≤ bits(10³)
+    * and y ≤ bits(10¹⁹), |num|·10⁴ stays < 2⁶³ at any corpus scale).
+    * One constant for the Spark entry AND the DuckDB text. */
+  private val ZipfHead = 1000L
+
   /** q190/q193's split WITHIN the labeled train set (doc_id <
     * IncrementalSplitId): counts from [0, NbInnerSplitId) merged with
     * counts from [NbInnerSplitId, IncrementalSplitId) must equal the
@@ -2466,6 +2474,54 @@ object SparkEntry {
         .filter(col("n_inter") * 10 >= col("n_union") * 9)
       admissionOut(batch, cross, corpusClusters(corpus))
     },
+    // Zipf-slope corpus diagnostic (round 11 session 2): the power-law
+    // fit every corpus health report carries — per language, regress
+    // integer log₂ token frequency on integer log₂ rank over the
+    // frequency head (top-ZipfHead terms via a WindowGroupLimit-pruned
+    // row_number — the q160 scale path: rank-limit pushdown keeps the
+    // per-lang exchange bounded to the head, never the vocabulary).
+    // Slope is an EXACT integer least-squares quotient in basis points:
+    // both log₂s are the q148 length(bin(·)) spelling, the division is
+    // sign-extracted so the quotient is computed on POSITIVES only
+    // (Spark DIV truncates toward zero, DuckDB // floors — identical
+    // only for non-negative operands), and the zero-variance degenerate
+    // case is CASE-guarded in both texts. A healthy Zipfian corpus
+    // reads ≈ −10⁴ (slope −1 in log-log).
+    "q199_zipf_slope" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val c = d.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("tok"))
+      val h = c.withColumn("r", row_number.over(w)).filter(col("r") <= ZipfHead)
+        .select(col("lang"),
+          length(bin(col("r"))).cast("long").as("x"),
+          length(bin(col("n"))).cast("long").as("y"))
+      h.groupBy("lang").agg(count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"),
+          (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("den"),
+          col("k"))
+        .select(col("lang"), col("k").as("n_terms"),
+          expr("CASE WHEN den = 0 THEN 0L ELSE " +
+            "(CASE WHEN num < 0 THEN -1L ELSE 1L END) * ((abs(num) * 10000L) DIV den) END")
+            .as("slope_bp"))
+        .orderBy("lang").limit(100)
+    },
+    // Rare-span memorization-risk audit (round 11 session 2): per
+    // document, the share of its k-token windows that are globally
+    // UNIQUE in the corpus — the privacy/outlier surface (Kandpal et
+    // al. 2022: duplicated spans drive extraction; what remains unique
+    // is what a model memorizes from exactly one place). The n==1
+    // complement of the q173 shared-span table, same keys-only pass.
+    "q200_rare_spans" -> { (spark, dir) =>
+      TextDedup.rareSpanStats(Tables.table(spark, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("rare_bp").desc, col("doc_id")).limit(100)
+    },
     // Streaming admission (round 11 session 2): the q197 check per
     // micro-batch — incoming docs banded against the STATIC corpus index
     // (the q126/q183 machinery, zero streaming state), then the same
@@ -3244,6 +3300,30 @@ object SparkEntry {
       // (streaming ≡ batch on closed input)
       "q197_incremental_cluster_split" -> admissionOracle,
       "q198_stream_admission" -> admissionOracle,
+      // round 11 session 2: Zipf slope — integer-bits least squares over
+      // the per-lang frequency head; sign extracted before the integer
+      // division (DIV truncates, // floors — equal only on positives)
+      "q199_zipf_slope" ->
+        ("WITH tk AS (SELECT d.lang, unnest(string_split(d.text, ' ')) AS tok FROM documents d), " +
+          "c AS (SELECT lang, tok, COUNT(*) AS n FROM tk GROUP BY lang, tok), " +
+          "rk AS (SELECT lang, tok, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS r FROM c), " +
+          s"h AS (SELECT lang, CAST(length(bin(r)) AS BIGINT) AS x, CAST(length(bin(n)) AS BIGINT) AS y FROM rk WHERE r <= $ZipfHead), " +
+          "a AS (SELECT lang, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM h GROUP BY lang), " +
+          "b AS (SELECT lang, k, k*sxy - sx*sy AS num, k*sxx - sx*sx AS den FROM a) " +
+          "SELECT lang, CAST(k AS BIGINT) AS n_terms, " +
+          "CAST(CASE WHEN den = 0 THEN 0 ELSE " +
+          "(CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((abs(num) * 10000) // den) END AS BIGINT) AS slope_bp " +
+          "FROM b ORDER BY lang LIMIT 100"),
+      // round 11 session 2: rare-span audit — the q173 occurrence CTEs,
+      // per-hash count via a window, per-doc unique-window share
+      "q200_rare_spans" ->
+        (s"WITH $spanOccCtes, " +
+          "wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS n FROM occ), " +
+          "st AS (SELECT doc_id, COUNT(*) AS n_spans, " +
+          "SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_rare FROM wc GROUP BY doc_id) " +
+          "SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans, CAST(n_rare AS BIGINT) AS n_rare, " +
+          "CAST(CAST(n_rare AS BIGINT) * 10000 // n_spans AS BIGINT) AS rare_bp " +
+          "FROM st ORDER BY rare_bp DESC, doc_id LIMIT 100"),
       // round 11 session 2: DSIR importance weights — hashed-bigram
       // 64-bucket histograms (the pplOracle hash spelling mod buckets),
       // basis-point normalization, integer-bit log ratio minus the 2¹⁰

@@ -335,6 +335,28 @@ object TextDedup {
         expr(s"__canon DIV $SpanPosPack").as("canon_doc"),
         (col("__canon") % SpanPosPack).as("canon_pos"))
 
+  /** Memorization-risk audit (round 11 session 2; the n==1 complement
+    * of sharedSpanStats — cf. Kandpal et al. 2022, "Deduplicating
+    * Training Data Mitigates Privacy Risks": DUPLICATED spans drive
+    * extraction, and the globally UNIQUE spans are a document's
+    * private/outlier surface). Per document: total k-token windows,
+    * windows whose span hash appears exactly once in the whole corpus,
+    * and their share in basis points. One keys-only span pass; the
+    * per-hash occurrence count rides a window over the hash key (the
+    * q138 one-exchange shape — high-cardinality partitioning, never a
+    * global window), then one per-doc aggregate. */
+  def rareSpanStats(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = SpanK): DataFrame = {
+    val occ = spanOccurrences(df, idCol, textCol, k)
+    occ
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_bp", expr("n_rare * 10000L DIV n_spans"))
+  }
+
   /** Span index over a corpus: (h, n occurrences, canonical packed
     * occurrence) — the persisted artifact of incremental span dedup.
     * MERGEABLE by (sum, min) per hash (the sketch/LM-family discipline):
