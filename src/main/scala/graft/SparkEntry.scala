@@ -138,7 +138,7 @@ object SparkEntry {
     * design time: a relative threshold splits every corpus whose languages
     * have >1 document). One constant for the Spark entry AND the DuckDB
     * text. */
-  private val MixBudgetPct = 30L
+  private[graft] val MixBudgetPct = 30L
 
   /** The q69 md5 split as a scan-local column — a pure function of the
     * id, shared by the leakage family (q178/q181/q182) and spelled
@@ -2343,7 +2343,6 @@ object SparkEntry {
     // read the cut; the weight table is 64 rows, broadcast.
     "q192_dsir_weights" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      graft.functions.PortableShingleHash.register(spark)
       val feats = Checkpoints.cut(
         Dsir.featStream(d, "doc_id", "text", carry = Seq("lang")), eager = false)
       val train = feats.filter(col("__id") < IncrementalSplitId)
@@ -2360,7 +2359,6 @@ object SparkEntry {
     // batch doc ids.
     "q193_dsir_incremental" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      graft.functions.PortableShingleHash.register(spark)
       val feats = Checkpoints.cut(
         Dsir.featStream(d, "doc_id", "text", carry = Seq("lang")), eager = false)
       val corpus = feats.filter(col("__id") < NbInnerSplitId)
@@ -2383,7 +2381,6 @@ object SparkEntry {
     // batch on the closed input → hashes against the q193 replay.
     "q194_dsir_stream" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      graft.functions.PortableShingleHash.register(spark)
       val tf = Checkpoints.cut(
         Dsir.featStream(d.filter(col("doc_id") < IncrementalSplitId),
           "doc_id", "text", carry = Seq("lang")), eager = false)
@@ -2436,7 +2433,6 @@ object SparkEntry {
     // (totals + prefix sum both read it).
     "q196_dsir_budget" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      graft.functions.PortableShingleHash.register(spark)
       val feats = Checkpoints.cut(
         Dsir.featStream(d, "doc_id", "text", carry = Seq("lang")), eager = false)
       val train = feats.filter(col("__id") < IncrementalSplitId)

@@ -54,7 +54,7 @@ object NaiveBayes {
     * identity. */
   def counts(labeled: DataFrame, textCol: String, labelCol: String): DataFrame = {
     val tk = labeled.select(col(labelCol).as("__lab"),
-        explode(split(col(textCol), " ")).as("__tok"))
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
       .groupBy("__lab", "__tok").agg(count(lit(1)).as("__n"))
       .select(lit("t").as("__kind"), col("__lab"), col("__tok"), col("__n"))
     val dc = labeled.groupBy(col(labelCol).as("__lab"))
@@ -125,6 +125,13 @@ object NaiveBayes {
     * (idCol, pred_label, best_bits, second_bits) — second-best enables
     * a margin-based confidence gate downstream.
     *
+    * CONTRACT: a document with ZERO in-vocab tokens emits NO row — the
+    * model has no evidence either way. A downstream gate must decide
+    * what to do with unscored documents explicitly (left-join the
+    * scores and route the NULLs), not assume every input id comes back;
+    * the DuckDB replays share the same drop, so the oracle gate cannot
+    * surface a caller that forgets.
+    *
     * Plan: the token stream reduces to (id, tok, cnt) per doc BEFORE
     * joining the broadcast model (keys-only discipline); the base term
     * needs every (doc, label) pair, which is the one genuine tiny-dim
@@ -135,7 +142,7 @@ object NaiveBayes {
     // (id, tok, cnt): referenced twice (base term + rebates) and derived
     // from the full tokenize+explode — cut once, lazily (q82 rule)
     val dtok = Checkpoints.cut(
-      docs.select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__tok"))
+      docs.select(col(idCol).as("__id"), explode(TextDedup.tokens(col(textCol))).as("__tok"))
         .join(broadcast(m.vocab), "__tok")
         .groupBy("__id", "__tok").agg(count(lit(1)).as("__cnt")),
       eager = false)
@@ -182,12 +189,14 @@ object Dsir {
     * Reuses the LM family's fused 32-bit bigram hash so the DuckDB
     * replay is the pplOracle spelling mod Buckets. `carry` columns
     * (e.g. the target-domain label) ride the scan-local explode so the
-    * caller never joins the corpus back. Caller must have registered
-    * `portable_shingle_hash`. */
+    * caller never joins the corpus back. Self-registers
+    * `portable_shingle_hash` (the spanOccurrences convention). */
   def featStream(docs: DataFrame, idCol: String, textCol: String,
                  carry: Seq[String] = Nil): DataFrame = {
+    graft.functions.PortableShingleHash.register(
+      org.apache.spark.sql.SparkSession.active)
     val base = docs.select((col(idCol).as("__id") +: carry.map(col) :+
-        split(col(textCol), " ").as("__t")): _*)
+        TextDedup.tokens(col(textCol)).as("__t")): _*)
       .filter(size(col("__t")) >= 2)
     val keep = col("__id") +: carry.map(col)
     base.select((keep :+

@@ -178,11 +178,17 @@ class DriftGuardSpec extends AnyFunSuite {
       val train = docs.filter(col("doc_id") < split)
       val nTrain = train.count()
       val nBatch = docs.filter(col("doc_id") >= split).count()
-      val nTgt = train.filter(col("lang") === SparkEntry.DsirTargetLang).count()
       assert(nTrain > 0 && nBatch > 0,
         s"$d: train=$nTrain batch=$nBatch — the doc_id split boundary no longer divides the regenerated corpus")
-      assert(nTgt > 0 && nTgt < nTrain,
-        s"$d: DSIR target '${SparkEntry.DsirTargetLang}' covers $nTgt of $nTrain train docs — not a usable target domain")
+      // the quantity that must be non-zero is the target FEATURE total
+      // (Dsir.weights divides by it), not the doc count: a target doc
+      // under 2 tokens contributes zero features
+      val trainFeats = graft.operators.Dsir.featStream(train, "doc_id", "text",
+        carry = Seq("lang"))
+      val nTgtF = trainFeats.filter(col("lang") === SparkEntry.DsirTargetLang).count()
+      val nRawF = trainFeats.count()
+      assert(nTgtF > 0 && nTgtF < nRawF,
+        s"$d: DSIR target '${SparkEntry.DsirTargetLang}' has $nTgtF of $nRawF train features — not a usable target domain")
       // the train split must keep ≥2 labels or the classifier degenerates
       val nLabels = train.select("lang").distinct().count()
       assert(nLabels >= 2,

@@ -15,7 +15,7 @@ class NbDsirSpec extends AnyFunSuite {
   private val dir = TestSpark.sf0001
 
   private val Split = SparkEntry.IncrementalSplitId
-  private val Scale = 1024L
+  private val Scale = graft.operators.NaiveBayes.Scale
 
   private lazy val docs: Seq[(Long, String, String)] = {
     val d = Tables.table(spark, dir, "documents")
@@ -162,7 +162,7 @@ class NbDsirSpec extends AnyFunSuite {
       var cum = 0L
       ordered.foreach { case (_, id, n, s) =>
         cum += n
-        if (cum * 100 <= tot * 30) kept += ((id, n, s))
+        if (cum * 100 <= tot * SparkEntry.MixBudgetPct) kept += ((id, n, s))
       }
       if (kept.isEmpty) None
       else Some((lang, kept.size.toLong, kept.map(_._2).sum, tot,
