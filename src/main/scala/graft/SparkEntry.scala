@@ -2507,6 +2507,39 @@ object SparkEntry {
             .as("slope_bp"))
         .orderBy("lang").limit(100)
     },
+    // Gate-ensemble agreement matrix (round 11 session 2, capstone v4):
+    // the multi-gate curation DECISION in one plan — every document
+    // scored by the three independent model/structural gates the rounds
+    // built (span retention ≥ SpanKeepBp, LM perplexity ≤ PplGateBp,
+    // trained-classifier agreement pred == label), then the per-(gates
+    // passed, lang) histogram a curation run triages with: the 3-gate
+    // band ships, the 0-gate band drops, the middle bands get review
+    // budgets. Stage equivalences individually hash-proven by q174/
+    // q170/q188; this row proves the COMPOSITION (the q140/q177/q182
+    // discipline). Documents a gate never scored (too short / zero
+    // in-vocab tokens) FAIL that gate via left-join + coalesce — the
+    // same rule in the replay, so the NaiveBayes.score drop contract is
+    // handled, not assumed away.
+    "q201_gate_ensemble" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val span = TextDedup.spanRemovalStats(d, "doc_id", "text")
+        .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
+      val ppl = pplScoresAll(spark, dir)
+        .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+        .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
+      val nb = nbScoresAll(spark, dir)
+        .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
+      d.select("doc_id", "lang")
+        .join(span, Seq("doc_id"), "left")
+        .join(ppl, Seq("doc_id"), "left")
+        .join(nb, Seq("doc_id"), "left")
+        .select(col("lang"),
+          (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
+            + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+        .groupBy("n_gates", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("n_gates", "lang").limit(100)
+    },
     // Rare-span memorization-risk audit (round 11 session 2): per
     // document, the share of its k-token windows that are globally
     // UNIQUE in the corpus — the privacy/outlier surface (Kandpal et
@@ -3310,6 +3343,47 @@ object SparkEntry {
           "CAST(CASE WHEN den = 0 THEN 0 ELSE " +
           "(CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((abs(num) * 10000) // den) END AS BIGINT) AS slope_bp " +
           "FROM b ORDER BY lang LIMIT 100"),
+      // round 11 session 2, capstone v4: the gate-ensemble replay — the
+      // q188 NB chain (tk/voc/.../pr) + the q174 span chain (toks/occ +
+      // e-prefixed removal CTEs) + the q170 ppl chain (pp_-prefixed to
+      // avoid the toks/sc name collisions), composed into per-doc gate
+      // indicators via LEFT JOINs (unscored docs fail their gate — the
+      // NaiveBayes.score drop contract made explicit) and the
+      // (n_gates, lang) histogram
+      "q201_gate_ensemble" ->
+        (s"WITH $nbCtes, ${nbScoreCtes("")}, " +
+          s"$spanOccCtes, " +
+          s"esp AS (SELECT h, COUNT(*) AS n, MIN(doc_id * $SpanPosPackSql + pos) AS canon FROM occ GROUP BY h), " +
+          "erme AS (SELECT occ.doc_id AS doc_id, " +
+          s"unnest(generate_series(occ.pos, occ.pos + ${TextDedup.SpanK - 1})) AS p " +
+          "FROM occ JOIN esp ON occ.h = esp.h " +
+          s"WHERE esp.n >= 2 AND occ.doc_id * $SpanPosPackSql + occ.pos <> esp.canon), " +
+          "erm AS (SELECT doc_id, COUNT(DISTINCT p) AS nr FROM erme GROUP BY doc_id), " +
+          "eres AS (SELECT d.doc_id, " +
+          "CAST((len(string_split(d.text, ' ')) - COALESCE(erm.nr, 0)) * 10000 " +
+          "// len(string_split(d.text, ' ')) AS BIGINT) AS kept_bp " +
+          "FROM documents d LEFT JOIN erm ON erm.doc_id = d.doc_id), " +
+          "pp_toks AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2), " +
+          "pp_st AS (SELECT doc_id, " +
+          "CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) AS k, " +
+          "CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS k1 " +
+          "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM pp_toks)), " +
+          "pp_c2 AS (SELECT k, COUNT(*) AS c2 FROM pp_st GROUP BY k), " +
+          "pp_c1 AS (SELECT k1, COUNT(*) AS c1 FROM pp_st GROUP BY k1), " +
+          "pp_sc AS (SELECT pp_st.doc_id, COUNT(*) AS nb2, " +
+          "CAST(SUM(length(bin(pp_c1.c1 // pp_c2.c2))) AS BIGINT) AS bt " +
+          "FROM pp_st JOIN pp_c2 ON pp_st.k = pp_c2.k JOIN pp_c1 ON pp_st.k1 = pp_c1.k1 " +
+          "GROUP BY pp_st.doc_id), " +
+          "gates AS (SELECT d.lang, " +
+          s"(CASE WHEN s.kept_bp >= $SpanKeepBp THEN 1 ELSE 0 END " +
+          s"+ CASE WHEN (p.bt * 10000) // p.nb2 <= $PplGateBp THEN 1 ELSE 0 END " +
+          "+ CASE WHEN pr.pred_lang = d.lang THEN 1 ELSE 0 END) AS n_gates " +
+          "FROM documents d " +
+          "LEFT JOIN eres s ON s.doc_id = d.doc_id " +
+          "LEFT JOIN pp_sc p ON p.doc_id = d.doc_id " +
+          "LEFT JOIN pr ON pr.doc_id = d.doc_id) " +
+          "SELECT CAST(n_gates AS BIGINT) AS n_gates, lang, COUNT(*) AS n_docs " +
+          "FROM gates GROUP BY n_gates, lang ORDER BY n_gates, lang LIMIT 100"),
       // round 11 session 2: rare-span audit — the q173 occurrence CTEs,
       // per-hash count via a window, per-doc unique-window share
       "q200_rare_spans" ->

@@ -41,6 +41,37 @@ class CorpusDiagSpec extends AnyFunSuite {
       assert(slope < 0, s"$lang: Zipf slope $slope is not negative") }
   }
 
+  test("q201 ensemble histogram equals the composition of its three stage frames") {
+    import org.apache.spark.sql.functions._
+    // recompute the per-doc gate sum from the STAGE frames the entry
+    // composes (each stage is independently oracle-checked; this pins
+    // the left-join + coalesce composition and the band accounting)
+    val d = Tables.table(spark, dir, "documents")
+    graft.functions.PortableShingleHash.register(spark)
+    val span = TextDedup.spanRemovalStats(d, "doc_id", "text")
+      .select(col("doc_id"), (col("kept_bp") >= SparkEntry.SpanKeepBp).cast("long").as("g1"))
+    val ppl = SparkEntry.pplScoresAll(spark, dir)
+      .withColumn("bp", expr("(bits_total * 10000) DIV n_bigrams"))
+      .select(col("doc_id"), (col("bp") <= SparkEntry.PplGateBp).cast("long").as("g2"))
+    val nb = SparkEntry.nbScoresAll(spark, dir)
+      .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g3"))
+    val expect = d.select("doc_id", "lang")
+      .join(span, Seq("doc_id"), "left").join(ppl, Seq("doc_id"), "left")
+      .join(nb, Seq("doc_id"), "left").collect()
+      .map { r =>
+        val g = Seq(2, 3, 4).map(i => if (r.isNullAt(i)) 0L else r.getLong(i)).sum
+        (g, r.getString(1))
+      }
+      .groupBy(identity).map { case ((g, l), rows) => (g, l, rows.size.toLong) }
+      .toSeq.sortBy { case (g, l, _) => (g, l) }
+    val got = SparkEntry.queries("q201_gate_ensemble")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.map(_._3).sum === d.count(), "histogram does not cover every document")
+    assert(got.map(_._1).distinct.size >= 2,
+      "every document landed in one band — the ensemble no longer discriminates")
+  }
+
   private def spanHash(window: Seq[String]): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(window.mkString(" ").getBytes("UTF-8"))

@@ -51,9 +51,12 @@ class PlanGuardSpec extends AnyFunSuite {
   //    a surprisal row per label, so per-doc base × labels IS the
   //    linear scan. (q191, the streaming twin, shares the scorer but is
   //    eager-excluded above.)
+  //  - q201_gate_ensemble composes the q188 scorer, so it carries the
+  //    same label-stats broadcast cross (same size contract).
   private val bnlAllowed = Set("q44_cosine_topk", "q53_ann_ivf", "q68_contamination",
     "q186_semdedup", "q187_prototypes",
-    "q188_nb_langid", "q189_nb_confusion", "q190_nb_incremental")
+    "q188_nb_langid", "q189_nb_confusion", "q190_nb_incremental",
+    "q201_gate_ensemble")
 
   test("no cartesian products or unintended nested-loop joins anywhere in the corpus") {
     val dir = TestSpark.sf0001
