@@ -46,6 +46,23 @@ object DriftProbe {
       val sk = span.agg(min("kept_bp"),
         sum(when(col("kept_bp") >= 5000L, 1L).otherwise(0L)), count(lit(1))).head()
       println(s"$d span kept_bp min=${sk.getLong(0)} kept@5000=${sk.getLong(1)}/${sk.getLong(2)}")
+      // round-11 session-2 families: the fixture quantities their
+      // DriftGuardSpec assertions bound
+      val split = graft.SparkEntry.IncrementalSplitId
+      val train = docs.filter(col("doc_id") < split)
+      val tf = graft.operators.Dsir.featStream(train, "doc_id", "text", carry = Seq("lang"))
+      val tgt = tf.filter(col("lang") === graft.SparkEntry.DsirTargetLang).count()
+      val raw = tf.count()
+      println(s"$d dsir targetFeats=$tgt rawFeats=$raw")
+      val nbLabels = train.select("lang").distinct().count()
+      val conf = graft.SparkEntry.nbScoresAll(spark, d)
+        .agg(count(lit(1)),
+          sum(when(col("pred_label") === col("lang"), 1L).otherwise(0L)),
+          countDistinct("pred_label")).head()
+      println(s"$d nb trainLabels=$nbLabels scored=${conf.getLong(0)} " +
+        s"agree=${conf.getLong(1)} predClasses=${conf.getLong(2)}")
+      val ens = graft.SparkEntry.queries("q201_gate_ensemble")(spark, d)
+      println(s"$d ensemble bands=${ens.select("n_gates").distinct().count()}")
     }
     spark.stop()
   }
