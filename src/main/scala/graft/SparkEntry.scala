@@ -2507,6 +2507,32 @@ object SparkEntry {
             .as("slope_bp"))
         .orderBy("lang").limit(100)
     },
+    // Cross-modality consistency audit (round 11 session 2): verified
+    // TEXT near-dup pairs (the q82 portable minhash pipeline) scored by
+    // their EMBEDDING integer dot (the q84/q186 quantized spelling) —
+    // pairs whose modalities disagree (near-identical text, dot below
+    // the q84 similarity floor) flag stale or corrupted embeddings
+    // BEFORE a SemDeDup-style pass trusts them. First entry joining the
+    // text-pair pipeline with the embeddings table: vectors join AFTER
+    // pair generation (payload-per-surviving-pair — the q82 verify
+    // discipline, never payload through the bucket shuffle); pairs
+    // without embeddings drop in the inner join, identically in the
+    // replay. The dot is materialized ONCE (the CLAUDE.md aliased-column
+    // rule) and the divergent flag is scan-local.
+    "q202_modality_audit" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val emb = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      TextDedup.portablePairStats(docs, "doc_id", "text")
+        .filter(col("n_inter") * 10 >= col("n_union") * 9)
+        .join(emb.select(col("vec_id").as("id_a"), col("qv").as("qa")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("qv").as("qb")), Seq("id_b"))
+        .withColumn("dot", Similarity.intDot(col("qa"), col("qb")))
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+          col("dot"),
+          (col("dot") < EmbedMinScore).cast("long").as("divergent"))
+        .orderBy(col("divergent").desc, col("id_a"), col("id_b")).limit(100)
+    },
     // Gate-ensemble agreement matrix (round 11 session 2, capstone v4):
     // the multi-gate curation DECISION in one plan — every document
     // scored by the three independent model/structural gates the rounds
@@ -3343,6 +3369,19 @@ object SparkEntry {
           "CAST(CASE WHEN den = 0 THEN 0 ELSE " +
           "(CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((abs(num) * 10000) // den) END AS BIGINT) AS slope_bp " +
           "FROM b ORDER BY lang LIMIT 100"),
+      // round 11 session 2: modality audit — the q82 pair replay joined
+      // to the q84/q186 quantized-vector CTE, integer dot, divergence
+      // flag against the q84 floor
+      "q202_modality_audit" ->
+        (s"WITH $minhashReplayCtes, " +
+          "qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
+          "vp AS (SELECT id_a, id_b, n_inter, n_union FROM v WHERE n_inter * 10 >= n_union * 9), " +
+          "md AS (SELECT vp.id_a, vp.id_b, vp.n_inter, vp.n_union, " +
+          "CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot " +
+          "FROM vp JOIN qe a ON a.vec_id = vp.id_a JOIN qe b ON b.vec_id = vp.id_b) " +
+          "SELECT id_a, id_b, n_inter, n_union, dot, " +
+          s"CAST(CASE WHEN dot < $EmbedMinScore THEN 1 ELSE 0 END AS BIGINT) AS divergent " +
+          "FROM md ORDER BY divergent DESC, id_a, id_b LIMIT 100"),
       // round 11 session 2, capstone v4: the gate-ensemble replay — the
       // q188 NB chain (tk/voc/.../pr) + the q174 span chain (toks/occ +
       // e-prefixed removal CTEs) + the q170 ppl chain (pp_-prefixed to

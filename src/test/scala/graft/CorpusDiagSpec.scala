@@ -72,6 +72,21 @@ class CorpusDiagSpec extends AnyFunSuite {
       "every document landed in one band — the ensemble no longer discriminates")
   }
 
+  test("q202 modality dots equal the scalar quantized dot over the raw parquet floats") {
+    val vecs = Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f =>
+        math.floor(f.toDouble * 10000).toLong)).toMap
+    val got = SparkEntry.queries("q202_modality_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty, "no verified text pairs with embeddings — audit fixture vacuous")
+    got.foreach { case (a, b, dot, divergent) =>
+      val ref = vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+      assert(dot === ref, s"pair ($a,$b): dot drifted from the scalar quantized product")
+      assert(divergent === (if (dot < 25000000L) 1L else 0L), s"pair ($a,$b): flag mismatch")
+    }
+  }
+
   private def spanHash(window: Seq[String]): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(window.mkString(" ").getBytes("UTF-8"))
