@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
 object ScaleTenX {
   private val HeavyBand = Seq(
     "q40_minhash_neardup", "q74_neardup_clusters", "q82_minhash_portable",
-    "q83_simhash_portable", "q84_embedlsh_portable", "q97_embed_clusters")
+    "q83_simhash_portable", "q84_embedlsh_portable", "q97_embed_clusters",
+    // round-11 session-2 heavy additions (clustering/composition class)
+    "q195_cluster_split", "q197_incremental_cluster_split",
+    "q201_gate_ensemble", "q202_modality_audit")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
