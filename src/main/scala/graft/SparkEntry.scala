@@ -57,7 +57,7 @@ object SparkEntry {
   /** q84/q97's verification threshold — ≈ cosine 0.25 on unit-norm vectors
     * after the ×10⁴ quantization. One constant for the Spark entries AND
     * both DuckDB texts. */
-  private val EmbedMinScore = 25000000L
+  private[graft] val EmbedMinScore = 25000000L
 
   /** Self-sizing LSH width for the portable embedding family (q84/q97/
     * q125): bits derives from the corpus count via
@@ -253,7 +253,7 @@ object SparkEntry {
         s"($t, $b, ${p.mkString("[", ", ", "]")})"
       }
     }.mkString(", ")
-    "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
+    s"${quantEmbCte("c", "qv")}, " +
       s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
       "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
       "bk0 AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
@@ -273,7 +273,7 @@ object SparkEntry {
     * sizes. All BIGINT arithmetic over identical inputs — exact
     * cross-engine (the q84 quantization rule). */
   private def semClusterCtes: String =
-    "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
+    s"${quantEmbCte("c", "qv")}, " +
       s"cent AS (SELECT vec_id AS cid, qv AS cv FROM c ORDER BY vec_id LIMIT $lastSemNlist), " +
       "sc AS (SELECT c.vec_id, cent.cid, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * cent.cv[i])) AS BIGINT) AS s FROM c, cent), " +
       "asg AS (SELECT vec_id, cid, s FROM (SELECT vec_id, cid, s, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r FROM sc) WHERE r = 1), " +
@@ -292,7 +292,7 @@ object SparkEntry {
     * the regression sums far from BIGINT overflow: with x ≤ bits(10³)
     * and y ≤ bits(10¹⁹), |num|·10⁴ stays < 2⁶³ at any corpus scale).
     * One constant for the Spark entry AND the DuckDB text. */
-  private val ZipfHead = 1000L
+  private[graft] val ZipfHead = 1000L
 
   /** q190/q193's split WITHIN the labeled train set (doc_id <
     * IncrementalSplitId): counts from [0, NbInnerSplitId) merged with
@@ -519,24 +519,32 @@ object SparkEntry {
     * over ALL documents, which equals the Spark side's merged model on
     * the closed input — the q161 additivity identity). */
   private def pplOracle(scoreFilter: String): String =
-    "WITH toks AS (" +
-      "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
-      "), st AS (" +
-      "SELECT doc_id, " +
-      "CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) AS k, " +
-      "CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS k1 " +
-      "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)" +
-      "), c2 AS (SELECT k, COUNT(*) AS c2 FROM st GROUP BY k), " +
-      "c1 AS (SELECT k1, COUNT(*) AS c1 FROM st GROUP BY k1), " +
-      "sc AS (SELECT st.doc_id, COUNT(*) AS n_bigrams, " +
-      "CAST(SUM(length(bin(c1.c1 // c2.c2))) AS BIGINT) AS bits_total " +
-      "FROM st JOIN c2 ON st.k = c2.k JOIN c1 ON st.k1 = c1.k1 " +
-      scoreFilter +
-      " GROUP BY st.doc_id) " +
+    s"WITH ${pplCtes("", scoreFilter)} " +
       "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, bits_total, " +
       "CAST((bits_total * 10000) // n_bigrams AS BIGINT) AS ppl_bp " +
       s"FROM sc WHERE (bits_total * 10000) // n_bigrams <= $PplGateBp " +
       "ORDER BY ppl_bp DESC, doc_id LIMIT 100"
+
+  /** The perplexity chain's CTE body (…sc = per-doc n_bigrams/
+    * bits_total) with every CTE name carrying prefix `px`, so a
+    * COMPOSED replay (q201 — whose other chains already use toks/sc)
+    * reuses the ONE spelling instead of a hand-mirrored copy.
+    * `scoreFilter` must qualify by `${px}st` when non-empty. */
+  private def pplCtes(px: String, scoreFilter: String): String =
+    s"${px}toks AS (" +
+      "SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2" +
+      s"), ${px}st AS (" +
+      "SELECT doc_id, " +
+      "CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) AS k, " +
+      "CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS k1 " +
+      s"FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM ${px}toks)" +
+      s"), ${px}c2 AS (SELECT k, COUNT(*) AS c2 FROM ${px}st GROUP BY k), " +
+      s"${px}c1 AS (SELECT k1, COUNT(*) AS c1 FROM ${px}st GROUP BY k1), " +
+      s"${px}sc AS (SELECT ${px}st.doc_id, COUNT(*) AS n_bigrams, " +
+      s"CAST(SUM(length(bin(${px}c1.c1 // ${px}c2.c2))) AS BIGINT) AS bits_total " +
+      s"FROM ${px}st JOIN ${px}c2 ON ${px}st.k = ${px}c2.k JOIN ${px}c1 ON ${px}st.k1 = ${px}c1.k1 " +
+      scoreFilter +
+      s" GROUP BY ${px}st.doc_id)"
 
   /** The bigram-LM family's (doc_id, k, k1) key stream: k = fused 32-bit
     * hash of the bigram, k1 = fused hash of its prefix token. Both hash
@@ -579,15 +587,29 @@ object SparkEntry {
     * documents (q175/q176 score only the incoming batch; the span CTEs
     * still aggregate over ALL documents, which equals the merged/static
     * index on the closed input). */
+  /** The quantized-embedding CTE — the ONE replay spelling of
+    * Similarity.quantize's floor(double·10⁴) contract (must match the
+    * Catalyst expression bit-for-bit). `name`/`vcol` let each chain pick
+    * the CTE and column names it expects. */
+  private def quantEmbCte(name: String, vcol: String): String =
+    s"$name AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS $vcol FROM embeddings)"
+
+  /** The span-removal chain's CTE body (…${px}rm = per-doc removed
+    * count) with every CTE name carrying prefix `px` — one spelling for
+    * the q174-q176 replays (px = "") and the composed q201 (px = "e",
+    * whose NB chain already owns the bare names). */
+  private def spanRemovalCtes(px: String): String =
+    s"${px}sp AS (SELECT h, COUNT(*) AS n, MIN(doc_id * $SpanPosPackSql + pos) AS canon " +
+      "FROM occ GROUP BY h), " +
+      s"${px}rme AS (SELECT occ.doc_id AS doc_id, " +
+      s"unnest(generate_series(occ.pos, occ.pos + ${TextDedup.SpanK - 1})) AS p " +
+      s"FROM occ JOIN ${px}sp ON occ.h = ${px}sp.h " +
+      s"WHERE ${px}sp.n >= 2 AND occ.doc_id * $SpanPosPackSql + occ.pos <> ${px}sp.canon), " +
+      s"${px}rm AS (SELECT doc_id, COUNT(DISTINCT p) AS nr FROM ${px}rme GROUP BY doc_id)"
+
   private def spanRemovalOracle(docFilter: String): String =
     s"WITH $spanOccCtes, " +
-      s"sp AS (SELECT h, COUNT(*) AS n, MIN(doc_id * $SpanPosPackSql + pos) AS canon " +
-      "FROM occ GROUP BY h), " +
-      "rme AS (SELECT occ.doc_id AS doc_id, " +
-      s"unnest(generate_series(occ.pos, occ.pos + ${TextDedup.SpanK - 1})) AS p " +
-      "FROM occ JOIN sp ON occ.h = sp.h " +
-      s"WHERE sp.n >= 2 AND occ.doc_id * $SpanPosPackSql + occ.pos <> sp.canon), " +
-      "rm AS (SELECT doc_id, COUNT(DISTINCT p) AS nr FROM rme GROUP BY doc_id) " +
+      s"${spanRemovalCtes("")} " +
       "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
       "CAST(COALESCE(rm.nr, 0) AS BIGINT) AS n_removed, " +
       "CAST((len(string_split(d.text, ' ')) - COALESCE(rm.nr, 0)) * 10000 " +
@@ -2548,7 +2570,6 @@ object SparkEntry {
     // handled, not assumed away.
     "q201_gate_ensemble" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      graft.functions.PortableShingleHash.register(spark)
       val span = TextDedup.spanRemovalStats(d, "doc_id", "text")
         .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
       val ppl = pplScoresAll(spark, dir)
@@ -3374,7 +3395,7 @@ object SparkEntry {
       // flag against the q84 floor
       "q202_modality_audit" ->
         (s"WITH $minhashReplayCtes, " +
-          "qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings), " +
+          s"${quantEmbCte("qe", "qv")}, " +
           "vp AS (SELECT id_a, id_b, n_inter, n_union FROM v WHERE n_inter * 10 >= n_union * 9), " +
           "md AS (SELECT vp.id_a, vp.id_b, vp.n_inter, vp.n_union, " +
           "CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot " +
@@ -3392,30 +3413,15 @@ object SparkEntry {
       "q201_gate_ensemble" ->
         (s"WITH $nbCtes, ${nbScoreCtes("")}, " +
           s"$spanOccCtes, " +
-          s"esp AS (SELECT h, COUNT(*) AS n, MIN(doc_id * $SpanPosPackSql + pos) AS canon FROM occ GROUP BY h), " +
-          "erme AS (SELECT occ.doc_id AS doc_id, " +
-          s"unnest(generate_series(occ.pos, occ.pos + ${TextDedup.SpanK - 1})) AS p " +
-          "FROM occ JOIN esp ON occ.h = esp.h " +
-          s"WHERE esp.n >= 2 AND occ.doc_id * $SpanPosPackSql + occ.pos <> esp.canon), " +
-          "erm AS (SELECT doc_id, COUNT(DISTINCT p) AS nr FROM erme GROUP BY doc_id), " +
+          s"${spanRemovalCtes("e")}, " +
           "eres AS (SELECT d.doc_id, " +
           "CAST((len(string_split(d.text, ' ')) - COALESCE(erm.nr, 0)) * 10000 " +
           "// len(string_split(d.text, ' ')) AS BIGINT) AS kept_bp " +
           "FROM documents d LEFT JOIN erm ON erm.doc_id = d.doc_id), " +
-          "pp_toks AS (SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 2), " +
-          "pp_st AS (SELECT doc_id, " +
-          "CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT) AS k, " +
-          "CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS k1 " +
-          "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM pp_toks)), " +
-          "pp_c2 AS (SELECT k, COUNT(*) AS c2 FROM pp_st GROUP BY k), " +
-          "pp_c1 AS (SELECT k1, COUNT(*) AS c1 FROM pp_st GROUP BY k1), " +
-          "pp_sc AS (SELECT pp_st.doc_id, COUNT(*) AS nb2, " +
-          "CAST(SUM(length(bin(pp_c1.c1 // pp_c2.c2))) AS BIGINT) AS bt " +
-          "FROM pp_st JOIN pp_c2 ON pp_st.k = pp_c2.k JOIN pp_c1 ON pp_st.k1 = pp_c1.k1 " +
-          "GROUP BY pp_st.doc_id), " +
+          s"${pplCtes("pp_", "")}, " +
           "gates AS (SELECT d.lang, " +
           s"(CASE WHEN s.kept_bp >= $SpanKeepBp THEN 1 ELSE 0 END " +
-          s"+ CASE WHEN (p.bt * 10000) // p.nb2 <= $PplGateBp THEN 1 ELSE 0 END " +
+          s"+ CASE WHEN (p.bits_total * 10000) // p.n_bigrams <= $PplGateBp THEN 1 ELSE 0 END " +
           "+ CASE WHEN pr.pred_lang = d.lang THEN 1 ELSE 0 END) AS n_gates " +
           "FROM documents d " +
           "LEFT JOIN eres s ON s.doc_id = d.doc_id " +
@@ -3575,7 +3581,7 @@ object SparkEntry {
       // engine, so the BIGINT scores hash-match (float cosine never can:
       // comparator floats + ulp drift). list_sum yields HUGEINT → CAST.
       "q44_cosine_topk" ->
-        ("WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv FROM embeddings), " +
+        (s"WITH ${quantEmbCte("c", "cv")}, " +
           "q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 5), " +
           "scored AS (SELECT q.query_id, c.vec_id, " +
           "CAST(list_sum(list_transform(range(1, len(c.cv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT) AS score " +
@@ -3589,7 +3595,7 @@ object SparkEntry {
       // integer dot with ties to the lower centroid/vector id — exactly
       // Similarity.ivfTopKInt's semantics, so rows hash-match end to end.
       "q53_ann_ivf" ->
-        ("WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv FROM embeddings), " +
+        (s"WITH ${quantEmbCte("c", "cv")}, " +
           "cent AS (SELECT vec_id AS cid, cv AS cvec FROM c ORDER BY vec_id LIMIT 16), " +
           "ascore AS (SELECT c.vec_id, c.cv, cent.cid, row_number() OVER (PARTITION BY c.vec_id ORDER BY " +
           "CAST(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * cent.cvec[i])) AS BIGINT) DESC, cent.cid) AS rn " +

@@ -193,8 +193,9 @@ object Dsir {
     * `portable_shingle_hash` (the spanOccurrences convention). */
   def featStream(docs: DataFrame, idCol: String, textCol: String,
                  carry: Seq[String] = Nil): DataFrame = {
-    graft.functions.PortableShingleHash.register(
-      org.apache.spark.sql.SparkSession.active)
+    // the FRAME's session, not the thread's active one (two sessions in
+    // one JVM have separate function registries — cf. spanOccurrences)
+    graft.functions.PortableShingleHash.register(docs.sparkSession)
     val base = docs.select((col(idCol).as("__id") +: carry.map(col) :+
         TextDedup.tokens(col(textCol)).as("__t")): _*)
       .filter(size(col("__t")) >= 2)

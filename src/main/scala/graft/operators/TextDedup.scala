@@ -301,8 +301,11 @@ object TextDedup {
     * Mirrored as `len(t) >= k` in the q173/q174 DuckDB texts. */
   private def spanOccurrences(df: DataFrame, idCol: String, textCol: String,
                               k: Int): DataFrame = {
-    graft.functions.PortableShingleHash.register(
-      org.apache.spark.sql.SparkSession.active)
+    // register on the FRAME's session, not the thread's active one: with
+    // two sessions in a JVM (newSession() clones a separate function
+    // registry) the active session can differ from the one that will
+    // analyze this plan, and the call would fail UNRESOLVED_ROUTINE
+    graft.functions.PortableShingleHash.register(df.sparkSession)
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= k)
       .select(col(idCol),

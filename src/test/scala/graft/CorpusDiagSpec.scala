@@ -21,7 +21,8 @@ class CorpusDiagSpec extends AnyFunSuite {
     val expect = docs.groupBy(_._3).toSeq.map { case (lang, rows) =>
       val counts = rows.flatMap(_._2.split(" ", -1)).groupBy(identity)
         .view.mapValues(_.size.toLong).toSeq
-      val head = counts.sortBy { case (t, n) => (-n, t) }.take(1000)
+      val head = counts.sortBy { case (t, n) => (-n, t) }
+        .take(SparkEntry.ZipfHead.toInt)
       val xy = head.zipWithIndex.map { case ((_, n), i) => (bits(i + 1L), bits(n)) }
       val k = xy.size.toLong
       val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
@@ -83,7 +84,8 @@ class CorpusDiagSpec extends AnyFunSuite {
     got.foreach { case (a, b, dot, divergent) =>
       val ref = vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
       assert(dot === ref, s"pair ($a,$b): dot drifted from the scalar quantized product")
-      assert(divergent === (if (dot < 25000000L) 1L else 0L), s"pair ($a,$b): flag mismatch")
+      assert(divergent === (if (dot < SparkEntry.EmbedMinScore) 1L else 0L),
+        s"pair ($a,$b): flag mismatch")
     }
   }
 

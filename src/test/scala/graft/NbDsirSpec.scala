@@ -116,7 +116,9 @@ class NbDsirSpec extends AnyFunSuite {
     val rTot = raw.values.sum
     val tTot = tgt.values.sum
     val wb = raw.map { case (f, rn) =>
-      f -> (bits((tgt.getOrElse(f, 0L) * 10000L / tTot + 1L) * Scale /
+      // Dsir.Scale, not the NB Scale alias above — the two constants are
+      // independently tunable and only coincidentally equal
+      f -> (bits((tgt.getOrElse(f, 0L) * 10000L / tTot + 1L) * graft.operators.Dsir.Scale /
         (rn * 10000L / rTot + 1L)) - graft.operators.Dsir.ZeroBits)
     }
     docs.flatMap { case (id, text, _) =>
