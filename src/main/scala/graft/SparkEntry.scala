@@ -65,39 +65,29 @@ object SparkEntry {
     * embeddings table re-sizes its buckets instead of hitting the
     * measured 13× occupancy blowup a pinned constant gave at 10×
     * (BASELINE.md round 10). The count is cached per dir (one tiny
-    * pruned-scan count per JVM per dir); the LAST derived value is what
-    * `embedLshReplayCtes` interpolates into the DuckDB texts — safe
-    * because every gate path (Verify, ClusterCheck, the specs) runs the
-    * Spark entries against a single dir BEFORE the oracle dump, and all
-    * three entries resolve the same dir to the same value. Unresolved
-    * default 6 = recommendedBits at sf0.1's 2,000 vectors, the former
-    * pinned constant. */
+    * pruned-scan count per JVM per dir); the DuckDB texts interpolate
+    * the SAME dir-derived value because `oracleSqlFor(spark, dir)` is
+    * the only text-generation path — no mutable interpolation state
+    * (the r11 verdict's `lastEmbedBits` trap is deleted: two dirs in
+    * one JVM each get their own texts). */
   private val embedBitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  @volatile private var lastEmbedBits: Int = 6
-  private def embedBitsFor(spark: SparkSession, dir: String): Int = {
-    val b = embedBitsCache.computeIfAbsent(dir, d =>
+  private def embedBitsFor(spark: SparkSession, dir: String): Int =
+    embedBitsCache.computeIfAbsent(dir, d =>
       graft.operators.Similarity.recommendedBits(
         Tables.table(spark, d, "embeddings").count(), 32))
-    lastEmbedBits = b
-    b
-  }
 
   /** q186/q187's semantic-cluster count — self-sized like the LSH width:
     * k targets ~125 vectors per cluster (SemDeDup's k ≪ n regime; the
     * in-cluster pair term is then occupancy-bounded, not corpus-bounded),
     * clamped to [16, 4096] so the centroid broadcast stays
     * corpus-size-sublinear (the q53 IVF contract). Both Spark entries
-    * and both DuckDB texts interpolate the SAME derived value via
-    * `lastSemNlist` — the embedBitsFor pattern exactly. */
+    * and both DuckDB texts interpolate the SAME dir-derived value —
+    * the embedBitsFor pattern exactly. */
   private val semNlistCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  @volatile private var lastSemNlist: Int = 16
-  private[graft] def semNlistFor(spark: SparkSession, dir: String): Int = {
-    val k = semNlistCache.computeIfAbsent(dir, d =>
+  private[graft] def semNlistFor(spark: SparkSession, dir: String): Int =
+    semNlistCache.computeIfAbsent(dir, d =>
       math.max(16, math.min(4096,
         math.ceil(Tables.table(spark, d, "embeddings").count() / 125.0).toInt)))
-    lastSemNlist = k
-    k
-  }
 
   /** q187's prototype-pruning fraction in basis points: drop the 20%
     * most-prototypical (closest-to-centroid) members of each semantic
@@ -106,17 +96,14 @@ object SparkEntry {
     * DuckDB text. */
   private val ProtoDropBp = 2000
 
-  /** Bind the oracle texts' derived constants to `dir` WITHOUT running
-    * any query — Verify calls this before dumping `oracleSql` so a
-    * SUBSET run (the 3-arg fast-iteration form) that skips the embed
-    * entries still interpolates the right LSH width into the q84/q97/
-    * q125 texts instead of the unbound default (round-11 review
-    * finding: order-dependence between query execution and text
-    * generation). */
-  def bindOracleDir(spark: SparkSession, dir: String): Unit = {
-    embedBitsFor(spark, dir)
-    semNlistFor(spark, dir); ()
-  }
+  /** Oracle texts with every derived constant (embed-LSH width,
+    * SemDeDup nlist) computed FROM `dir` — the one generation path
+    * every gate uses (Verify, ClusterCheck, the specs). Replaces the
+    * r11 `bindOracleDir` + volatile-globals pattern: texts are now a
+    * pure function of the dir, so two dirs in one JVM can never bleed
+    * constants into each other's texts. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleTexts(embedBitsFor(spark, dir), semNlistFor(spark, dir))
 
   /** Shared recursive delete for the streaming entries' temp trees
     * (q162/q172/q176) and Verify's stale-dump removal. Null-safe:
@@ -243,11 +230,11 @@ object SparkEntry {
     * (Similarity.portableHyperplanes — one source of truth), bucket
     * signatures via sign-bit sums, candidate pairs, integer-dot
     * verification. Ends with CTE `v(id_a, id_b, score)`. */
-  private def embedLshReplayCtes: String = {
-    // lastEmbedBits: set by the q84/q97/q125 entries' embedBitsFor — the
-    // oracle replays with the SAME derived width (def, re-generated per
-    // call, so Verify's run-queries-then-dump order binds it correctly)
-    val planes = graft.operators.Similarity.portableHyperplanes(64, 8, lastEmbedBits)
+  private def embedLshReplayCtes(embedBits: Int): String = {
+    // embedBits: the caller (oracleTexts) derives it from the SAME dir
+    // the Spark entries size against, so the replay banding is
+    // value-identical by construction
+    val planes = graft.operators.Similarity.portableHyperplanes(64, 8, embedBits)
     val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
       tbl.zipWithIndex.map { case (p, b) =>
         s"($t, $b, ${p.mkString("[", ", ", "]")})"
@@ -267,14 +254,14 @@ object SparkEntry {
   }
 
   /** Shared DuckDB replay for the SemDeDup family (q186/q187): quantize,
-    * take the `lastSemNlist` lowest-id vectors as centroids, assign each
+    * take the `semNlist` lowest-id vectors as centroids, assign each
     * vector to its integer-dot argmax centroid (ROW_NUMBER by s DESC,
     * cid — the max_by(struct(s, -cid)) spelling), and carry cluster
     * sizes. All BIGINT arithmetic over identical inputs — exact
     * cross-engine (the q84 quantization rule). */
-  private def semClusterCtes: String =
+  private def semClusterCtes(semNlist: Int): String =
     s"${quantEmbCte("c", "qv")}, " +
-      s"cent AS (SELECT vec_id AS cid, qv AS cv FROM c ORDER BY vec_id LIMIT $lastSemNlist), " +
+      s"cent AS (SELECT vec_id AS cid, qv AS cv FROM c ORDER BY vec_id LIMIT $semNlist), " +
       "sc AS (SELECT c.vec_id, cent.cid, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * cent.cv[i])) AS BIGINT) AS s FROM c, cent), " +
       "asg AS (SELECT vec_id, cid, s FROM (SELECT vec_id, cid, s, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r FROM sc) WHERE r = 1), " +
       "csz AS (SELECT cid, COUNT(*) AS n_members FROM asg GROUP BY cid)"
@@ -2253,8 +2240,8 @@ object SparkEntry {
     // scores exact integers — the whole embedding near-dup pipeline
     // hash-checks (float-cosine q43 stays the production path).
     // minScore 25M ≈ cosine 0.25 on unit-norm vectors, matching q43's τ.
-    // bits self-sizes from the corpus count (round 11) — the oracle text
-    // interpolates the same derived width via lastEmbedBits.
+    // bits self-sizes from the corpus count (round 11) — oracleSqlFor
+    // interpolates the same dir-derived width into the replay text.
     "q84_embedlsh_portable" -> { (spark, dir) =>
       Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
           "vec_id", "embedding", minScore = EmbedMinScore,
@@ -2766,7 +2753,13 @@ object SparkEntry {
     * same answer on the closed input. */
   private lazy val incrementalEditOracle: String = editPairReplay(crossOnly = true)
 
-  def oracleSql: Map[String, String] =
+  /** Driver-contract surface: texts at the sf0.1 default constants
+    * (embed bits 6 = recommendedBits at 2,000 vectors, nlist 16). Specs
+    * use it for keys/sizes only; every gate path that RUNS the texts
+    * goes through `oracleSqlFor(spark, dir)`. */
+  def oracleSql: Map[String, String] = oracleTexts(6, 16)
+
+  private def oracleTexts(embedBits: Int, semNlist: Int): Map[String, String] =
     Corpus.queries.map(q => q.id -> q.duckSql).toMap ++ Map(
       "q25_limit_inject" -> "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100",
       // q129 (round 10): the oracle keeps the STRING-keyed spelling — the
@@ -3331,13 +3324,13 @@ object SparkEntry {
       // source of truth), buckets via SUM of sign bits, verification by
       // integer dot (CTE chain shared with q97's clustering replay)
       "q84_embedlsh_portable" ->
-        (s"WITH $embedLshReplayCtes " +
+        (s"WITH ${embedLshReplayCtes(embedBits)} " +
           s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore ORDER BY id_a, id_b LIMIT 100"),
       // round 11: SemDeDup — cluster-then-pairwise; the cap mirrors the
       // Spark degenerate-cluster guard (TextDedup.DefaultMaxBucketSize),
       // COUNT(DISTINCT id_b) = the greedy keep-lowest-id drop set
       "q186_semdedup" ->
-        (s"WITH $semClusterCtes, " +
+        (s"WITH ${semClusterCtes(semNlist)}, " +
           "pr AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
           s"JOIN csz ON csz.cid = a.cid WHERE csz.n_members <= ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
           "v AS (SELECT pr.cid, id_a, id_b FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b " +
@@ -3349,7 +3342,7 @@ object SparkEntry {
       // round 11: prototype pruning — per-cluster centroid-affinity rank,
       // integer quota (n_members × dropBp) DIV 10⁴, dropped manifest
       "q187_prototypes" ->
-        (s"WITH $semClusterCtes, " +
+        (s"WITH ${semClusterCtes(semNlist)}, " +
           "rk AS (SELECT vec_id, cid, s, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY s DESC, vec_id) AS proto_rank FROM asg), " +
           "dr AS (SELECT rk.cid, rk.vec_id, rk.proto_rank, rk.s AS proto_score FROM rk JOIN csz ON csz.cid = rk.cid " +
           s"WHERE rk.proto_rank <= (csz.n_members * $ProtoDropBp) // 10000) " +
@@ -3451,7 +3444,7 @@ object SparkEntry {
       // round 8: incremental embedding near-dup — the same replay
       // restricted to pairs straddling the vec_id split (cf. q124)
       "q125_incremental_embed" ->
-        (s"WITH $embedLshReplayCtes " +
+        (s"WITH ${embedLshReplayCtes(embedBits)} " +
           s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore " +
           s"AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId " +
           "ORDER BY id_a, id_b LIMIT 100"),
@@ -3460,7 +3453,7 @@ object SparkEntry {
       // cf. q74) vs DuckDB's recursive closure over the same verified
       // pairs. cluster = min reachable vec_id.
       "q97_embed_clusters" ->
-        (s"WITH RECURSIVE $embedLshReplayCtes, " +
+        (s"WITH RECURSIVE ${embedLshReplayCtes(embedBits)}, " +
           s"pairs AS (SELECT id_a, id_b FROM v WHERE score >= $EmbedMinScore), " +
           "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs), " +
           "reach(id, lbl) AS (SELECT src, src FROM edges " +

@@ -49,11 +49,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // bind dir-derived oracle constants (embed-LSH width) BEFORE the
-    // dump: a subset run that skipped the embed entries would otherwise
-    // interpolate the unbound default width into their texts
-    SparkEntry.bindOracleDir(spark, sfDir)
-    val json = SparkEntry.oracleSql
+    // texts are a pure function of the sf dir (derived constants —
+    // embed-LSH width, SemDeDup nlist — computed from it), so a subset
+    // run and the full run dump identical texts for this dir
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

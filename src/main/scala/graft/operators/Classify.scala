@@ -87,6 +87,16 @@ object NaiveBayes {
     // in-vocab per-label token counts and totals — all ≤ maxVocab × |labels|
     val perLab = tc.join(broadcast(vocab), "__tok")
     val nl = perLab.groupBy("__lab").agg(sum("__n").as("__nl"))
+    // A label whose docs carry ZERO in-vocab tokens drops out of nl (and
+    // so of labelStats); with <2 surviving labels every scored doc's
+    // second_bits is NULL, and a NULL BIGINT renders differently across
+    // the comparator's two read paths — fail fast at model build instead
+    // (r11 advice). Bounded action: nl is a ≤|labels|-row keyed aggregate
+    // over the cut artifact, the same class as the totals head() below.
+    val survivingLabels = nl.count()
+    require(survivingLabels >= 2,
+      s"NaiveBayes: only $survivingLabels label(s) carry in-vocab tokens — " +
+        "margins (second_bits) would be NULL for every scored document")
 
     val totals = dl.agg(sum("__n").as("__d"), count(lit(1)).as("__l")).head()
     val dTrain = totals.getLong(0)

@@ -193,6 +193,38 @@ class DriftGuardSpec extends AnyFunSuite {
       val nLabels = train.select("lang").distinct().count()
       assert(nLabels >= 2,
         s"$d: $nLabels train labels — Naive Bayes needs a multi-class train split")
+      // …and ≥2 of them must survive into the IN-VOCAB token stream
+      // (r11 advice): a dominant-vocab regen could leave one label with
+      // zero in-vocab tokens — it drops from labelStats, second_bits
+      // goes NULL for every doc, and the q188/q190/q191 margin cells
+      // hash-fail on the comparator's NULL-rendering asymmetry.
+      // modelFromCounts now also fails fast; this guard fires at round
+      // start, before the oracle gate. r12 measured: 5 of 5 labels
+      // in-vocab at every SF.
+      val tk = train.select(col("lang"),
+        explode(TextDedup.tokens(col("text"))).as("tok"))
+      val voc = tk.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(graft.operators.NaiveBayes.DefaultVocab).select("tok")
+      val nInVocab = tk.join(voc, "tok").select("lang").distinct().count()
+      assert(nInVocab >= 2,
+        s"$d: only $nInVocab of $nLabels train labels carry in-vocab tokens — " +
+          "NaiveBayes margins would be NULL (modelFromCounts now rejects this)")
+    }
+  }
+
+  test("documents.text is never NULL/empty at any SF (kept_bp/lm_bp NULL propagation)") {
+    // tokens(NULL) propagates NULL through kept_bp/lm_bp (r11 verdict
+    // item 4): a regen shipping one NULL/empty text would put a NULL
+    // into hashed cells, and NULL renders NaT-vs-None across the
+    // comparator's pyarrow/pandas read paths. r12 measured: 0 bad rows
+    // at every SF (600 / 6,000 / 60,000 docs).
+    dirs.foreach { d =>
+      val docs = Tables.table(spark, d, "documents")
+      val bad = docs.filter(col("text").isNull || length(col("text")) === 0).count()
+      assert(bad == 0,
+        s"$d: $bad NULL/empty documents.text rows of ${docs.count()} — " +
+          "NULL would reach hashed kept_bp/lm_bp cells (COALESCE at the entries or fix the regen)")
     }
   }
 }
