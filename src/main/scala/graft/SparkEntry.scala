@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Checkpoints, Dsir, Multimodal, NaiveBayes, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Checkpoints, Dsir, Multimodal, NaiveBayes, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,17 @@ object SparkEntry {
       math.max(16, math.min(4096,
         math.ceil(Tables.table(spark, d, "embeddings").count() / 125.0).toInt)))
 
+  /** Per-dir cached BPE merge list — q163's trainer run once per JVM per
+    * dir (nMerges = 50, the one spelling); q163, q205 and q205's DuckDB
+    * replay all read the SAME list. The trainer is deterministic
+    * (tie-broken argmax), so the cache is a cost saver, not a semantic
+    * dependence; the dir-keyed shape is the embedBitsFor pattern. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private def bpeMergesFor(spark: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeMergesCache.computeIfAbsent(dir, d =>
+      Bpe.train(Tables.table(spark, d, "documents"), "text", nMerges = 50))
+
   /** q187's prototype-pruning fraction in basis points: drop the 20%
     * most-prototypical (closest-to-centroid) members of each semantic
     * cluster — the Sorscher et al. 2022 easy-example prune at the D4
@@ -103,7 +114,8 @@ object SparkEntry {
     * pure function of the dir, so two dirs in one JVM can never bleed
     * constants into each other's texts. */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    oracleTexts(embedBitsFor(spark, dir), semNlistFor(spark, dir))
+    oracleTexts(embedBitsFor(spark, dir), semNlistFor(spark, dir),
+      bpeMergesFor(spark, dir).map(m => (m.left, m.right)))
 
   /** Shared recursive delete for the streaming entries' temp trees
     * (q162/q172/q176) and Verify's stale-dump removal. Null-safe:
@@ -335,6 +347,49 @@ object SparkEntry {
       .select("doc_id", "rep", "split", "n_twins")
       .orderBy("doc_id").limit(100)
   }
+
+  /** Per-document composed 3-gate decision (doc_id, lang, n_gates) —
+    * the q201 histogram's input, q203's admission predicate and q204's
+    * batch reference. Span and perplexity statistics are full-corpus;
+    * the classifier trains on the labeled split — each stage exactly as
+    * its standalone entry (q174/q170/q188) proved it. Documents a gate
+    * never scored (too short / zero in-vocab tokens) FAIL that gate via
+    * left-join + coalesce — the NaiveBayes.score drop contract made
+    * explicit, mirrored in the replay. private[graft] for SinksSpec's
+    * round-trip check. */
+  private[graft] def gateDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+    val span = TextDedup.spanRemovalStats(d, "doc_id", "text")
+      .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
+    val ppl = pplScoresAll(spark, dir)
+      .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+      .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
+    val nb = nbScoresAll(spark, dir)
+      .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
+    d.select("doc_id", "lang")
+      .join(span, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
+          + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+  }
+
+  /** q203's per-band manifest columns over rows carrying (n_gates, lang,
+    * doc_id, text): doc count, whitespace-token total, and the XOR of a
+    * 32-bit md5 content signature over (doc_id ':' text) — XOR is
+    * order-independent and exact, so the hashed manifest proves CONTENT
+    * equality of whatever frame it aggregates (for the ship band, the
+    * RELOADED shards — the write→read round-trip is inside the hash). */
+  private def bandManifest(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("__nt", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__sig",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+          1, 8), 16, 10).cast("long"))
+      .groupBy("n_gates", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_toks"),
+        expr("CAST(bit_xor(__sig) AS BIGINT)").as("xor_sig"))
 
   /** Corpus-side near-dup clusters over the q82 portable-minhash verified
     * pairs — q197/q198's static cluster table. */
@@ -604,6 +659,32 @@ object SparkEntry {
       "FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id " +
       docFilter +
       " ORDER BY d.doc_id LIMIT 100"
+
+  /** The composed gate-ensemble replay (q201/q203/q204): the q188 NB
+    * chain (tk/voc/…/pr) + the q174 span chain (toks/occ + e-prefixed
+    * removal CTEs) + the q170 ppl chain (pp_-prefixed to avoid the
+    * toks/sc name collisions), composed into the per-document
+    * `gates(doc_id, lang, n_gates)` table via LEFT JOINs (unscored docs
+    * fail their gate — the NaiveBayes.score drop contract made
+    * explicit). One spelling for the batch histogram, the release
+    * manifest and the streaming twin. */
+  private def gateEnsembleCtes: String =
+    s"$nbCtes, ${nbScoreCtes("")}, " +
+      s"$spanOccCtes, " +
+      s"${spanRemovalCtes("e")}, " +
+      "eres AS (SELECT d.doc_id, " +
+      "CAST((len(string_split(d.text, ' ')) - COALESCE(erm.nr, 0)) * 10000 " +
+      "// len(string_split(d.text, ' ')) AS BIGINT) AS kept_bp " +
+      "FROM documents d LEFT JOIN erm ON erm.doc_id = d.doc_id), " +
+      s"${pplCtes("pp_", "")}, " +
+      "gates AS (SELECT d.doc_id, d.lang, " +
+      s"(CASE WHEN s.kept_bp >= $SpanKeepBp THEN 1 ELSE 0 END " +
+      s"+ CASE WHEN (p.bits_total * 10000) // p.n_bigrams <= $PplGateBp THEN 1 ELSE 0 END " +
+      "+ CASE WHEN pr.pred_lang = d.lang THEN 1 ELSE 0 END) AS n_gates " +
+      "FROM documents d " +
+      "LEFT JOIN eres s ON s.doc_id = d.doc_id " +
+      "LEFT JOIN pp_sc p ON p.doc_id = d.doc_id " +
+      "LEFT JOIN pr ON pr.doc_id = d.doc_id)"
 
   /** q177's span-retention gate: drop documents retaining < 50% of their
     * tokens after span removal (heavily-duplicated docs — the sf0.01
@@ -1864,9 +1945,40 @@ object SparkEntry {
     // TierESpec pins a hand-computed fixture + run-to-run equality.
     "q163_bpe_fertility" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      val merges = graft.operators.Bpe.train(d, "text", nMerges = 50)
-      graft.operators.Bpe.segmentStats(d, "doc_id", "text", merges)
+      Bpe.segmentStats(d, "doc_id", "text", bpeMergesFor(spark, dir))
         .orderBy(col("fertility_bp").desc, col("doc_id")).limit(100)
+    },
+    // Subword-true token budget (round 12): q179's relative per-language
+    // budget measured in the unit training actually pays — BPE subword
+    // counts under the q163 trainer's merge list. The DuckDB text
+    // interpolates the SAME dir-derived merge list as a constant and
+    // replays per-word greedy segmentation with a recursive CTE
+    // (leftmost-lowest-rank, one merge per step — exactly
+    // Bpe.segmentStats' loop), then the q179 priority/cumsum budget over
+    // the per-doc subword totals. This hash-proves the segmentation
+    // stage q163's rows-only trainer entry could not: the iterative
+    // trainer stays un-replayable by design, but its OUTPUT (the merge
+    // list) now has its consumption oracle-covered end to end. Same
+    // single prefix-sum plan as q179 (range-partition + boundary-carry
+    // groupedPrefixSum); the segmentation join is cut once (priority
+    // totals + prefix sum both read it).
+    "q205_subword_budget" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val seg = Bpe.segmentStats(d, "doc_id", "text", bpeMergesFor(spark, dir))
+      val pr = Checkpoints.cut(
+        d.select(col("doc_id"), col("lang"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long").as("h"),
+            col("n_chars"))
+          .withColumn("prio", expr("h DIV (n_chars DIV 100 + 1)"))
+          .join(seg.select(col("doc_id"), col("n_subwords").as("n_toks")), Seq("doc_id")),
+        eager = false)
+      val cum = graft.operators.Scale.groupedPrefixSum(
+        pr, "lang", Seq(col("prio"), col("doc_id")), "n_toks", "cum_toks")
+      val tot = pr.groupBy("lang").agg(sum("n_toks").as("tot_toks"))
+      budgetReport(cum.join(broadcast(tot), Seq("lang")))
+        .select("lang", "n_docs", "toks_kept", "tot_toks", "kept_bp")
+        .orderBy("lang").limit(100)
     },
     // Multimodal decode/feature pipeline (stubbed codec, real plumbing) — rows-only
     "q50_multimodal" -> { (spark, dir) =>
@@ -2556,23 +2668,92 @@ object SparkEntry {
     // same rule in the replay, so the NaiveBayes.score drop contract is
     // handled, not assumed away.
     "q201_gate_ensemble" -> { (spark, dir) =>
-      val d = Tables.table(spark, dir, "documents")
-      val span = TextDedup.spanRemovalStats(d, "doc_id", "text")
-        .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
-      val ppl = pplScoresAll(spark, dir)
-        .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
-        .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
-      val nb = nbScoresAll(spark, dir)
-        .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
-      d.select("doc_id", "lang")
-        .join(span, Seq("doc_id"), "left")
-        .join(ppl, Seq("doc_id"), "left")
-        .join(nb, Seq("doc_id"), "left")
-        .select(col("lang"),
-          (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
-            + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+      gateDecisions(spark, dir)
         .groupBy("n_gates", "lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("n_gates", "lang").limit(100)
+    },
+    // Release artifact (round 12): the "ship it" step the gate ensemble
+    // stopped short of — the 3-gate admitted documents WRITTEN as
+    // sharded JSONL (Sinks.writeJsonlShards, the tokenizer/loader
+    // interchange format), then the per-(gates-passed, lang) manifest a
+    // release publishes. The ship band's manifest row is computed FROM
+    // THE RELOADED SHARDS (schema-pinned read-back), so the oracle hash
+    // covers the write→read round-trip: n_docs, token totals and an
+    // order-independent XOR content signature must survive JSON
+    // encode/decode bit-exactly. Non-admitted bands aggregate the
+    // decision frame directly — one spelling for every band in the
+    // replay. 100-TB shape: the write is the sink's own rolling
+    // (maxRecordsPerFile, no extra shuffle) and the manifest is a
+    // keyed aggregate — nothing driver-sided but the bounded band list.
+    "q203_release_manifest" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val gates = Checkpoints.cut(gateDecisions(spark, dir), eager = false)
+      val admitted = gates.filter(col("n_gates") === 3)
+        .join(d.select("doc_id", "text"), Seq("doc_id"))
+        .select("doc_id", "lang", "text")
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q203")
+      graft.sources.Sinks.writeJsonlShards(admitted, s"$tmpPath/shards",
+        maxRecordsPerShard = 64)
+      val reloadSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val ship = Checkpoints.cut(
+        bandManifest(spark.read.schema(reloadSchema).json(s"$tmpPath/shards")
+          .withColumn("n_gates", lit(3L))),
+        eager = true)
+      rmTree(tmpPath.toFile)
+      bandManifest(gates.filter(col("n_gates") < 3)
+          .join(d.select("doc_id", "text"), Seq("doc_id")))
+        .unionByName(ship)
+        .orderBy("n_gates", "lang").limit(100)
+    },
+    // Streaming admission ensemble (round 12): the composed three-gate
+    // decision run at INGEST — incoming documents streamed and scored
+    // per micro-batch against STATIC structures (full-corpus shared-span
+    // index, full-corpus LM marginals, train-built classifier model; all
+    // lineage-cut once so micro-batches join materialized frames), ONE
+    // composed admission decision per document, zero streaming state
+    // (the q172/q176/q194 shape — a doc never splits across batches).
+    // Streaming ≡ batch on the closed input → hashes against the q201
+    // gates replay restricted to streamed ids.
+    "q204_stream_gate_ensemble" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      graft.functions.PortableShingleHash.register(spark)
+      val spans = Checkpoints.cut(
+        TextDedup.spanIndex(d, "doc_id", "text").filter(col("__n") >= 2),
+        eager = false)
+      val st = Checkpoints.cut(lmKeyStream(d), eager = false)
+      val c2 = Checkpoints.cut(
+        st.groupBy("k").agg(count(lit(1)).as("c2")), eager = false)
+      val c1 = Checkpoints.cut(
+        st.groupBy("k1").agg(count(lit(1)).as("c1")), eager = false)
+      val m = NaiveBayes.model(d.filter(col("doc_id") < IncrementalSplitId), "text", "lang")
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, d.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q204")
+      val decided = Checkpoints.cut(
+        graft.streaming.StreamOps.runBatchesToParquet(
+            spark, stream, s"$tmpPath/gates") { b =>
+          val span = TextDedup.spanRemovalStatsAgainstIndex(b, spans, "doc_id", "text")
+            .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
+          val ppl = pplAgg(lmKeyStream(b).join(c2, Seq("k")).join(c1, Seq("k1")))
+            .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+            .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
+          val nb = NaiveBayes.score(b, m, "doc_id", "text")
+            .join(b.select("doc_id", "lang"), Seq("doc_id"))
+            .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
+          b.select("doc_id", "lang")
+            .join(span, Seq("doc_id"), "left")
+            .join(ppl, Seq("doc_id"), "left")
+            .join(nb, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("lang"),
+              (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
+                + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+        }.select("doc_id", "lang", "n_gates"),
+        eager = true)
+      rmTree(tmpPath.toFile)
+      decided.orderBy("doc_id").limit(100)
     },
     // Rare-span memorization-risk audit (round 11 session 2): per
     // document, the share of its k-token windows that are globally
@@ -2754,12 +2935,14 @@ object SparkEntry {
   private lazy val incrementalEditOracle: String = editPairReplay(crossOnly = true)
 
   /** Driver-contract surface: texts at the sf0.1 default constants
-    * (embed bits 6 = recommendedBits at 2,000 vectors, nlist 16). Specs
-    * use it for keys/sizes only; every gate path that RUNS the texts
-    * goes through `oracleSqlFor(spark, dir)`. */
-  def oracleSql: Map[String, String] = oracleTexts(6, 16)
+    * (embed bits 6 = recommendedBits at 2,000 vectors, nlist 16, empty
+    * merge list → pure character segmentation). Specs use it for
+    * keys/sizes only; every gate path that RUNS the texts goes through
+    * `oracleSqlFor(spark, dir)`. */
+  def oracleSql: Map[String, String] = oracleTexts(6, 16, Nil)
 
-  private def oracleTexts(embedBits: Int, semNlist: Int): Map[String, String] =
+  private def oracleTexts(embedBits: Int, semNlist: Int,
+                          bpeMerges: Seq[(String, String)]): Map[String, String] =
     Corpus.queries.map(q => q.id -> q.duckSql).toMap ++ Map(
       "q25_limit_inject" -> "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100",
       // q129 (round 10): the oracle keeps the STRING-keyed spelling — the
@@ -3252,6 +3435,44 @@ object SparkEntry {
       // oracle for the distributed two-pass prefix sum (boundary-carry
       // range partitioning — Scale.groupedPrefixSum); same q160 priority
       // order, same relative token budget
+      // round 12: the subword-budget replay — the q163 merge list
+      // interpolated in rank order, per-word greedy segmentation as a
+      // recursive CTE (ranks via 1-based list_position — order-preserving
+      // vs the Spark side's 0-based ranks; argmin picks the LEFTMOST
+      // minimum in both engines), per-doc subword totals, then the q179
+      // priority/cumsum budget verbatim with n_toks := subword count
+      "q205_subword_budget" -> {
+        def esc(s: String) = s.replace("'", "''")
+        val mlist = "CAST([" +
+          bpeMerges.map { case (l, r) => s"'${esc(l)} ${esc(r)}'" }.mkString(", ") +
+          "] AS VARCHAR[])"
+        ("WITH RECURSIVE " +
+          "wrd AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents), " +
+          "wv AS (SELECT w FROM wrd WHERE length(w) > 0), " +
+          "seg(w, syms) AS (" +
+          "SELECT w, list_append(list_transform(range(1, length(w) + 1), i -> w[i:i]), '</w>') FROM wv " +
+          "UNION ALL " +
+          "SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)] FROM (" +
+          "SELECT w, syms, list_position(rk, list_min(rk)) AS bi, list_min(rk) AS mn FROM (" +
+          s"SELECT w, syms, list_transform(range(1, len(syms)), i -> coalesce(nullif(list_position($mlist, syms[i] || ' ' || syms[i+1]), 0), 1000000)) AS rk " +
+          "FROM seg)) WHERE mn < 1000000), " +
+          "fin AS (SELECT w, len(syms) AS ns FROM seg " +
+          s"WHERE len(list_filter(range(1, len(syms)), i -> list_contains($mlist, syms[i] || ' ' || syms[i+1]))) = 0), " +
+          "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+          "dsw AS (SELECT t.doc_id, CAST(SUM(f.ns) AS BIGINT) AS n_toks FROM tok t JOIN fin f ON t.w = f.w GROUP BY t.doc_id), " +
+          "pr AS (SELECT d.doc_id, d.lang, dsw.n_toks, " +
+          "CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h, d.n_chars " +
+          "FROM documents d JOIN dsw ON dsw.doc_id = d.doc_id), " +
+          "wt AS (SELECT doc_id, lang, n_toks, CAST(h // (n_chars // 100 + 1) AS BIGINT) AS prio FROM pr), " +
+          "cs AS (SELECT lang, n_toks, " +
+          "SUM(n_toks) OVER (PARTITION BY lang ORDER BY prio, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "SUM(n_toks) OVER (PARTITION BY lang) AS tot FROM wt) " +
+          "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS toks_kept, " +
+          "CAST(MAX(tot) AS BIGINT) AS tot_toks, " +
+          "CAST(SUM(n_toks) * 10000 // MAX(tot) AS BIGINT) AS kept_bp " +
+          s"FROM cs WHERE cum * 100 <= tot * $MixBudgetPct " +
+          "GROUP BY lang ORDER BY lang LIMIT 100")
+      },
       "q179_budget_mix" ->
         ("WITH pr AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks, " +
           "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h, n_chars " +
@@ -3404,24 +3625,29 @@ object SparkEntry {
       // NaiveBayes.score drop contract made explicit) and the
       // (n_gates, lang) histogram
       "q201_gate_ensemble" ->
-        (s"WITH $nbCtes, ${nbScoreCtes("")}, " +
-          s"$spanOccCtes, " +
-          s"${spanRemovalCtes("e")}, " +
-          "eres AS (SELECT d.doc_id, " +
-          "CAST((len(string_split(d.text, ' ')) - COALESCE(erm.nr, 0)) * 10000 " +
-          "// len(string_split(d.text, ' ')) AS BIGINT) AS kept_bp " +
-          "FROM documents d LEFT JOIN erm ON erm.doc_id = d.doc_id), " +
-          s"${pplCtes("pp_", "")}, " +
-          "gates AS (SELECT d.lang, " +
-          s"(CASE WHEN s.kept_bp >= $SpanKeepBp THEN 1 ELSE 0 END " +
-          s"+ CASE WHEN (p.bits_total * 10000) // p.n_bigrams <= $PplGateBp THEN 1 ELSE 0 END " +
-          "+ CASE WHEN pr.pred_lang = d.lang THEN 1 ELSE 0 END) AS n_gates " +
-          "FROM documents d " +
-          "LEFT JOIN eres s ON s.doc_id = d.doc_id " +
-          "LEFT JOIN pp_sc p ON p.doc_id = d.doc_id " +
-          "LEFT JOIN pr ON pr.doc_id = d.doc_id) " +
+        (s"WITH $gateEnsembleCtes " +
           "SELECT CAST(n_gates AS BIGINT) AS n_gates, lang, COUNT(*) AS n_docs " +
           "FROM gates GROUP BY n_gates, lang ORDER BY n_gates, lang LIMIT 100"),
+      // round 12: the release manifest — the gates chain joined back to
+      // the documents for token totals and the order-independent XOR
+      // content signature; ONE spelling for every band, which on the
+      // Spark side forces the ship band's RELOADED shards to carry the
+      // exact admitted content (the write→read round-trip is inside the
+      // hash)
+      "q203_release_manifest" ->
+        (s"WITH $gateEnsembleCtes " +
+          "SELECT CAST(g.n_gates AS BIGINT) AS n_gates, g.lang, COUNT(*) AS n_docs, " +
+          "CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_toks, " +
+          "CAST(bit_xor(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 8)) AS BIGINT)) AS BIGINT) AS xor_sig " +
+          "FROM gates g JOIN documents d ON g.doc_id = d.doc_id " +
+          "GROUP BY g.n_gates, g.lang ORDER BY n_gates, g.lang LIMIT 100"),
+      // round 12: streaming admission ensemble — the q201 gates replay
+      // restricted to streamed ids (streaming ≡ batch on closed input,
+      // the house identity)
+      "q204_stream_gate_ensemble" ->
+        (s"WITH $gateEnsembleCtes " +
+          "SELECT doc_id, lang, CAST(n_gates AS BIGINT) AS n_gates FROM gates " +
+          s"WHERE doc_id >= $IncrementalSplitId ORDER BY doc_id LIMIT 100"),
       // round 11 session 2: rare-span audit — the q173 occurrence CTEs,
       // per-hash count via a window, per-doc unique-window share
       "q200_rare_spans" ->

@@ -10,7 +10,18 @@ import org.apache.spark.sql.SparkSession
   * capturing driver-only state, non-serializable expression trees).
   *
   * Usage: runMain graft.tools.ClusterCheck [ids...] (default: a
-  * shuffle/broadcast/window/stream-heavy subset). */
+  * shuffle/broadcast/window/stream-heavy subset).
+  *
+  * CHAOS MODE (round 12): `runMain graft.tools.ClusterCheck chaos
+  * [ids...]` kills one executor JVM (SIGKILL via destroyForcibly) ~2 s
+  * into the FIRST query of a checkpoint-heavy band (default q74/q82/
+  * q97) and requires the whole band to still finish with failed=0 —
+  * task retry, stage resubmission and RELIABLE-checkpoint recovery
+  * actually exercised, not just claimed. A reliable checkpoint dir is
+  * mandatory here (localCheckpoint blocks on the killed executor would
+  * be unrecoverable BY DESIGN — that is the documented deployment
+  * trade-off this mode proves); chaos mode creates a temp dir when
+  * SPARK_GRAFT_CHECKPOINT_DIR is not set. */
 object ClusterCheck {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -46,13 +57,41 @@ object ClusterCheck {
     // q82_minhash_portable q97_embed_clusters` with it set to prove the
     // reliable path end-to-end on real executor JVMs
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
-    val ids = if (args.toSeq == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
-    else if (args.nonEmpty) args.toSeq else Seq(
+    val chaos = args.headOption.contains("chaos")
+    if (chaos && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_chaos_ckpt").toString)
+    val rest = if (chaos) args.tail.toSeq else args.toSeq
+    val ids = if (rest == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
+    else if (rest.nonEmpty) rest
+    else if (chaos) Seq("q74_neardup_clusters", "q82_minhash_portable", "q97_embed_clusters")
+    else Seq(
       "q04_agg_rank", "q11_join4_chain", "q16_topn_window", "q29_not_in_anti",
       "q40_minhash_neardup", "q44_cosine_topk", "q55_rollup", "q59_corr_scalar",
       "q65_stream_join", "q68_contamination")
+    // chaos: map executor ids to their JVM pids with one probe job (wide
+    // enough that every executor runs at least one task), then arm a
+    // killer thread that SIGKILLs the lowest executor id mid-first-query
+    @volatile var lossInjected = false
+    val killer: Option[Thread] = if (!chaos) None else {
+      val pids = spark.sparkContext.parallelize(1 to 64, 64)
+        .map(_ => (org.apache.spark.SparkEnv.get.executorId, ProcessHandle.current().pid))
+        .distinct().collect().toMap
+      val victim = pids.toSeq.minBy(_._1)
+      println(s"[cluster] chaos armed: executors=${pids.keys.toSeq.sorted.mkString(",")} victim=${victim._1} pid=${victim._2}")
+      val t = new Thread(() => {
+        Thread.sleep(2000)
+        ProcessHandle.of(victim._2).ifPresent { h =>
+          lossInjected = h.destroyForcibly()
+          println(s"[cluster] chaos: SIGKILL executor ${victim._1} (pid ${victim._2}) -> injected=$lossInjected")
+        }
+      })
+      t.setDaemon(true)
+      Some(t)
+    }
     var failed = 0
-    ids.foreach { id =>
+    ids.zipWithIndex.foreach { case (id, i) =>
+      if (i == 0) killer.foreach(_.start())
       val t0 = System.nanoTime()
       try {
         val n = SparkEntry.queries(id)(spark, dir).count()
@@ -62,7 +101,14 @@ object ClusterCheck {
         println(s"[cluster] $id FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    println(s"[cluster] executors=${spark.sparkContext.statusTracker.getExecutorInfos.length - 1} failed=$failed")
+    if (chaos) {
+      killer.foreach(_.join(10000))
+      // a chaos run that never actually lost an executor proves nothing —
+      // fail loudly instead of printing a hollow receipt
+      if (!lossInjected) { failed += 1; println("[cluster] chaos: kill NOT injected") }
+    }
+    println(s"[cluster] executors=${spark.sparkContext.statusTracker.getExecutorInfos.length - 1} " +
+      s"failed=$failed${if (chaos) s" chaosLossInjected=$lossInjected" else ""}")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

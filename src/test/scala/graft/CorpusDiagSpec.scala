@@ -73,6 +73,21 @@ class CorpusDiagSpec extends AnyFunSuite {
       "every document landed in one band — the ensemble no longer discriminates")
   }
 
+  test("q204 streamed gate decisions equal batch gateDecisions restricted to streamed ids") {
+    // streaming ≡ batch on the closed input — the per-micro-batch
+    // composed scoring against the static span index / LM marginals /
+    // NB model must reproduce the batch decision frame exactly
+    import org.apache.spark.sql.functions.col
+    val expect = SparkEntry.gateDecisions(spark, dir)
+      .filter(col("doc_id") >= SparkEntry.IncrementalSplitId)
+      .orderBy("doc_id").limit(100).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val got = SparkEntry.queries("q204_stream_gate_ensemble")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "no streamed documents decided — the q204 fixture is hollow")
+    assert(got === expect)
+  }
+
   test("q202 modality dots equal the scalar quantized dot over the raw parquet floats") {
     val vecs = Tables.table(spark, dir, "embeddings")
       .select("vec_id", "embedding").collect()

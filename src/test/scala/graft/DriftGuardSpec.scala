@@ -218,7 +218,7 @@ class DriftGuardSpec extends AnyFunSuite {
     // item 4): a regen shipping one NULL/empty text would put a NULL
     // into hashed cells, and NULL renders NaT-vs-None across the
     // comparator's pyarrow/pandas read paths. r12 measured: 0 bad rows
-    // at every SF (600 / 6,000 / 60,000 docs).
+    // at every SF (500 / 500 / 5,000 docs).
     dirs.foreach { d =>
       val docs = Tables.table(spark, d, "documents")
       val bad = docs.filter(col("text").isNull || length(col("text")) === 0).count()

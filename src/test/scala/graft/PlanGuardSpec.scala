@@ -26,7 +26,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q194_dsir_stream",    // runs the scoring stream to completion at build (q172 shape)
     "q195_cluster_split",  // iterative CC fixpoint at build (q74/q97 shape)
     "q197_incremental_cluster_split", // CC fixpoint at build (q74/q97 shape)
-    "q198_stream_admission") // CC fixpoint + admission stream at build
+    "q198_stream_admission", // CC fixpoint + admission stream at build
+    "q203_release_manifest", // writes + reloads the JSONL shards at build
+    "q204_stream_gate_ensemble") // runs the gate stream to completion at build
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic

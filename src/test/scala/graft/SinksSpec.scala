@@ -141,6 +141,31 @@ class SinksSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("q203 release shards reload to EXACTLY the admitted 3-gate set (round-trip)") {
+    // the release artifact's contract (round 12): what the gate ensemble
+    // admits is what the written corpus contains — no more, no less, and
+    // byte-identical text through the JSON encode/decode. The manifest
+    // oracle hashes aggregate signatures; this spec pins the per-ROW set
+    // equality behind them. sf0.01 = the oracle SF (r12 measured: 96
+    // admitted docs — the band must be non-hollow for the entry to prove
+    // anything).
+    import spark.implicits._
+    val dir = TestSpark.sf01
+    val d = Tables.table(spark, dir, "documents")
+    val admitted = SparkEntry.gateDecisions(spark, dir)
+      .filter(col("n_gates") === 3)
+      .join(d.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_q203rt").toString
+    Sinks.writeJsonlShards(admitted, out, maxRecordsPerShard = 64)
+    val back = Sources.jsonl(spark, out, admitted.schema)
+    val a = admitted.as[(Long, String, String)].collect().toSet
+    val b = back.as[(Long, String, String)].collect().toSet
+    assert(a.nonEmpty, "ship band is EMPTY at the oracle SF — the release entry is hollow")
+    assert(b == a, s"reloaded shards != admitted set: ${(b -- a).take(3)} extra, ${(a -- b).take(3)} missing")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("orc sink/source round-trips exactly, with predicate pushdown in the scan") {
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
