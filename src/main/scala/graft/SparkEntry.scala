@@ -76,6 +76,14 @@ object SparkEntry {
       graft.operators.Similarity.recommendedBits(
         Tables.table(spark, d, "embeddings").count(), 32))
 
+  /** The width's recall-preserving table count (round 12): bits bounds
+    * OCCUPANCY, tables holds threshold-pair RECALL as bits grows — the
+    * classical LSH n^(1+ρ) trade (occupancy-only sizing measured 0.298 →
+    * 0.043 pair recall at 10×, BASELINE.md). Derived from bits via ONE
+    * rule in both the entries and the replay texts. */
+  private def embedTablesFor(bits: Int): Int =
+    graft.operators.Similarity.recommendedTables(bits)
+
   /** q186/q187's semantic-cluster count — self-sized like the LSH width:
     * k targets ~125 vectors per cluster (SemDeDup's k ≪ n regime; the
     * in-cluster pair term is then occupancy-bounded, not corpus-bounded),
@@ -244,9 +252,11 @@ object SparkEntry {
     * verification. Ends with CTE `v(id_a, id_b, score)`. */
   private def embedLshReplayCtes(embedBits: Int): String = {
     // embedBits: the caller (oracleTexts) derives it from the SAME dir
-    // the Spark entries size against, so the replay banding is
-    // value-identical by construction
-    val planes = graft.operators.Similarity.portableHyperplanes(64, 8, embedBits)
+    // the Spark entries size against; the table count derives from the
+    // bits via the SAME recall-preserving rule (embedTablesFor) — so the
+    // replay banding is value-identical by construction
+    val planes = graft.operators.Similarity.portableHyperplanes(
+      64, embedTablesFor(embedBits), embedBits)
     val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
       tbl.zipWithIndex.map { case (p, b) =>
         s"($t, $b, ${p.mkString("[", ", ", "]")})"
@@ -2355,9 +2365,10 @@ object SparkEntry {
     // bits self-sizes from the corpus count (round 11) — oracleSqlFor
     // interpolates the same dir-derived width into the replay text.
     "q84_embedlsh_portable" -> { (spark, dir) =>
+      val b = embedBitsFor(spark, dir)
       Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
           "vec_id", "embedding", minScore = EmbedMinScore,
-          bits = embedBitsFor(spark, dir))
+          tables = embedTablesFor(b), bits = b)
         .orderBy("id_a", "id_b").limit(100)
     },
     // SemDeDup (round 11; Abbas et al. 2023): CLUSTER-then-pairwise
@@ -2812,11 +2823,12 @@ object SparkEntry {
     // restricted to cross pairs.
     "q125_incremental_embed" -> { (spark, dir) =>
       val vecs = Tables.table(spark, dir, "embeddings")
+      val b = embedBitsFor(spark, dir)
       Similarity.portableCrossEmbedPairs(
           vecs.filter(col("vec_id") < IncrementalSplitId),
           vecs.filter(col("vec_id") >= IncrementalSplitId),
           "vec_id", "embedding", minScore = EmbedMinScore,
-          bits = embedBitsFor(spark, dir))
+          tables = embedTablesFor(b), bits = b)
         .orderBy("id_a", "id_b").limit(100)
     },
     // Transitive clustering over the hash-checked q84 pairs (round 6):
@@ -2825,9 +2837,10 @@ object SparkEntry {
     // pipeline actually ships. DuckDB replays with a recursive closure
     // over the SAME pair CTEs, so clustering itself is hash-checked.
     "q97_embed_clusters" -> { (spark, dir) =>
+      val b = embedBitsFor(spark, dir)
       val pairs = Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
           "vec_id", "embedding", minScore = EmbedMinScore,
-          bits = embedBitsFor(spark, dir))
+          tables = embedTablesFor(b), bits = b)
         .select(col("id_a"), col("id_b"))
       TextDedup.nearDupClusters(pairs)
         .select(col("doc_id").as("vec_id"), col("cluster"))

@@ -58,6 +58,29 @@ object Similarity {
     math.max(4, math.min(24, raw))
   }
 
+  /** Recall-preserving table count to pair with `recommendedBits` (round
+    * 12): widening buckets by Δ bits multiplies the per-table collision
+    * probability of a threshold pair by pBit^Δ, so holding RECALL
+    * constant needs the table count to grow by (1/pBit)^Δ — the
+    * classical LSH n^(1+ρ) trade (Indyk–Motwani 1998; Gionis et al.
+    * 1999): occupancy-only sizing silently converts scale into recall
+    * loss (measured at 10×: pair recall 0.298 → 0.043 with tables
+    * pinned at 8 — BASELINE.md round 12), while bits+tables sizing
+    * holds the threshold collision probability 1−(1−pBit^bits)^L fixed
+    * by construction. pBit defaults to the sign-agreement probability
+    * of the q84 design threshold (cosine 0.25): 1 − arccos(0.25)/π ≈
+    * 0.580. Floor at `baseTables` (never fewer than the base operating
+    * point); cap at 128 — past that, per-table work is cheap but the
+    * banding fan-out constant matters, and a corpus needing >128 tables
+    * (bits ≈ 17, n ≈ 4M per partition-group) should shard the corpus
+    * before the LSH instead. */
+  def recommendedTables(bits: Int, baseBits: Int = 6, baseTables: Int = 8,
+                        pBit: Double = 1.0 - math.acos(0.25) / math.Pi): Int = {
+    require(bits >= 1 && baseTables >= 1 && pBit > 0 && pBit < 1)
+    val l = math.ceil(baseTables * math.pow(1.0 / pBit, (bits - baseBits).toDouble)).toInt
+    math.max(baseTables, math.min(128, l))
+  }
+
   /** Deterministic unit-free hyperplanes: numTables × bitsPerTable × dim. */
   def hyperplanes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
     val rng = new scala.util.Random(seed)

@@ -28,7 +28,10 @@ object ScaleTenX {
     "q83_simhash_portable", "q84_embedlsh_portable", "q97_embed_clusters",
     // round-11 session-2 heavy additions (clustering/composition class)
     "q195_cluster_split", "q197_incremental_cluster_split",
-    "q201_gate_ensemble", "q202_modality_audit")
+    "q201_gate_ensemble", "q202_modality_audit",
+    // round-12 additions: the release capstone (gates + write + reload)
+    // and the subword budget (segmentation + prefix sum)
+    "q203_release_manifest", "q205_subword_budget")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
@@ -102,6 +105,59 @@ object ScaleTenX {
         spark.read.parquet(s"$srcDir/embeddings.parquet").count(), 32)
       val b1 = graft.operators.Similarity.recommendedBits(ne, 32)
       println(s"[scale10x] q84/q97 self-sized bits: base=$b0, 10x=$b1")
+      // round 12: the sizing rule's RECALL at 10× — DriftGuard bounds the
+      // rule's occupancy (work); this evidences its QUALITY on the scaled
+      // corpus, for each task at ITS OWN declared sizing:
+      //  (1) PAIR recall of the q84 pipeline at the rule-derived width
+      //      (what recommendedBits actually sizes). Ground truth at 10×
+      //      is the base brute-force truth replicated — exact for
+      //      intra-replica pairs because rotation preserves dot
+      //      products; cross-replica FOUND pairs are exact-verified true
+      //      extras, reported separately.
+      //  (2) recall@10 of lshTopK at the DECLARED q45 operating point
+      //      (16 tables × 4 bits — wide buckets by design: top-k wants
+      //      candidates, pair-gen wants tight buckets; the rule-derived
+      //      width is NOT lshTopK's sizing and measures ~0.16 there).
+      import graft.operators.Similarity
+      val embBase = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val qb = embBase.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = qb.as("a").crossJoin(qb.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", Similarity.intDot(col("a.qv"), col("b.qv")))
+        .filter(col("dot") >= graft.SparkEntry.EmbedMinScore)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def found(emb: DataFrame, bits: Int) = Similarity.portableEmbedPairs(
+          emb, "vec_id", "embedding",
+          minScore = graft.SparkEntry.EmbedMinScore,
+          tables = Similarity.recommendedTables(bits), bits = bits)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val foundBase = found(embBase, b0)
+      println(f"[scale10x] q84 pair recall at 1x (bits=$b0, L=${Similarity.recommendedTables(b0)}): " +
+        f"${foundBase.intersect(truth).size.toDouble / truth.size}%.3f (truth=${truth.size})")
+      val emb10 = spark.read.parquet(s"$outDir/embeddings.parquet")
+      val truth10 = (0 until factor).flatMap(r =>
+        truth.map { case (a, b) => (a + r * 10000000L, b + r * 10000000L) }).toSet
+      val found10 = found(emb10, b1)
+      val cross10 = found10.count { case (a, b) => a / 10000000L != b / 10000000L }
+      println(f"[scale10x] q84 pair recall at 10x (rule bits=$b1, L=${Similarity.recommendedTables(b1)}): " +
+        f"${found10.intersect(truth10).size.toDouble / truth10.size}%.3f " +
+        s"(truth=${truth10.size}, cross-replica extras=$cross10)")
+      val nQ = 50
+      val k = 10
+      val qs = emb10.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def pairSet(df: DataFrame) = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = pairSet(Similarity.bruteForceTopK(
+        emb10, "vec_id", "embedding", qs, "qid", "qvec", k))
+      val got = pairSet(Similarity.lshTopK(
+        emb10, "vec_id", "embedding", qs, "qid", "qvec", k,
+        numTables = 16, bitsPerTable = 4))
+      println(f"[scale10x] lshTopK recall@$k at 10x (declared point L=16, bits=4): " +
+        f"${got.intersect(bf).size.toDouble / bf.size}%.3f")
     }
     spark.stop()
   }

@@ -42,7 +42,8 @@ class DriftGuardSpec extends AnyFunSuite {
       val emb = Tables.table(spark, d, "embeddings")
       val n = emb.count()
       val bits = Similarity.recommendedBits(n, 32)
-      val sizes = Similarity.portableEmbedBucketSizes(emb, "vec_id", "embedding", bits = bits)
+      val sizes = Similarity.portableEmbedBucketSizes(emb, "vec_id", "embedding",
+        tables = Similarity.recommendedTables(bits), bits = bits)
         .agg(max("n").as("mx"), sum(col("n") * col("n")).as("sq"), sum("n").as("tot")).head()
       val (mx, sq, tot) = (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2))
       // r11 measured (graft.tools.DriftProbe): sf0.01 (n=500, bits=4)
