@@ -77,7 +77,14 @@ object Similarity {
   def recommendedTables(bits: Int, baseBits: Int = 6, baseTables: Int = 8,
                         pBit: Double = 1.0 - math.acos(0.25) / math.Pi): Int = {
     require(bits >= 1 && baseTables >= 1 && pBit > 0 && pBit < 1)
-    val l = math.ceil(baseTables * math.pow(1.0 / pBit, (bits - baseBits).toDouble)).toInt
+    // minimal L with 1−(1−pBit^bits)^L ≥ the base point's collision
+    // probability — exact by construction (a multiplicative
+    // (1/pBit)^Δ scale-up undershoots by the ceil discretization);
+    // the 1e-9 slack absorbs float error at bits == baseBits, where
+    // the quotient is 8.000000x and must ceil to 8, not 9
+    val baseCollide = 1.0 - math.pow(1.0 - math.pow(pBit, baseBits.toDouble), baseTables.toDouble)
+    val l = math.ceil(
+      math.log1p(-baseCollide) / math.log1p(-math.pow(pBit, bits.toDouble)) - 1e-9).toInt
     math.max(baseTables, math.min(128, l))
   }
 

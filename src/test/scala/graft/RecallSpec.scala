@@ -73,6 +73,29 @@ class RecallSpec extends AnyFunSuite {
     assert(Similarity.adaptiveBits(vecs, "vec_id", "embedding", maxOccupancy = 8) == 24)
   }
 
+  test("recommendedTables holds the threshold collision probability as bits widen (round 12)") {
+    // The rule's whole point: 1−(1−pBit^bits)^L(bits) stays ≥ the base
+    // operating point's value, so occupancy-driven widening can never
+    // silently convert scale into recall loss again (the measured 0.298
+    // → 0.043 failure this rule closed — BASELINE.md round 12). Pin the
+    // landmark values, monotonicity, floor and cap.
+    val pBit = 1.0 - math.acos(0.25) / math.Pi
+    def collide(bits: Int, l: Int) = 1.0 - math.pow(1.0 - math.pow(pBit, bits), l)
+    val base = collide(6, 8)
+    assert(Similarity.recommendedTables(6) == 8, "base operating point must stay 8 tables")
+    assert(Similarity.recommendedTables(4) == 8, "floor: never fewer than the base tables")
+    assert(Similarity.recommendedTables(10) == 72, "the measured 10x operating point (recall 0.327)")
+    assert(Similarity.recommendedTables(24) == 128, "cap: shard the corpus past 128 tables")
+    (7 to 14).foreach { b =>
+      val l = Similarity.recommendedTables(b)
+      assert(l >= Similarity.recommendedTables(b - 1),
+        s"tables must be non-decreasing in bits (bits=$b)")
+      if (l < 128)
+        assert(collide(b, l) >= base - 1e-9,
+          f"bits=$b L=$l: threshold collision ${collide(b, l)}%.3f fell below base $base%.3f")
+    }
+  }
+
   test("ivfTopKInt at the declared q53 operating point (nlist=16, nprobe=4) holds recall@10") {
     // ground truth from the SAME integer scorer (bruteForceTopKInt), so
     // the statistic isolates the IVF probe loss from quantization noise
