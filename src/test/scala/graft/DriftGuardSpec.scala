@@ -214,6 +214,29 @@ class DriftGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("documents.text stays inside the Basic Multilingual Plane (q205 char-indexing equivalence)") {
+    // q205's DuckDB replay splits words into characters via w[i:i]
+    // (CODEPOINT indexing) while Bpe.segmentStats splits via
+    // word.map(_.toString) (UTF-16 indexing) — equivalent iff no
+    // character needs a surrogate pair, i.e. every codepoint < 0x10000.
+    // A regen shipping an emoji/astral char would silently de-sync the
+    // two segmentations. r12 measured: 0 astral chars (ASCII corpus) at
+    // every SF.
+    val astral = "[\\x{10000}-\\x{10FFFF}]"
+    // guard self-check: the predicate must actually fire on a planted
+    // astral char (ascii()/split() spellings silently miss surrogates)
+    import spark.implicits._
+    assert(Seq("a😀b").toDF("text").filter(col("text").rlike(astral)).count() == 1,
+      "astral-detection predicate no longer fires on a planted emoji")
+    dirs.foreach { d =>
+      val bad = Tables.table(spark, d, "documents")
+        .filter(col("text").rlike(astral)).count()
+      assert(bad == 0,
+        s"$d: $bad documents carry non-BMP characters — q205's w[i:i] replay no longer " +
+          "matches UTF-16 segmentation (switch both sides to codepoint arrays first)")
+    }
+  }
+
   test("documents.text is never NULL/empty at any SF (kept_bp/lm_bp NULL propagation)") {
     // tokens(NULL) propagates NULL through kept_bp/lm_bp (r11 verdict
     // item 4): a regen shipping one NULL/empty text would put a NULL
