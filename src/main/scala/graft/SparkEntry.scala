@@ -385,6 +385,54 @@ object SparkEntry {
           + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
   }
 
+  /** Arm the static gate structures ONCE for streaming admission
+    * (q204/q206): full-corpus shared-span index, full-corpus LM
+    * marginals, train-built NB model — each lineage-cut so micro-batches
+    * join materialized frames instead of re-aggregating the corpus per
+    * trigger. */
+  private def gateStatics(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, NaiveBayes.NbModel) = {
+    val d = Tables.table(spark, dir, "documents")
+    graft.functions.PortableShingleHash.register(spark)
+    val spans = Checkpoints.cut(
+      TextDedup.spanIndex(d, "doc_id", "text").filter(col("__n") >= 2), eager = false)
+    val st = Checkpoints.cut(lmKeyStream(d), eager = false)
+    val c2 = Checkpoints.cut(st.groupBy("k").agg(count(lit(1)).as("c2")), eager = false)
+    val c1 = Checkpoints.cut(st.groupBy("k1").agg(count(lit(1)).as("c1")), eager = false)
+    val m = NaiveBayes.model(d.filter(col("doc_id") < IncrementalSplitId), "text", "lang")
+    (spans, c2, c1, m)
+  }
+
+  /** The per-micro-batch composed gate decision shared by q204/q206:
+    * score ONE batch against the static structures, emit
+    * (doc_id, lang, n_gates) — the batch-local form of gateDecisions,
+    * with the same left-join + coalesce unscored-fails-its-gate rule. */
+  private def gateBatchDecisions(b: DataFrame, spans: DataFrame, c2: DataFrame,
+                                 c1: DataFrame, m: NaiveBayes.NbModel): DataFrame = {
+    val span = TextDedup.spanRemovalStatsAgainstIndex(b, spans, "doc_id", "text")
+      .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
+    val ppl = pplAgg(lmKeyStream(b).join(c2, Seq("k")).join(c1, Seq("k1")))
+      .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+      .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
+    val nb = NaiveBayes.score(b, m, "doc_id", "text")
+      .join(b.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
+    b.select("doc_id", "lang")
+      .join(span, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
+          + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+  }
+
+  /** q203/q206's pinned reload schema — the production ingest path reads
+    * shards with NO inference pass. */
+  private val releaseReloadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
   /** q203's per-band manifest columns over rows carrying (n_gates, lang,
     * doc_id, text): doc count, whitespace-token total, and the XOR of a
     * 32-bit md5 content signature over (doc_id ':' text) — XOR is
@@ -2705,12 +2753,8 @@ object SparkEntry {
       val tmpPath = java.nio.file.Files.createTempDirectory("graft_q203")
       graft.sources.Sinks.writeJsonlShards(admitted, s"$tmpPath/shards",
         maxRecordsPerShard = 64)
-      val reloadSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
       val ship = Checkpoints.cut(
-        bandManifest(spark.read.schema(reloadSchema).json(s"$tmpPath/shards")
+        bandManifest(spark.read.schema(releaseReloadSchema).json(s"$tmpPath/shards")
           .withColumn("n_gates", lit(3L))),
         eager = true)
       rmTree(tmpPath.toFile)
@@ -2730,41 +2774,53 @@ object SparkEntry {
     // gates replay restricted to streamed ids.
     "q204_stream_gate_ensemble" -> { (spark, dir) =>
       val d = Tables.table(spark, dir, "documents")
-      graft.functions.PortableShingleHash.register(spark)
-      val spans = Checkpoints.cut(
-        TextDedup.spanIndex(d, "doc_id", "text").filter(col("__n") >= 2),
-        eager = false)
-      val st = Checkpoints.cut(lmKeyStream(d), eager = false)
-      val c2 = Checkpoints.cut(
-        st.groupBy("k").agg(count(lit(1)).as("c2")), eager = false)
-      val c1 = Checkpoints.cut(
-        st.groupBy("k1").agg(count(lit(1)).as("c1")), eager = false)
-      val m = NaiveBayes.model(d.filter(col("doc_id") < IncrementalSplitId), "text", "lang")
+      val (spans, c2, c1, m) = gateStatics(spark, dir)
       val stream = graft.streaming.StreamOps.docsSource(spark, dir, d.schema)
         .filter(col("doc_id") >= IncrementalSplitId)
       val tmpPath = java.nio.file.Files.createTempDirectory("graft_q204")
       val decided = Checkpoints.cut(
         graft.streaming.StreamOps.runBatchesToParquet(
             spark, stream, s"$tmpPath/gates") { b =>
-          val span = TextDedup.spanRemovalStatsAgainstIndex(b, spans, "doc_id", "text")
-            .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
-          val ppl = pplAgg(lmKeyStream(b).join(c2, Seq("k")).join(c1, Seq("k1")))
-            .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
-            .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
-          val nb = NaiveBayes.score(b, m, "doc_id", "text")
-            .join(b.select("doc_id", "lang"), Seq("doc_id"))
-            .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
-          b.select("doc_id", "lang")
-            .join(span, Seq("doc_id"), "left")
-            .join(ppl, Seq("doc_id"), "left")
-            .join(nb, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("lang"),
-              (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
-                + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+          gateBatchDecisions(b, spans, c2, c1, m)
         }.select("doc_id", "lang", "n_gates"),
         eager = true)
       rmTree(tmpPath.toFile)
       decided.orderBy("doc_id").limit(100)
+    },
+    // Streaming release (round 12, capstone v6): continuous ingest that
+    // SHIPS — per micro-batch, the composed q204 admission decision AND
+    // the batch's admitted documents written as JSONL shards through a
+    // batchId-derived subpath (replay-idempotent: a recomputed batch
+    // overwrites its own subpath, never appends a duplicate — the q162
+    // sink rule applied to the release format). The manifest is then
+    // computed FROM THE RELOADED shards, so the oracle hash covers gate
+    // composition + streaming shard write + schema-pinned reload in
+    // one. Streaming ≡ batch on closed input → the q203 replay's ship
+    // band restricted to streamed ids.
+    "q206_stream_release" -> { (spark, dir) =>
+      val d = Tables.table(spark, dir, "documents")
+      val (spans, c2, c1, m) = gateStatics(spark, dir)
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, d.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q206")
+      val shardRoot = s"$tmpPath/shards"
+      graft.streaming.StreamOps.runBatchesToParquetWithId(
+          spark, stream, s"$tmpPath/gates") { (b, batchId) =>
+        val dec = gateBatchDecisions(b, spans, c2, c1, m)
+        graft.sources.Sinks.writeJsonlShards(
+          dec.filter(col("n_gates") === 3)
+            .join(b.select("doc_id", "text"), Seq("doc_id"))
+            .select("doc_id", "lang", "text"),
+          s"$shardRoot/batch=$batchId", maxRecordsPerShard = 64)
+        dec
+      }
+      val manifest = Checkpoints.cut(
+        bandManifest(spark.read.schema(releaseReloadSchema).json(s"$shardRoot/batch=*")
+            .withColumn("n_gates", lit(3L)))
+          .select("lang", "n_docs", "n_toks", "xor_sig"),
+        eager = true)
+      rmTree(tmpPath.toFile)
+      manifest.orderBy("lang").limit(100)
     },
     // Rare-span memorization-risk audit (round 11 session 2): per
     // document, the share of its k-token windows that are globally
@@ -3661,6 +3717,17 @@ object SparkEntry {
         (s"WITH $gateEnsembleCtes " +
           "SELECT doc_id, lang, CAST(n_gates AS BIGINT) AS n_gates FROM gates " +
           s"WHERE doc_id >= $IncrementalSplitId ORDER BY doc_id LIMIT 100"),
+      // round 12: streaming release — the q203 manifest spelling
+      // restricted to the streamed 3-gate band (streaming shard write +
+      // reload ≡ the batch ship band on closed input)
+      "q206_stream_release" ->
+        (s"WITH $gateEnsembleCtes " +
+          "SELECT g.lang, COUNT(*) AS n_docs, " +
+          "CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_toks, " +
+          "CAST(bit_xor(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 8)) AS BIGINT)) AS BIGINT) AS xor_sig " +
+          "FROM gates g JOIN documents d ON g.doc_id = d.doc_id " +
+          s"WHERE g.doc_id >= $IncrementalSplitId AND g.n_gates = 3 " +
+          "GROUP BY g.lang ORDER BY g.lang LIMIT 100"),
       // round 11 session 2: rare-span audit — the q173 occurrence CTEs,
       // per-hash count via a window, per-doc unique-window share
       "q200_rare_spans" ->

@@ -416,10 +416,20 @@ object StreamOps {
     * document never splits across batches): nothing is snapshotted per
     * batch, so state cost is zero at any corpus scale. */
   def runBatchesToParquet(spark: SparkSession, stream: DataFrame, path: String)
-                         (transform: DataFrame => DataFrame): DataFrame = {
+                         (transform: DataFrame => DataFrame): DataFrame =
+    runBatchesToParquetWithId(spark, stream, path)((df, _) => transform(df))
+
+  /** Batch-id-aware variant of `runBatchesToParquet`: the transform also
+    * receives the batchId so it can route SIDE writes (q206's per-batch
+    * JSONL shard exports) through their own batchId-derived subpaths —
+    * the same replay-idempotence rule the parquet partials follow (a
+    * recomputed batch overwrites its own subpath, never appends a
+    * duplicate). */
+  def runBatchesToParquetWithId(spark: SparkSession, stream: DataFrame, path: String)
+                               (transform: (DataFrame, Long) => DataFrame): DataFrame = {
     val q = stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        transform(df).write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        transform(df, batchId).write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .option("checkpointLocation", s"$path-ckpt")
       .start()

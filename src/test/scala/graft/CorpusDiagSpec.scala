@@ -88,6 +88,34 @@ class CorpusDiagSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("q206 streamed release manifest equals the batch ship band restricted to streamed ids") {
+    // the release matrix identity: streaming shard write + reload must
+    // produce exactly the manifest the batch decision frame implies for
+    // streamed 3-gate docs — counts, token totals AND the XOR content
+    // signature (so a reload corruption or a dropped/duplicated batch
+    // shard cannot cancel out)
+    import org.apache.spark.sql.functions.col
+    val admitted = SparkEntry.gateDecisions(spark, dir)
+      .filter(col("doc_id") >= SparkEntry.IncrementalSplitId && col("n_gates") === 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(admitted.nonEmpty, "no streamed 3-gate docs — the q206 fixture is hollow")
+    val byDoc = docs.map { case (id, text, _) => id -> text }.toMap
+    def sig(id: Long, text: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$text".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val expect = admitted.groupBy(_._2).map { case (lang, rows) =>
+      val texts = rows.map { case (id, _) => id -> byDoc(id) }
+      (lang, rows.size.toLong,
+        texts.map(_._2.split(" ").length.toLong).sum,
+        texts.map { case (id, t) => sig(id, t) }.reduce(_ ^ _))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q206_stream_release")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
   test("q202 modality dots equal the scalar quantized dot over the raw parquet floats") {
     val vecs = Tables.table(spark, dir, "embeddings")
       .select("vec_id", "embedding").collect()

@@ -28,7 +28,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q197_incremental_cluster_split", // CC fixpoint at build (q74/q97 shape)
     "q198_stream_admission", // CC fixpoint + admission stream at build
     "q203_release_manifest", // writes + reloads the JSONL shards at build
-    "q204_stream_gate_ensemble") // runs the gate stream to completion at build
+    "q204_stream_gate_ensemble", // runs the gate stream to completion at build
+    "q206_stream_release") // gate stream + per-batch shard writes at build
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic
