@@ -366,7 +366,10 @@ object Similarity {
     * production pipeline pays once per corpus snapshot. The DECLARED
     * q84/q97 entries keep the pure count rule because their DuckDB
     * replays interpolate a static width; production callers wanting the
-    * clustered-corpus guarantee size with this. */
+    * clustered-corpus guarantee size with this — and must pair the
+    * returned width with `recommendedTables(bits)` when generating
+    * pairs, or the extra bits silently trade recall for the occupancy
+    * they bought (the measured round-12 failure mode). */
   def adaptiveBits(corpus: DataFrame, idCol: String, vecCol: String,
                    targetOccupancy: Long = 32,
                    maxOccupancy: Long = TextDedup.DefaultMaxBucketSize / 2,
