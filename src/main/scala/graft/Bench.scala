@@ -71,8 +71,11 @@ object Bench {
     val results = firstPass.map { case (name, first) =>
       if (!retryK.contains(name)) name -> first
       else {
+        // a failed retry window marks the entry FAILED: all `reps` of its
+        // most recent runs crashed, and reporting the pass-1 median would
+        // be exactly the flaky-failure laundering the -1 policy forbids
         val second = measure(name, SparkEntry.queries(name))
-        name -> (if (second < 0) first else math.min(first, second))
+        name -> (if (second < 0) -1.0 else math.min(first, second))
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

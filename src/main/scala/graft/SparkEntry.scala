@@ -376,14 +376,22 @@ object SparkEntry {
       .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
     val nb = nbScoresAll(spark, dir)
       .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
-    d.select("doc_id", "lang")
+    composeGates(d.select("doc_id", "lang"), span, ppl, nb)
+  }
+
+  /** The ONE composition tail for batch (gateDecisions) and streaming
+    * (gateBatchDecisions): unscored docs FAIL their gate via left-join +
+    * coalesce — the NaiveBayes.score drop contract, mirrored in the
+    * replay. One spelling so batch and streaming can never desync. */
+  private def composeGates(base: DataFrame, span: DataFrame,
+                           ppl: DataFrame, nb: DataFrame): DataFrame =
+    base
       .join(span, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .join(nb, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
           + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
-  }
 
   /** Arm the static gate structures ONCE for streaming admission
     * (q204/q206): full-corpus shared-span index, full-corpus LM
@@ -417,13 +425,7 @@ object SparkEntry {
     val nb = NaiveBayes.score(b, m, "doc_id", "text")
       .join(b.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
-    b.select("doc_id", "lang")
-      .join(span, Seq("doc_id"), "left")
-      .join(ppl, Seq("doc_id"), "left")
-      .join(nb, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
-          + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+    composeGates(b.select("doc_id", "lang"), span, ppl, nb)
   }
 
   /** q203/q206's pinned reload schema — the production ingest path reads
@@ -2754,8 +2756,9 @@ object SparkEntry {
       graft.sources.Sinks.writeJsonlShards(admitted, s"$tmpPath/shards",
         maxRecordsPerShard = 64)
       val ship = Checkpoints.cut(
-        bandManifest(spark.read.schema(releaseReloadSchema).json(s"$tmpPath/shards")
-          .withColumn("n_gates", lit(3L))),
+        bandManifest(
+          graft.sources.Sources.jsonl(spark, s"$tmpPath/shards", releaseReloadSchema)
+            .withColumn("n_gates", lit(3L))),
         eager = true)
       rmTree(tmpPath.toFile)
       bandManifest(gates.filter(col("n_gates") < 3)
@@ -2804,19 +2807,21 @@ object SparkEntry {
         .filter(col("doc_id") >= IncrementalSplitId)
       val tmpPath = java.nio.file.Files.createTempDirectory("graft_q206")
       val shardRoot = s"$tmpPath/shards"
-      graft.streaming.StreamOps.runBatchesToParquetWithId(
-          spark, stream, s"$tmpPath/gates") { (b, batchId) =>
-        val dec = gateBatchDecisions(b, spans, c2, c1, m)
+      // side-effect-only runner: the JSONL shards ARE the entry's sink —
+      // the parquet-partials convention would add a dead write+read per
+      // batch that nothing consumes
+      graft.streaming.StreamOps.runBatches(stream, s"$tmpPath/ckpt") { (b, batchId) =>
         graft.sources.Sinks.writeJsonlShards(
-          dec.filter(col("n_gates") === 3)
+          gateBatchDecisions(b, spans, c2, c1, m)
+            .filter(col("n_gates") === 3)
             .join(b.select("doc_id", "text"), Seq("doc_id"))
             .select("doc_id", "lang", "text"),
           s"$shardRoot/batch=$batchId", maxRecordsPerShard = 64)
-        dec
       }
       val manifest = Checkpoints.cut(
-        bandManifest(spark.read.schema(releaseReloadSchema).json(s"$shardRoot/batch=*")
-            .withColumn("n_gates", lit(3L)))
+        bandManifest(
+            graft.sources.Sources.jsonl(spark, s"$shardRoot/batch=*", releaseReloadSchema)
+              .withColumn("n_gates", lit(3L)))
           .select("lang", "n_docs", "n_toks", "xor_sig"),
         eager = true)
       rmTree(tmpPath.toFile)

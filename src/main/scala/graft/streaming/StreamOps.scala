@@ -416,25 +416,29 @@ object StreamOps {
     * document never splits across batches): nothing is snapshotted per
     * batch, so state cost is zero at any corpus scale. */
   def runBatchesToParquet(spark: SparkSession, stream: DataFrame, path: String)
-                         (transform: DataFrame => DataFrame): DataFrame =
-    runBatchesToParquetWithId(spark, stream, path)((df, _) => transform(df))
+                         (transform: DataFrame => DataFrame): DataFrame = {
+    runBatches(stream, s"$path-ckpt") { (df, batchId) =>
+      transform(df).write.mode("overwrite").parquet(s"$path/batch=$batchId")
+    }
+    spark.read.parquet(path)
+  }
 
-  /** Batch-id-aware variant of `runBatchesToParquet`: the transform also
-    * receives the batchId so it can route SIDE writes (q206's per-batch
-    * JSONL shard exports) through their own batchId-derived subpaths —
-    * the same replay-idempotence rule the parquet partials follow (a
-    * recomputed batch overwrites its own subpath, never appends a
-    * duplicate). */
-  def runBatchesToParquetWithId(spark: SparkSession, stream: DataFrame, path: String)
-                               (transform: (DataFrame, Long) => DataFrame): DataFrame = {
+  /** Side-effect-only foreachBatch runner — for entries whose per-batch
+    * output goes through their OWN idempotent batchId-keyed sink (q206's
+    * JSONL shard exports) rather than the parquet-partials convention; a
+    * recomputed batch must overwrite its own subpath, never append a
+    * duplicate. Running the stream this way writes NOTHING the caller
+    * does not ask for (the r12 review finding: q206 paid a dead
+    * parquet-partials write + read-back per batch). */
+  def runBatches(stream: DataFrame, ckptPath: String)
+                (sideEffect: (DataFrame, Long) => Unit): Unit = {
     val q = stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        transform(df, batchId).write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        sideEffect(df, batchId)
       }
-      .option("checkpointLocation", s"$path-ckpt")
+      .option("checkpointLocation", ckptPath)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(path)
   }
 
   /** Streaming k-smallest-by-(hash, id) custom state — the bounded-state

@@ -73,6 +73,7 @@ object ClusterCheck {
     // enough that every executor runs at least one task), then arm a
     // killer thread that SIGKILLs the lowest executor id mid-first-query
     @volatile var lossInjected = false
+    @volatile var killTimeNs = 0L
     val killer: Option[Thread] = if (!chaos) None else {
       val pids = spark.sparkContext.parallelize(1 to 64, 64)
         .map(_ => (org.apache.spark.SparkEnv.get.executorId, ProcessHandle.current().pid))
@@ -83,6 +84,7 @@ object ClusterCheck {
         Thread.sleep(2000)
         ProcessHandle.of(victim._2).ifPresent { h =>
           lossInjected = h.destroyForcibly()
+          killTimeNs = System.nanoTime()
           println(s"[cluster] chaos: SIGKILL executor ${victim._1} (pid ${victim._2}) -> injected=$lossInjected")
         }
       })
@@ -90,14 +92,20 @@ object ClusterCheck {
       Some(t)
     }
     var failed = 0
+    // per-query windows so chaos mode can prove the kill landed DURING a
+    // query — a receipt where the band finished before the SIGKILL (or
+    // the kill fell in a between-queries gap) exercised zero recovery
+    val windows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Boolean)]
     ids.zipWithIndex.foreach { case (id, i) =>
       if (i == 0) killer.foreach(_.start())
       val t0 = System.nanoTime()
       try {
         val n = SparkEntry.queries(id)(spark, dir).count()
+        windows += ((id, t0, System.nanoTime(), true))
         println(f"[cluster] $id rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable =>
         failed += 1
+        windows += ((id, t0, System.nanoTime(), false))
         println(s"[cluster] $id FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
@@ -106,6 +114,20 @@ object ClusterCheck {
       // a chaos run that never actually lost an executor proves nothing —
       // fail loudly instead of printing a hollow receipt
       if (!lossInjected) { failed += 1; println("[cluster] chaos: kill NOT injected") }
+      else {
+        // …and the loss must have landed INSIDE a query that then
+        // SUCCEEDED — that is the recovery actually being exercised
+        windows.find(w => killTimeNs >= w._2 && killTimeNs <= w._3) match {
+          case Some((id, _, _, true)) =>
+            println(s"[cluster] chaos: kill landed during $id, which completed — recovery exercised")
+          case Some((id, _, _, false)) =>
+            println(s"[cluster] chaos: kill landed during $id, which FAILED")
+          case None =>
+            failed += 1
+            println("[cluster] chaos: kill landed OUTSIDE every query window — " +
+              "receipt is hollow (band too fast; use a bigger SF or band)")
+        }
+      }
     }
     println(s"[cluster] executors=${spark.sparkContext.statusTracker.getExecutorInfos.length - 1} " +
       s"failed=$failed${if (chaos) s" chaosLossInjected=$lossInjected" else ""}")

@@ -108,7 +108,8 @@ class CorpusDiagSpec extends AnyFunSuite {
     val expect = admitted.groupBy(_._2).map { case (lang, rows) =>
       val texts = rows.map { case (id, _) => id -> byDoc(id) }
       (lang, rows.size.toLong,
-        texts.map(_._2.split(" ").length.toLong).sum,
+        // -1 keeps trailing empty tokens — the Spark/DuckDB split semantics
+        texts.map(_._2.split(" ", -1).length.toLong).sum,
         texts.map { case (id, t) => sig(id, t) }.reduce(_ ^ _))
     }.toSeq.sortBy(_._1)
     val got = SparkEntry.queries("q206_stream_release")(spark, dir).collect()

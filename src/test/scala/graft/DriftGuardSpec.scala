@@ -249,6 +249,15 @@ class DriftGuardSpec extends AnyFunSuite {
       assert(bad == 0,
         s"$d: $bad NULL/empty documents.text rows of ${docs.count()} — " +
           "NULL would reach hashed kept_bp/lm_bp cells (COALESCE at the entries or fix the regen)")
+      // …and never whitespace-ONLY either (r12 review finding): such a
+      // doc has zero words, so q205's DuckDB replay (inner join through
+      // the word table) would drop it while Bpe.segmentStats keeps it
+      // with n_subwords=0 — an n_docs hash mismatch the NULL/empty
+      // check alone cannot catch. r12 measured: 0 at every SF.
+      val ws = docs.filter(length(trim(col("text"))) === 0).count()
+      assert(ws == 0,
+        s"$d: $ws whitespace-only documents.text rows — q205's word-join replay would " +
+          "drop them while the Spark side keeps n_subwords=0 docs (LEFT-JOIN both sides first)")
     }
   }
 }
