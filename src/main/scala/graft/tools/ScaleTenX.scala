@@ -29,9 +29,11 @@ object ScaleTenX {
     // round-11 session-2 heavy additions (clustering/composition class)
     "q195_cluster_split", "q197_incremental_cluster_split",
     "q201_gate_ensemble", "q202_modality_audit",
-    // round-12 additions: the release capstone (gates + write + reload)
-    // and the subword budget (segmentation + prefix sum)
-    "q203_release_manifest", "q205_subword_budget")
+    // round-12 additions: the release capstones (gates + write + reload,
+    // batch and streaming), the streaming decision twin and the subword
+    // budget (segmentation + prefix sum)
+    "q203_release_manifest", "q204_stream_gate_ensemble",
+    "q206_stream_release", "q205_subword_budget")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
