@@ -259,6 +259,33 @@ class StreamOpsSpec extends AnyFunSuite {
       s"stream diverged: only-stream=${(streamed -- batch).take(5)}, only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("runBatches delivers every row to the side effect exactly once across forced batches") {
+    // the q206 runner's contract: side-effect-only (no parquet partials,
+    // no read-back), each input row seen in exactly ONE micro-batch —
+    // a dup or drop here would corrupt the streamed release shards
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents").select("doc_id")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rb_src").toString
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$srcDir/p0")
+    docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/p1")
+    docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/p2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rb_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    StreamOps.runBatches(stream, ckpt) { (b, batchId) =>
+      b.collect().foreach(r => seen.add((r.getLong(0), batchId)))
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = seen.asScala.toSeq
+    assert(rows.map(_._2).distinct.size > 1, "maxFilesPerTrigger=1 should force >1 batch")
+    val expected = docs.collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === expected, "some rows never reached the side effect")
+    assert(rows.size === expected.size, "a row was delivered to more than one batch")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("stream-stream attribution join equals the batch join on closed input") {
     val streamed = StreamOps.runAppend(spark,
       StreamOps.attributionPairs(
