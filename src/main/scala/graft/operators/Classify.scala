@@ -84,15 +84,19 @@ object NaiveBayes {
       eager = true)
     val v = vocab.count()
 
-    // in-vocab per-label token counts and totals — all ≤ maxVocab × |labels|
+    // in-vocab per-label token counts and totals — all ≤ maxVocab × |labels|.
+    // nl is cut EAGERLY: the materialization IS the job the fail-fast
+    // check below needs anyway, and ls + deltas then reuse the ≤|labels|
+    // materialized rows instead of re-aggregating perLab twice (r12
+    // review — the guard must not add a dedicated job).
     val perLab = tc.join(broadcast(vocab), "__tok")
-    val nl = perLab.groupBy("__lab").agg(sum("__n").as("__nl"))
+    val nl = Checkpoints.cut(
+      perLab.groupBy("__lab").agg(sum("__n").as("__nl")), eager = true)
     // A label whose docs carry ZERO in-vocab tokens drops out of nl (and
     // so of labelStats); with <2 surviving labels every scored doc's
     // second_bits is NULL, and a NULL BIGINT renders differently across
     // the comparator's two read paths — fail fast at model build instead
-    // (r11 advice). Bounded action: nl is a ≤|labels|-row keyed aggregate
-    // over the cut artifact, the same class as the totals head() below.
+    // (r11 advice). count() here reads the materialized cut.
     val survivingLabels = nl.count()
     require(survivingLabels >= 2,
       s"NaiveBayes: only $survivingLabels label(s) carry in-vocab tokens — " +

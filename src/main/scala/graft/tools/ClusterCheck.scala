@@ -74,18 +74,60 @@ object ClusterCheck {
     // killer thread that SIGKILLs the lowest executor id mid-first-query
     @volatile var lossInjected = false
     @volatile var killTimeNs = 0L
+    // direct recovery evidence (r12 review): a kill whose wall-clock
+    // falls inside a query window can still be hollow (driver-side
+    // planning, or no victim task in flight) — count the scheduler's own
+    // executor-removal and task-failure events instead
+    object chaosEvidence extends org.apache.spark.scheduler.SparkListener {
+      val execsRemoved = new java.util.concurrent.atomic.AtomicInteger(0)
+      val taskFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+      // live-task count ON THE VICTIM — the exact in-flight signal the
+      // status tracker's 100 ms polling missed (stages at these SFs run
+      // sub-100-ms tasks; two probed runs never sampled ≥9 running)
+      @volatile var victimId: String = ""
+      val victimLive = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onExecutorRemoved(
+          e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit = {
+        execsRemoved.incrementAndGet(); ()
+      }
+      override def onTaskStart(
+          t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        if (t.taskInfo.executorId == victimId) { victimLive.incrementAndGet(); () }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.reason != org.apache.spark.Success) taskFailures.incrementAndGet()
+        if (t.taskInfo != null && t.taskInfo.executorId == victimId)
+          victimLive.decrementAndGet()
+        ()
+      }
+    }
+    if (chaos) spark.sparkContext.addSparkListener(chaosEvidence)
     val killer: Option[Thread] = if (!chaos) None else {
       val pids = spark.sparkContext.parallelize(1 to 64, 64)
         .map(_ => (org.apache.spark.SparkEnv.get.executorId, ProcessHandle.current().pid))
         .distinct().collect().toMap
       val victim = pids.toSeq.minBy(_._1)
+      chaosEvidence.victimId = victim._1
       println(s"[cluster] chaos armed: executors=${pids.keys.toSeq.sorted.mkString(",")} victim=${victim._1} pid=${victim._2}")
       val t = new Thread(() => {
+        // strike only while the victim PROVABLY holds an in-flight task:
+        // the listener's start/end delta on the victim's executorId is
+        // exact, where both a fixed 2 s delay and 100 ms status-tracker
+        // polling measured hollow (executorsRemoved=1 but failedTasks=0
+        // — the kill landed between stages and nothing needed recovery).
+        // Threshold is ≥1, not more: AQE coalesces these SFs' exchanges
+        // to 1-3 post-shuffle partitions, so higher victim concurrency
+        // never materializes (measured: ≥4 never fired). The 2 s warm-up
+        // lets the band get past trivial setup jobs first; 60 s timeout
+        // = kill anyway and let the evidence check fail loudly.
         Thread.sleep(2000)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline && chaosEvidence.victimLive.get() < 1)
+          Thread.sleep(2)
         ProcessHandle.of(victim._2).ifPresent { h =>
           lossInjected = h.destroyForcibly()
           killTimeNs = System.nanoTime()
-          println(s"[cluster] chaos: SIGKILL executor ${victim._1} (pid ${victim._2}) -> injected=$lossInjected")
+          println(s"[cluster] chaos: SIGKILL executor ${victim._1} (pid ${victim._2}) " +
+            s"with ${chaosEvidence.victimLive.get()} victim tasks in flight -> injected=$lossInjected")
         }
       })
       t.setDaemon(true)
@@ -126,6 +168,16 @@ object ClusterCheck {
             failed += 1
             println("[cluster] chaos: kill landed OUTSIDE every query window — " +
               "receipt is hollow (band too fast; use a bigger SF or band)")
+        }
+        // scheduler-level proof: the window heuristic alone can be hollow
+        // (kill during driver-side planning / no victim task in flight)
+        val er = chaosEvidence.execsRemoved.get()
+        val tf = chaosEvidence.taskFailures.get()
+        println(s"[cluster] chaos evidence: executorsRemoved=$er failedTasks=$tf")
+        if (er < 1 || tf < 1) {
+          failed += 1
+          println("[cluster] chaos: scheduler saw no executor removal + task failure — " +
+            "no recovery was exercised (band too fast or kill between stages)")
         }
       }
     }

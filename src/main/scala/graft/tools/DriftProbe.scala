@@ -19,9 +19,13 @@ object DriftProbe {
     for (d <- Seq("/root/testdata/sf0.01","/root/testdata/sf0.1")) {
       val emb = Tables.table(spark, d, "embeddings"); val n = emb.count()
       val bits = Similarity.recommendedBits(n,32)
-      val r = Similarity.portableEmbedBucketSizes(emb,"vec_id","embedding",bits=bits)
+      // tables from the SAME recall-preserving rule DriftGuardSpec (and
+      // the q84/q97/q125 entries) derive — probe and guard must measure
+      // the identical banding or re-tuned margins pin wrong values
+      val tables = Similarity.recommendedTables(bits)
+      val r = Similarity.portableEmbedBucketSizes(emb,"vec_id","embedding",tables=tables,bits=bits)
         .agg(max("n"),sum(col("n")*col("n")),sum("n")).head()
-      println(s"$d embed n=$n bits=$bits max=${r.getLong(0)} sq=${r.getLong(1)} tot=${r.getLong(2)}")
+      println(s"$d embed n=$n bits=$bits tables=$tables max=${r.getLong(0)} sq=${r.getLong(1)} tot=${r.getLong(2)}")
       val docs = Tables.table(spark, d, "documents")
       val (_, banded) = TextDedup.portableIndexFrames(docs,"doc_id","text")
       val mb = banded.groupBy("__band","__bkey").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
