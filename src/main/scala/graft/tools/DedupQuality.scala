@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.TextDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Banding-recall receipt for the text minhash pipeline (dev tool
+  * backing BASELINE.md, the q84 pair-recall receipt's text twin):
+  * ground truth = EXACT all-pairs shingle Jaccard at the q82
+  * verification threshold (n_inter·10 ≥ n_union·9), found = the
+  * declared pipeline's banded-then-exact-verified pairs. Verification
+  * is exact on the same shingle sets, so found ⊆ truth and the single
+  * statistic is banding RECALL (precision is 1 by construction); what
+  * banding can lose is (a) signature collisions never sampling a
+  * band match for a near-threshold pair and (b) bucket-cap drops.
+  *
+  * Truth is computed driver-side over collected per-doc sorted hash
+  * sets — O(n²) pairs with merge-intersections; a measurement tool's
+  * budget (sf0.1: 12.5M pairs ≈ seconds), never a production path.
+  *
+  * Usage: runMain graft.tools.DedupQuality [dir...] (default sf0.01 +
+  * SPARK_GRAFT_SF_DIR). */
+object DedupQuality {
+  /** |a ∩ b| for sorted long arrays. */
+  private def interCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  def measure(spark: SparkSession, docs: DataFrame): (Long, Long, Double) = {
+    val sets = docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          TextDedup.portableShingleHashes(col("text"), TextDedup.PortableShingleN))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    var truth = 0L
+    var i = 0
+    while (i < sets.length) {
+      var j = i + 1
+      while (j < sets.length) {
+        val inter = interCount(sets(i)._2, sets(j)._2).toLong
+        val union = sets(i)._2.length + sets(j)._2.length - inter
+        if (inter * 10 >= union * 9) truth += 1
+        j += 1
+      }
+      i += 1
+    }
+    val found = TextDedup.portablePairStats(docs, "doc_id", "text")
+      .filter(col("n_inter") * 10 >= col("n_union") * 9).count()
+    (found, truth, if (truth == 0) 1.0 else found.toDouble / truth)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+    else Seq("/root/testdata/sf0.01",
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).distinct
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs.foreach { d =>
+      val (found, truth, recall) = measure(spark, Tables.table(spark, d, "documents"))
+      println(f"[dedupq] $d minhash banding recall: $found/$truth = $recall%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -96,6 +96,23 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash banding recall vs exact all-pairs Jaccard truth holds the floor (q82 family)") {
+    // the text twin of the q84 pair-recall receipt (round 12): found ⊆
+    // truth because verification is exact on the same shingle sets, so
+    // the one statistic is banding RECALL — what the 16-hash/4-band
+    // signature can lose on near-threshold pairs plus bucket-cap drops.
+    // Theory at the 0.9-Jaccard verify threshold: 1−(1−0.9⁴)⁴ ≈ 0.986;
+    // r12 measured on regenerated data: 24/25 = 0.960 at sf0.01,
+    // 243/249 = 0.976 at sf0.1 (graft.tools.DedupQuality). Floor 0.80
+    // leaves regen noise room while catching a banding/cap regression.
+    val (found, truth, recall) = graft.tools.DedupQuality.measure(
+      spark, Tables.table(spark, TestSpark.sf01, "documents"))
+    assert(truth > 0, "no exact near-dup pairs at the oracle SF — the minhash fixture degenerated")
+    assert(recall >= 0.80,
+      f"minhash banding recall $found/$truth = $recall%.3f < 0.80 — bands/hashes or the " +
+        "bucket cap no longer suit the regenerated corpus (re-measure via DedupQuality)")
+  }
+
   test("ivfTopKInt at the declared q53 operating point (nlist=16, nprobe=4) holds recall@10") {
     // ground truth from the SAME integer scorer (bruteForceTopKInt), so
     // the statistic isolates the IVF probe loss from quantization noise
