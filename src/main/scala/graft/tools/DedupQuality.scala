@@ -58,6 +58,42 @@ object DedupQuality {
     (found, truth, if (truth == 0) 1.0 else found.toDouble / truth)
   }
 
+  /** Near-identical band boundary for the edit-recall receipt: the r12
+    * probe measured the ≤EditMaxDist truth to be BIMODAL on this corpus
+    * — 25 pairs at d ≤ 16 (the planted near-dups, ALL sharing a
+    * prefix/suffix: blocking-reachable) vs 436 pairs at d 33–64
+    * (word-shuffled docs from the tiny shared vocab, NONE sharing
+    * either: structurally invisible to prefix/suffix blocking). The two
+    * bands are different problems: ≤16 is what fuzzy dedup operates on;
+    * the loose tail is q-gram/minhash territory (the q82 family). */
+  val EditNearBand = 16
+
+  /** Blocking recall of the edit-distance pipeline (q136 family):
+    * truth = exact all-pairs banded levenshtein (an EXPLICIT cross
+    * join — the measurement tool's O(n²) budget, 125k pairs at sf0.01;
+    * never a production path), found = the declared two-pass
+    * prefix/suffix-blocked pipeline. Reported PER BAND because what
+    * blocking can lose by construction — pairs whose first AND last
+    * EditPrefixLen chars both differ — is exactly the loose tail.
+    * Returns (foundNear, truthNear, recallNear, foundAll, truthAll). */
+  def measureEdit(spark: SparkSession, docs: DataFrame): (Long, Long, Double, Long, Long) = {
+    val t = docs.select(col("doc_id"), col("text"))
+    val d = t.as("a").crossJoin(t.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(levenshtein(col("a.text"), col("b.text"), TextDedup.EditMaxDist).as("d"))
+      .filter(col("d") >= 0)
+      .agg(count(lit(1)),
+        sum(when(col("d") <= EditNearBand, 1L).otherwise(0L))).head()
+    val (truthAll, truthNear) = (d.getLong(0), d.getLong(1))
+    val found = TextDedup.editDistancePairs(docs, "doc_id", "text")
+      .agg(count(lit(1)),
+        sum(when(col("dist") <= EditNearBand, 1L).otherwise(0L))).head()
+    val (foundAll, foundNear) = (found.getLong(0), found.getLong(1))
+    (foundNear, truthNear,
+      if (truthNear == 0) 1.0 else foundNear.toDouble / truthNear,
+      foundAll, truthAll)
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
     else Seq("/root/testdata/sf0.01",
@@ -70,6 +106,11 @@ object DedupQuality {
       val (found, truth, recall) = measure(spark, Tables.table(spark, d, "documents"))
       println(f"[dedupq] $d minhash banding recall: $found/$truth = $recall%.3f")
     }
+    // exact edit truth is O(n² · len · maxDist) — bounded to the small SF
+    val (fn, tn, rn, fa, ta) = measureEdit(spark,
+      Tables.table(spark, "/root/testdata/sf0.01", "documents"))
+    println(f"[dedupq] /root/testdata/sf0.01 edit blocking recall: " +
+      f"near-band d<=$EditNearBand%d $fn/$tn = $rn%.3f; full d<=${TextDedup.EditMaxDist}%d $fa/$ta")
     spark.stop()
   }
 }

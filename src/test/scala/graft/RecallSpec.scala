@@ -113,6 +113,22 @@ class RecallSpec extends AnyFunSuite {
         "bucket cap no longer suit the regenerated corpus (re-measure via DedupQuality)")
   }
 
+  test("edit-distance blocking recall holds on the near-identical band (q136 family)") {
+    // r12 measured: the ≤EditMaxDist truth is BIMODAL — 25 pairs at
+    // d ≤ 16 (planted near-dups, all prefix/suffix-reachable: found
+    // 25/25 = 1.000) vs 436 at d 33–64 (word-shuffled semi-similars
+    // sharing NEITHER affix — structurally invisible to blocking and
+    // the minhash family's job; see BASELINE.md round 12). The pin is
+    // on the band blocking is FOR: a regen where planted near-dups
+    // start differing in both affixes would silently hollow q136.
+    val (fn, tn, rn, _, _) = graft.tools.DedupQuality.measureEdit(
+      spark, Tables.table(spark, TestSpark.sf01, "documents"))
+    assert(tn > 0, "no near-identical pairs at the oracle SF — the edit fixture degenerated")
+    assert(rn >= 0.90,
+      f"edit blocking recall $fn/$tn = $rn%.3f < 0.90 on the d<=${graft.tools.DedupQuality.EditNearBand} band — " +
+        "the planted near-dups no longer share a prefix/suffix (re-tune EditPrefixLen)")
+  }
+
   test("ivfTopKInt at the declared q53 operating point (nlist=16, nprobe=4) holds recall@10") {
     // ground truth from the SAME integer scorer (bruteForceTopKInt), so
     // the statistic isolates the IVF probe loss from quantization noise
