@@ -94,6 +94,29 @@ object DedupQuality {
       foundAll, truthAll)
   }
 
+  /** Cluster recall of the SemDeDup family (q186/q187): truth = exact
+    * all-pairs quantized dots ≥ the q84 threshold; a true near-dup pair
+    * is only VISIBLE to SemDeDup if both ends land in the same semantic
+    * cluster (the published method's known blind spot — cross-cluster
+    * near-dups; Abbas et al. 2023 accept it for the k ≪ n win). This
+    * quantifies that blind spot on the actual corpus. */
+  def measureSem(spark: SparkSession, emb: DataFrame, nlist: Int): (Long, Long, Double) = {
+    import graft.operators.Similarity
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val truth = q.as("a").crossJoin(q.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", Similarity.intDot(col("a.qv"), col("b.qv")))
+      .filter(col("dot") >= graft.SparkEntry.EmbedMinScore)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+    val asg = Similarity.semAssign(emb, "vec_id", "embedding", nlist = nlist)
+    val n = truth.count()
+    val same = truth
+      .join(asg.select(col("vec_id").as("ia"), col("cid").as("ca")), Seq("ia"))
+      .join(asg.select(col("vec_id").as("ib"), col("cid").as("cb")), Seq("ib"))
+      .filter(col("ca") === col("cb")).count()
+    (same, n, if (n == 0) 1.0 else same.toDouble / n)
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
     else Seq("/root/testdata/sf0.01",
@@ -105,6 +128,10 @@ object DedupQuality {
     dirs.foreach { d =>
       val (found, truth, recall) = measure(spark, Tables.table(spark, d, "documents"))
       println(f"[dedupq] $d minhash banding recall: $found/$truth = $recall%.3f")
+      val emb = Tables.table(spark, d, "embeddings")
+      val k = math.max(16, math.min(4096, math.ceil(emb.count() / 125.0).toInt))
+      val (sf, st, sr) = measureSem(spark, emb, k)
+      println(f"[dedupq] $d semdedup cluster recall (nlist=$k%d): $sf/$st = $sr%.3f")
     }
     // exact edit truth is O(n² · len · maxDist) — bounded to the small SF
     val (fn, tn, rn, fa, ta) = measureEdit(spark,
