@@ -117,6 +117,42 @@ object DedupQuality {
     (same, n, if (n == 0) 1.0 else same.toDouble / n)
   }
 
+  /** Cross-method agreement: of the exact Jaccard-threshold truth pairs
+    * (the minhash family's target), how many does the 32-bit SimHash
+    * pipeline find? SimHash banding is pigeonhole-complete for hamming
+    * ≤ 3 (up to cap drops), so what this measures is the SIGNATURE's
+    * fidelity — whether near-identical token sets actually land within
+    * 3 bits of each other in 32. */
+  def measureSimhashAgreement(spark: SparkSession, docs: DataFrame): (Long, Long, Double) = {
+    val sets = docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          TextDedup.portableShingleHashes(col("text"), TextDedup.PortableShingleN))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val truth = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    var i = 0
+    while (i < sets.length) {
+      var j = i + 1
+      while (j < sets.length) {
+        val inter = interCount(sets(i)._2, sets(j)._2).toLong
+        val union = sets(i)._2.length + sets(j)._2.length - inter
+        if (inter * 10 >= union * 9) {
+          truth += ((math.min(sets(i)._1, sets(j)._1), math.max(sets(i)._1, sets(j)._1))); ()
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val found = TextDedup.portableSimhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = truth.count(found.contains)
+    (agree.toLong, truth.size.toLong,
+      if (truth.isEmpty) 1.0 else agree.toDouble / truth.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
     else Seq("/root/testdata/sf0.01",
@@ -132,6 +168,8 @@ object DedupQuality {
       val k = math.max(16, math.min(4096, math.ceil(emb.count() / 125.0).toInt))
       val (sf, st, sr) = measureSem(spark, emb, k)
       println(f"[dedupq] $d semdedup cluster recall (nlist=$k%d): $sf/$st = $sr%.3f")
+      val (af, at, ar) = measureSimhashAgreement(spark, Tables.table(spark, d, "documents"))
+      println(f"[dedupq] $d simhash agreement on Jaccard-truth pairs: $af/$at = $ar%.3f")
     }
     // exact edit truth is O(n² · len · maxDist) — bounded to the small SF
     val (fn, tn, rn, fa, ta) = measureEdit(spark,
