@@ -70,19 +70,28 @@ object SparkEntry {
     * the only text-generation path — no mutable interpolation state
     * (the r11 verdict's `lastEmbedBits` trap is deleted: two dirs in
     * one JVM each get their own texts). */
-  private val embedBitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val embedCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embedCountFor(spark: SparkSession, dir: String): Long =
+    embedCountCache.computeIfAbsent(dir, d =>
+      Tables.table(spark, d, "embeddings").count()).longValue()
   private def embedBitsFor(spark: SparkSession, dir: String): Int =
-    embedBitsCache.computeIfAbsent(dir, d =>
-      graft.operators.Similarity.recommendedBits(
-        Tables.table(spark, d, "embeddings").count(), 32))
+    graft.operators.Similarity.recommendedBits(embedCountFor(spark, dir), 32)
 
-  /** The width's recall-preserving table count (round 12): bits bounds
-    * OCCUPANCY, tables holds threshold-pair RECALL as bits grows — the
-    * classical LSH n^(1+ρ) trade (occupancy-only sizing measured 0.298 →
-    * 0.043 pair recall at 10×, BASELINE.md). Derived from bits via ONE
-    * rule in both the entries and the replay texts. */
+  /** The width's recall-preserving table count (round 12, multi-probe
+    * round 13): bits bounds OCCUPANCY, tables holds threshold-pair
+    * RECALL as bits grows — the classical LSH n^(1+ρ) trade
+    * (occupancy-only sizing measured 0.298 → 0.043 pair recall at 10×,
+    * BASELINE.md). Round 13 ships the 1-bit multi-probe form (Lv et al.
+    * 2007): every vector also probes its `bits` Hamming-1 neighbor
+    * buckets, so the per-table collision probability of a threshold
+    * pair rises ≈(1 + bits(1−p)/p)× and the same recall needs that many
+    * fewer tables — at the 10× point this is L=72 → L=9, an 8× cut in
+    * signature work (the measured 10× bottleneck). Derived from bits
+    * via ONE rule in both the entries and the replay texts; probes =
+    * bits (the full 1-flip neighborhood) in both likewise. */
   private def embedTablesFor(bits: Int): Int =
-    graft.operators.Similarity.recommendedTables(bits)
+    graft.operators.Similarity.recommendedTablesProbed(bits)
+  private def embedProbesFor(bits: Int): Int = bits
 
   /** q186/q187's semantic-cluster count — self-sized like the LSH width:
     * k targets ~125 vectors per cluster (SemDeDup's k ≪ n regime; the
@@ -253,8 +262,11 @@ object SparkEntry {
   private def embedLshReplayCtes(embedBits: Int): String = {
     // embedBits: the caller (oracleTexts) derives it from the SAME dir
     // the Spark entries size against; the table count derives from the
-    // bits via the SAME recall-preserving rule (embedTablesFor) — so the
-    // replay banding is value-identical by construction
+    // bits via the SAME recall-preserving multi-probe rule
+    // (embedTablesFor), and the probe width (= bits, embedProbesFor)
+    // likewise — so the replay banding is value-identical by
+    // construction
+    val probes = embedProbesFor(embedBits)
     val planes = graft.operators.Similarity.portableHyperplanes(
       64, embedTablesFor(embedBits), embedBits)
     val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
@@ -266,11 +278,17 @@ object SparkEntry {
       s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
       "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
       "bk0 AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
-      // bsz ≤ cap mirrors the Spark degenerate-bucket guard
-      // (TextDedup.DefaultMaxBucketSize)
+      // bsz ≤ cap on the HOME side mirrors the Spark degenerate-bucket
+      // guard (TextDedup.DefaultMaxBucketSize); pb is the 1-bit-flip
+      // multi-probe key stream (home bucket + `probes` XOR-neighbors —
+      // Similarity.probedBucketKeys), and the probe→home join covers
+      // both orientations, so a pair survives if either endpoint's home
+      // bucket is under the cap — exactly the Spark pair set
       "bk AS (SELECT *, COUNT(*) OVER (PARTITION BY t, bkt) AS bsz FROM bk0), " +
-      "pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id " +
-      s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
+      s"pb AS (SELECT vec_id, t, unnest(list_prepend(bkt, list_transform(range(0, $probes), j -> xor(bkt, 1::BIGINT << j)))) AS pbkt FROM bk0), " +
+      "pr AS (SELECT DISTINCT least(p.vec_id, h.vec_id) AS id_a, greatest(p.vec_id, h.vec_id) AS id_b " +
+      "FROM pb p JOIN bk h ON h.t = p.t AND h.bkt = p.pbkt AND h.vec_id <> p.vec_id " +
+      s"WHERE h.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
       "v AS (SELECT id_a, id_b, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
       "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b)"
   }
@@ -2418,7 +2436,8 @@ object SparkEntry {
       val b = embedBitsFor(spark, dir)
       Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
           "vec_id", "embedding", minScore = EmbedMinScore,
-          tables = embedTablesFor(b), bits = b)
+          tables = embedTablesFor(b), bits = b, probes = embedProbesFor(b),
+          corpusRowsHint = embedCountFor(spark, dir))
         .orderBy("id_a", "id_b").limit(100)
     },
     // SemDeDup (round 11; Abbas et al. 2023): CLUSTER-then-pairwise
@@ -2442,6 +2461,52 @@ object SparkEntry {
           "vec_id", "embedding",
           nlist = semNlistFor(spark, dir), dropBp = ProtoDropBp)
         .orderBy("cid", "proto_rank").limit(100)
+    },
+    // Incremental SemDeDup (round 13, completing the {batch q186,
+    // incremental, streaming} matrix for the semantic-cluster family —
+    // the q125 shape): an incoming vector batch deduped against the
+    // EXISTING corpus's cluster structure — centroids come from the
+    // existing side alone (the persisted-index contract), candidate
+    // pairs are existing × incoming within a cluster, and the cap keys
+    // on the EXISTING cluster size only (micro-batch-invariant, which is
+    // what makes q208 ≡ q207 on any input split). Oracle = the q186
+    // cluster replay restricted to cross pairs (the centroid sets
+    // coincide because the nlist lowest vec_ids all precede the split —
+    // DriftGuardSpec pins that containment each regen).
+    "q207_incremental_semdedup" -> { (spark, dir) =>
+      val vecs = Tables.table(spark, dir, "embeddings")
+      Similarity.semCrossPairs(
+          vecs.filter(col("vec_id") < IncrementalSplitId),
+          vecs.filter(col("vec_id") >= IncrementalSplitId),
+          "vec_id", "embedding", minScore = EmbedMinScore,
+          nlist = semNlistFor(spark, dir))
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // Streaming SemDeDup (round 13): the incoming half STREAMED — each
+    // micro-batch row assigned per-row to its nearest existing centroid
+    // by the literal-centroid expression (Similarity.semAssignExpr, pure
+    // codegen — no stateful aggregation), stream-static joined to the
+    // eligible-cluster member index built once at arm time, verified by
+    // exact integer dot. Zero streaming state (the q126 discipline).
+    // Streaming ≡ batch on the closed input → hashes against the same
+    // replay as q207.
+    "q208_stream_semdedup" -> { (spark, dir) =>
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val existing = vecs.filter(col("vec_id") < IncrementalSplitId)
+      val nlist = semNlistFor(spark, dir)
+      val idx = Checkpoints.cut(
+        Similarity.semExistingIndex(existing, "vec_id", "embedding", nlist),
+        eager = false)
+      val cents = Similarity.collectCentroids(
+        Similarity.semCentroids(existing, "vec_id", "embedding", nlist))
+      val stream = graft.streaming.StreamOps
+        .tableSource(spark, dir, "embeddings", vecs.schema)
+        .filter(col("vec_id") >= IncrementalSplitId)
+      graft.streaming.StreamOps.runAppend(spark,
+          Similarity.semStreamCrossPairs(stream, "vec_id", "embedding",
+            cents, idx, minScore = EmbedMinScore),
+          s"q208_mem_${math.abs(dir.hashCode)}")
+        .orderBy("id_a", "id_b").limit(100)
     },
     // TRAINED-classifier gate (round 11, session 2): multinomial Naive
     // Bayes over token counts — the fastText-style model-based language/
@@ -2889,7 +2954,7 @@ object SparkEntry {
           vecs.filter(col("vec_id") < IncrementalSplitId),
           vecs.filter(col("vec_id") >= IncrementalSplitId),
           "vec_id", "embedding", minScore = EmbedMinScore,
-          tables = embedTablesFor(b), bits = b)
+          tables = embedTablesFor(b), bits = b, probes = embedProbesFor(b))
         .orderBy("id_a", "id_b").limit(100)
     },
     // Transitive clustering over the hash-checked q84 pairs (round 6):
@@ -2901,7 +2966,8 @@ object SparkEntry {
       val b = embedBitsFor(spark, dir)
       val pairs = Similarity.portableEmbedPairs(Tables.table(spark, dir, "embeddings"),
           "vec_id", "embedding", minScore = EmbedMinScore,
-          tables = embedTablesFor(b), bits = b)
+          tables = embedTablesFor(b), bits = b, probes = embedProbesFor(b),
+          corpusRowsHint = embedCountFor(spark, dir))
         .select(col("id_a"), col("id_b"))
       TextDedup.nearDupClusters(pairs)
         .select(col("doc_id").as("vec_id"), col("cluster"))
@@ -3016,7 +3082,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleTexts(6, 16, Nil)
 
   private def oracleTexts(embedBits: Int, semNlist: Int,
-                          bpeMerges: Seq[(String, String)]): Map[String, String] =
+                          bpeMerges: Seq[(String, String)]): Map[String, String] = {
+    // round 13, q207/q208 (one text — streaming ≡ batch on closed
+    // input): the q186 semantic-cluster replay restricted to CROSS pairs
+    // (existing < split ≤ incoming). The cap keys on the EXISTING-side
+    // cluster size only (micro-batch-invariant — Similarity.semCrossPairs'
+    // contract), so it is a window over the existing members, not csz.
+    // Centroids are the full replay's (the nlist lowest vec_ids all
+    // precede the split — DriftGuardSpec pins the containment).
+    val semCrossOracle =
+      s"WITH ${semClusterCtes(semNlist)}, " +
+        s"csze AS (SELECT cid, COUNT(*) AS ne FROM asg WHERE vec_id < $IncrementalSplitId GROUP BY cid), " +
+        s"pr AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b FROM asg a " +
+        s"JOIN asg b ON a.cid = b.cid AND a.vec_id < $IncrementalSplitId AND b.vec_id >= $IncrementalSplitId " +
+        s"JOIN csze ON csze.cid = a.cid WHERE csze.ne <= ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +
+        "v AS (SELECT pr.cid, id_a, id_b, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
+        "FROM pr JOIN c ca ON ca.vec_id = pr.id_a JOIN c cb ON cb.vec_id = pr.id_b) " +
+        s"SELECT cid, id_a, id_b, score FROM v WHERE score >= $EmbedMinScore " +
+        "ORDER BY id_a, id_b LIMIT 100"
     Corpus.queries.map(q => q.id -> q.duckSql).toMap ++ Map(
       "q25_limit_inject" -> "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100",
       // q129 (round 10): the oracle keeps the STRING-keyed spelling — the
@@ -3634,6 +3717,13 @@ object SparkEntry {
           "SELECT csz.cid, csz.n_members, CAST(COALESCE(st.n_pairs, 0) AS BIGINT) AS n_pairs, " +
           "CAST(COALESCE(st.n_dropped, 0) AS BIGINT) AS n_dropped " +
           "FROM csz LEFT JOIN st ON st.cid = csz.cid ORDER BY csz.cid LIMIT 100"),
+      // round 13: incremental SemDeDup — the q186 cluster replay
+      // restricted to cross pairs (existing < split ≤ incoming), cap on
+      // the EXISTING-side cluster size only (the micro-batch-invariant
+      // cap that makes the streaming twin equal the batch form); q208 =
+      // the same replay (streaming ≡ batch on closed input)
+      "q207_incremental_semdedup" -> semCrossOracle,
+      "q208_stream_semdedup" -> semCrossOracle,
       // round 11: prototype pruning — per-cluster centroid-affinity rank,
       // integer quota (n_members × dropBp) DIV 10⁴, dropped manifest
       "q187_prototypes" ->
@@ -4092,4 +4182,5 @@ object SparkEntry {
           "FROM orders GROUP BY o_custkey) t " +
           "ORDER BY monetary_cents DESC, o_custkey LIMIT 100")
     )
+  }
 }

@@ -44,6 +44,12 @@ object Tables {
         // cast is value-identity, and every oracle text/plan rule was
         // written against TimestampType ts (FIXTURES.md).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // native scalar functions used by the query corpus (int_dot in
+        // the quantized-embedding entries) — registering here makes every
+        // gate/bench/judge path that reaches the data also able to
+        // resolve them, whatever session it brings (operators also
+        // self-register on their own frames, the fastCosine pattern)
+        graft.functions.IntDot.register(spark)
         names.foreach { t =>
           val path = s"$dir/$t.parquet"
           if (new java.io.File(path).exists()) {

@@ -88,6 +88,31 @@ object Similarity {
     math.max(baseTables, math.min(128, l))
   }
 
+  /** Recall-preserving table count under 1-bit MULTI-PROBE (round 13;
+    * Lv et al. 2007 "Multi-probe LSH"): when every vector also probes
+    * the `bits` buckets at Hamming distance 1 from its own signature, a
+    * threshold pair collides in a table iff its signatures agree on all
+    * bits OR differ in exactly one — per-table collision rises from
+    * pBit^b to pBit^b + b·pBit^(b−1)·(1−pBit), an ≈(1 + b(1−p)/p)×
+    * boost — so holding the SAME base collision probability as
+    * `recommendedTables` needs ~that-factor fewer tables. At the
+    * measured 10× operating point (bits=10) this is L=72 → L=9: an 8×
+    * cut in signature work and bucket exchanges, bought with a
+    * (bits+1)× probe-key fan-out on the candidate join's probe side
+    * (keys only — the fan-out never carries vectors). Floor 2 (never a
+    * single table — one bad table would be the whole pair stream); cap
+    * 128 as in the base rule. */
+  def recommendedTablesProbed(bits: Int, baseBits: Int = 6, baseTables: Int = 8,
+                              pBit: Double = 1.0 - math.acos(0.25) / math.Pi): Int = {
+    require(bits >= 1 && baseTables >= 1 && pBit > 0 && pBit < 1)
+    val baseCollide = 1.0 - math.pow(1.0 - math.pow(pBit, baseBits.toDouble), baseTables.toDouble)
+    val pTable = math.pow(pBit, bits.toDouble) +
+      bits * math.pow(pBit, (bits - 1).toDouble) * (1.0 - pBit)
+    val l = math.ceil(
+      math.log1p(-baseCollide) / math.log1p(-pTable) - 1e-9).toInt
+    math.max(2, math.min(128, l))
+  }
+
   /** Deterministic unit-free hyperplanes: numTables × bitsPerTable × dim. */
   def hyperplanes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
     val rng = new scala.util.Random(seed)
@@ -251,9 +276,30 @@ object Similarity {
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Integer dot product of two quantized vectors. |x_i| ≤ scale ⇒ each
-    * term ≤ scale², 64 dims ≈ 6.4e9 ≪ Long.Max — no ANSI overflow. */
-  def intDot(a: Column, b: Column): Column =
+    * term ≤ scale², 64 dims ≈ 6.4e9 ≪ Long.Max — no ANSI overflow.
+    *
+    * Round 13: resolves to the NATIVE fused-loop expression
+    * (graft.functions.IntDot) — the integer-family hot paths evaluate
+    * this millions of times per action and the interpreted HOF chain was
+    * the dominant per-row cost at 10× (the CosineSim lesson applied).
+    * Value-identical to [[intDotHof]] incl. null edges
+    * (NativeExprPropSpec). Callers outside this object must register the
+    * function on their session first (graft.functions.IntDot.register —
+    * Tables.register does it for every gate path; the operators here do
+    * it themselves). */
+  def intDot(a: Column, b: Column): Column = call_function("int_dot", a, b)
+
+  /** The composed HOF spelling of [[intDot]] — kept as the
+    * registration-free reference form the property spec pins the native
+    * expression against. */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Lazy per-session registration of the native integer-dot expression
+    * — the fastCosine pattern; idempotent, called at every operator
+    * entry that has a frame in hand. */
+  private def registerIntDot(df: DataFrame): Unit =
+    graft.functions.IntDot.register(df.sparkSession)
 
   /** Exact top-k by quantized integer dot product — the hash-checkable
     * twin of `bruteForceTopK` (float cosine stays the production scorer;
@@ -263,6 +309,7 @@ object Similarity {
   def bruteForceTopKInt(corpus: DataFrame, idCol: String, vecCol: String,
                         queries: DataFrame, queryIdCol: String, queryVecCol: String,
                         k: Int, scale: Int = 10000): DataFrame = {
+    registerIntDot(corpus)
     val c = corpus.select(col(idCol), quantize(col(vecCol), scale).as("__cq"))
     val q = queries.select(col(queryIdCol), quantize(col(queryVecCol), scale).as("__qq"))
     val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol))
@@ -283,6 +330,7 @@ object Similarity {
                  queries: DataFrame, queryIdCol: String, queryVecCol: String,
                  k: Int, nlist: Int = 16, nprobe: Int = 4,
                  scale: Int = 10000): DataFrame = {
+    registerIntDot(corpus)
     val cq = corpus.select(col(idCol).cast("long").as("vec_id"),
       quantize(col(vecCol), scale).as("__v"))
     val centroids = broadcast(cq.orderBy("vec_id").limit(nlist)
@@ -331,8 +379,10 @@ object Similarity {
     * projection: the bucket expressions reference __qv tables×bits times
     * (CollapseProject, cf. signatureFrame). */
   private def portableQuantized(df: DataFrame, idCol: String, vecCol: String,
-                                scale: Int): DataFrame =
+                                scale: Int): DataFrame = {
+    registerIntDot(df)
     df.select(col(idCol), quantize(col(vecCol), scale).as("__qv"))
+  }
 
   /** One integer bucket id per table from the ±1 hyperplane sign bits of
     * a quantized frame's __qv column. */
@@ -401,11 +451,39 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The 1-bit-flip probe key stream: each (t, bkt, id) home key fans
+    * out to its own bucket plus the buckets at Hamming distance 1 in the
+    * first `probes` signature bits (probes = bits ⇒ the full 1-flip
+    * neighborhood of Lv et al. 2007). Keys only — (probes+1)× more key
+    * rows, never a vector. */
+  private def probedBucketKeys(keys: DataFrame, idCol: String,
+                               probes: Int): DataFrame =
+    keys.select(col(idCol), col("__t"),
+      explode(array((col("__bkt") +: (0 until probes).map(j =>
+        col("__bkt").bitwiseXOR(lit(1L << j)))): _*)).as("__bkt"))
+
+  /** Row-count bound under which the verification join-back broadcasts
+    * the quantized vector frame (≈53 MB of array<long> payload at the
+    * bound) and verifies candidate DUPLICATES map-side, deduplicating
+    * only the ham-≤1 survivors: the 10× profile (ProfileQ84) measured
+    * the pre-verification DISTINCT over the 21M-candidate key stream as
+    * the dominant cost (29.5 s → 11.6 s end-to-end without it), while
+    * duplicate verification through a broadcast join is pure codegen.
+    * Past the bound the operator keeps the distinct-first shuffle shape
+    * — there the distinct is load-bearing: it is what keeps the
+    * payload-carrying join intermediate (candidates × vector bytes)
+    * minimal when the vector side no longer broadcasts. The found SET
+    * is identical in both regimes (dedup before or after exact
+    * verification commutes), so oracles and recall receipts are
+    * regime-independent. */
+  val BroadcastVerifyMaxRows = 100000L
+
   def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minScore: Long, tables: Int = 8, bits: Int = 6,
                          dim: Int = 64, seed: Long = 11L,
                          scale: Int = 10000,
-                         maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+                         maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                         probes: Int = 0, corpusRowsHint: Long = -1L): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
     val q = portableQuantized(corpus, idCol, vecCol, scale)
     // Bucketing fans out KEYS ONLY — compact (t, bkt, id) triples, never
@@ -415,21 +493,53 @@ object Similarity {
     // of in round 6). Vectors are joined back for surviving candidate
     // pairs only (candidates ≪ corpus × tables); re-deriving __qv on the
     // join sides is one cheap floor-cast pass over a pruned scan.
-    // between(2, maxBucketSize): degenerate-bucket guard (cf.
+    // Bucket-size cap: degenerate-bucket guard (cf.
     // TextDedup.DefaultMaxBucketSize), mirrored into the q84/q97 DuckDB text
-    val pairs = portableBucketKeys(q, idCol, planes)
-      .groupBy("__t", "__bkt")
-      .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
-      .select(col("id_a"), explode(col("__ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    pairs
-      .join(q.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
-      .join(q.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
-      .filter(col("score") >= minScore)
+    val keys = portableBucketKeys(q, idCol, planes)
+    def verify(pairs: DataFrame, useBroadcast: Boolean): DataFrame = {
+      def side(df: DataFrame) = if (useBroadcast) broadcast(df) else df
+      pairs
+        .join(side(q.select(col(idCol).as("id_a"), col("__qv").as("__va"))), Seq("id_a"))
+        .join(side(q.select(col(idCol).as("id_b"), col("__qv").as("__vb"))), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
+        .filter(col("score") >= minScore)
+    }
+    if (probes <= 0)
+      verify(keys
+        .groupBy("__t", "__bkt")
+        .agg(collect_list(col(idCol)).as("__ids"))
+        .filter(size(col("__ids")).between(2, maxBucketSize))
+        .select(explode(col("__ids")).as("id_a"), col("__ids"))
+        .select(col("id_a"), explode(col("__ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct(), useBroadcast = false)
+    else {
+      // MULTI-PROBE (round 13, Lv et al. 2007): a pair collides in a
+      // table iff its signatures differ in ≤ 1 bit — each doc's probe
+      // keys (home + 1-flips) join the capped HOME buckets, so the
+      // same threshold recall needs ~(1 + bits(1−p)/p)× fewer tables
+      // (recommendedTablesProbed). Both orientations are covered by
+      // the one join (a probes b's home ⟺ b probes a's home), so a
+      // pair survives the cap if EITHER endpoint's home bucket is
+      // under it. Home lists of size 1 stay eligible: a singleton
+      // bucket can still receive probes from neighbors.
+      val home = keys
+        .groupBy("__t", "__bkt")
+        .agg(collect_list(col(idCol)).as("__ids"))
+        .filter(size(col("__ids")) <= maxBucketSize)
+      val rawPairs = probedBucketKeys(keys, idCol, probes)
+        .join(home, Seq("__t", "__bkt"))
+        .select(col(idCol).as("__pid"), explode(col("__ids")).as("__hid"))
+        .filter(col("__pid") =!= col("__hid"))
+        .select(least(col("__pid"), col("__hid")).as("id_a"),
+          greatest(col("__pid"), col("__hid")).as("id_b"))
+      if (corpusRowsHint >= 0 && corpusRowsHint <= BroadcastVerifyMaxRows)
+        // broadcast regime: verify the duplicates map-side, dedup the
+        // (tiny) survivor set — see BroadcastVerifyMaxRows
+        verify(rawPairs, useBroadcast = true).distinct()
+      else
+        verify(rawPairs.distinct(), useBroadcast = false)
+    }
   }
 
   /** Incremental embedding near-dup: candidate pairs between an EXISTING
@@ -446,21 +556,46 @@ object Similarity {
                               minScore: Long, tables: Int = 8, bits: Int = 6,
                               dim: Int = 64, seed: Long = 11L,
                               scale: Int = 10000,
-                              maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+                              maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                              probes: Int = 0): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
     val qOld = portableQuantized(existing, idCol, vecCol, scale)
     val qNew = portableQuantized(incoming, idCol, vecCol, scale)
     val bOld = portableBucketKeys(qOld, idCol, planes)
     val bNew = portableBucketKeys(qNew, idCol, planes)
-    val eligible = bOld.groupBy("__t", "__bkt").agg(count(lit(1)).as("__no"))
-      .join(bNew.groupBy("__t", "__bkt").agg(count(lit(1)).as("__nn")), Seq("__t", "__bkt"))
-      .filter(col("__no") + col("__nn") <= maxBucketSize)
-      .select("__t", "__bkt")
-    val cands = bOld.join(eligible, Seq("__t", "__bkt"))
-      .select(col("__t"), col("__bkt"), col(idCol).as("id_a"))
-      .join(bNew.select(col("__t"), col("__bkt"), col(idCol).as("id_b")), Seq("__t", "__bkt"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cands =
+      if (probes <= 0) {
+        val eligible = bOld.groupBy("__t", "__bkt").agg(count(lit(1)).as("__no"))
+          .join(bNew.groupBy("__t", "__bkt").agg(count(lit(1)).as("__nn")), Seq("__t", "__bkt"))
+          .filter(col("__no") + col("__nn") <= maxBucketSize)
+          .select("__t", "__bkt")
+        bOld.join(eligible, Seq("__t", "__bkt"))
+          .select(col("__t"), col("__bkt"), col(idCol).as("id_a"))
+          .join(bNew.select(col("__t"), col("__bkt"), col(idCol).as("id_b")), Seq("__t", "__bkt"))
+          .select("id_a", "id_b")
+          .distinct()
+      } else {
+        // Multi-probe cross form — pair-set-equal BY CONSTRUCTION to the
+        // probed symmetric pipeline on the concatenated corpus restricted
+        // to cross pairs (the q125 oracle identity): the cap is the
+        // COMBINED home-bucket occupancy (= the symmetric pipeline's
+        // home-bucket size), and a cross pair survives if EITHER
+        // endpoint's home bucket is under it — so both directional
+        // probe-into-home joins are unioned. Keys-only throughout.
+        val occ = bOld.select("__t", "__bkt").unionAll(bNew.select("__t", "__bkt"))
+          .groupBy("__t", "__bkt").agg(count(lit(1)).as("__n"))
+        val okOld = bOld.join(occ.filter(col("__n") <= maxBucketSize), Seq("__t", "__bkt"))
+          .select(col("__t"), col("__bkt"), col(idCol).as("id_a"))
+        val okNew = bNew.join(occ.filter(col("__n") <= maxBucketSize), Seq("__t", "__bkt"))
+          .select(col("__t"), col("__bkt"), col(idCol).as("id_b"))
+        val prOld = probedBucketKeys(bOld, idCol, probes)
+          .select(col("__t"), col("__bkt"), col(idCol).as("id_a"))
+        val prNew = probedBucketKeys(bNew, idCol, probes)
+          .select(col("__t"), col("__bkt"), col(idCol).as("id_b"))
+        prNew.join(okOld, Seq("__t", "__bkt")).select("id_a", "id_b")
+          .unionAll(prOld.join(okNew, Seq("__t", "__bkt")).select("id_a", "id_b"))
+          .distinct()
+      }
     cands
       .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
       .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
@@ -523,9 +658,11 @@ object Similarity {
     * semantic-cluster family. Cheap cast pass; re-derive per reference
     * rather than cutting (CLAUDE.md). */
   private[graft] def semQuantized(corpus: DataFrame, idCol: String, vecCol: String,
-                                  scale: Int = 10000): DataFrame =
+                                  scale: Int = 10000): DataFrame = {
+    registerIntDot(corpus)
     corpus.select(col(idCol).cast("long").as("vec_id"),
       quantize(col(vecCol), scale).as("__v"))
+  }
 
   /** The `nlist` lowest-id vectors as a broadcast centroid frame
     * (__cid, __cvec) — the deterministic seed set any engine reproduces. */
@@ -570,6 +707,7 @@ object Similarity {
   def semDedupStats(corpus: DataFrame, idCol: String, vecCol: String,
                     minScore: Long, nlist: Int, scale: Int = 10000,
                     maxClusterSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    registerIntDot(corpus)
     val q = corpus.select(col(idCol).cast("long").as("vec_id"),
       quantize(col(vecCol), scale).as("__v"))
     // the assignment subtree (n × nlist dot products) feeds BOTH the
@@ -658,6 +796,52 @@ object Similarity {
     cands
       .join(qE.select(col("vec_id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
       .join(qI.select(col("vec_id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .select(col("cid"), col("id_a"), col("id_b"),
+        intDot(col("__va"), col("__vb")).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
+  /** Static half of the STREAMING SemDeDup twin (q208): the existing
+    * corpus's members keyed by their cluster, restricted to clusters
+    * under the existing-side cap — exactly the (cluster → members)
+    * index `semCrossPairs` pairs against, materialized once at arm
+    * time so each micro-batch's per-row assignment joins it
+    * stream-static (zero streaming state, the q126 discipline).
+    * Output: (cid, id_a, __va) — one row per eligible existing member,
+    * the quantized vector carried once (cluster-linear, never
+    * pair-linear). */
+  def semExistingIndex(existing: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, scale: Int = 10000,
+                       maxExistingCluster: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val qE = semQuantized(existing, idCol, vecCol, scale)
+    val asgE = semAssignTo(qE, semCentroids(existing, idCol, vecCol, nlist, scale))
+      .select("vec_id", "cid")
+    val eligible = asgE.groupBy("cid").agg(count(lit(1)).as("__ne"))
+      .filter(col("__ne") <= maxExistingCluster)
+      .select("cid")
+    asgE.join(eligible, Seq("cid"))
+      .join(qE, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("id_a"), col("__v").as("__va"))
+  }
+
+  /** Streaming SemDeDup (q208, the q126 zero-state pattern): each
+    * incoming vector is assigned per-row to its nearest EXISTING
+    * centroid via the literal-centroid expression (`semAssignExpr` — no
+    * stateful aggregation, pure codegen), stream-static joined to the
+    * eligible-cluster member index, and exact-verified by integer dot.
+    * Equals `semCrossPairs` on the closed input (streaming ≡ batch, the
+    * house identity — SemDedupSpec pins it; the q207/q208 oracle is the
+    * shared q186-replay restriction). Output: (cid, id_a ∈ existing,
+    * id_b ∈ incoming, score BIGINT). */
+  def semStreamCrossPairs(vecStream: DataFrame, idCol: String, vecCol: String,
+                          cents: Seq[(Long, Seq[Long])], existingIndex: DataFrame,
+                          minScore: Long, scale: Int = 10000): DataFrame = {
+    registerIntDot(vecStream)
+    vecStream.select(col(idCol).cast("long").as("id_b"),
+        quantize(col(vecCol), scale).as("__vb"))
+      .withColumn("__a", semAssignExpr(col("__vb"), cents))
+      .select(col("id_b"), col("__vb"), col("__a").getField("cid").as("cid"))
+      .join(existingIndex, Seq("cid"))
       .select(col("cid"), col("id_a"), col("id_b"),
         intDot(col("__va"), col("__vb")).as("score"))
       .filter(col("score") >= minScore)

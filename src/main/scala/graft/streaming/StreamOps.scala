@@ -347,19 +347,26 @@ object StreamOps {
     * first 10× points for the streaming doc entries measured exactly
     * that empty stream). */
   def docsSource(spark: SparkSession, dir: String,
-                 schema: org.apache.spark.sql.types.StructType): DataFrame = {
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    tableSource(spark, dir, "documents", schema)
+
+  /** Streaming source over one driver-testdata parquet table (round 13:
+    * docsSource generalized so the vector stream twins can read
+    * embeddings.parquet the same way). */
+  def tableSource(spark: SparkSession, dir: String, table: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
     // directory probe through the Hadoop FileSystem API, not java.io.File:
     // File.isDirectory is always false for HDFS/S3 URIs, which would send
     // every non-local deployment into the glob branch — a zero-file source
     // that silently streams nothing for directory-shaped tables (the exact
     // bug this helper exists to fix; round-11 advice)
-    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path) && fs.getFileStatus(path).isDirectory)
       spark.readStream.schema(schema).parquet(path.toString)
     else
       spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   /** Per-batch bigram-LM partial counts: the stateless transform behind

@@ -94,6 +94,29 @@ object DedupQuality {
       foundAll, truthAll)
   }
 
+  /** Pair recall of the SHIPPED q84 embedding-LSH operating point
+    * (multi-probe tables rule, probes = bits — exactly what the declared
+    * entries run) vs exact all-pairs quantized-dot truth. Found ⊆ truth
+    * by exact verification, so the single statistic is banding recall —
+    * the round-12 receipt, re-taken per config change (multi-probe,
+    * round 13). */
+  def measureEmbedPairs(spark: SparkSession, emb: DataFrame): (Long, Long, Double) = {
+    import graft.operators.Similarity
+    graft.functions.IntDot.register(spark)
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val truth = q.as("a").crossJoin(q.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", Similarity.intDot(col("a.qv"), col("b.qv")))
+      .filter(col("dot") >= graft.SparkEntry.EmbedMinScore).count()
+    val n = emb.count()
+    val bits = Similarity.recommendedBits(n, 32)
+    val found = Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
+      minScore = graft.SparkEntry.EmbedMinScore,
+      tables = Similarity.recommendedTablesProbed(bits), bits = bits,
+      probes = bits, corpusRowsHint = n).count()
+    (found, truth, if (truth == 0) 1.0 else found.toDouble / truth)
+  }
+
   /** Cluster recall of the SemDeDup family (q186/q187): truth = exact
     * all-pairs quantized dots ≥ the q84 threshold; a true near-dup pair
     * is only VISIBLE to SemDeDup if both ends land in the same semantic
@@ -102,6 +125,7 @@ object DedupQuality {
     * quantifies that blind spot on the actual corpus. */
   def measureSem(spark: SparkSession, emb: DataFrame, nlist: Int): (Long, Long, Double) = {
     import graft.operators.Similarity
+    graft.functions.IntDot.register(spark)
     val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
     val truth = q.as("a").crossJoin(q.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
@@ -165,6 +189,8 @@ object DedupQuality {
       val (found, truth, recall) = measure(spark, Tables.table(spark, d, "documents"))
       println(f"[dedupq] $d minhash banding recall: $found/$truth = $recall%.3f")
       val emb = Tables.table(spark, d, "embeddings")
+      val (ef, et, er) = measureEmbedPairs(spark, emb)
+      println(f"[dedupq] $d embed-LSH pair recall (shipped multi-probe point): $ef/$et = $er%.3f")
       val k = math.max(16, math.min(4096, math.ceil(emb.count() / 125.0).toInt))
       val (sf, st, sr) = measureSem(spark, emb, k)
       println(f"[dedupq] $d semdedup cluster recall (nlist=$k%d): $sf/$st = $sr%.3f")

@@ -121,6 +121,7 @@ object ScaleTenX {
       //      candidates, pair-gen wants tight buckets; the rule-derived
       //      width is NOT lshTopK's sizing and measures ~0.16 there).
       import graft.operators.Similarity
+      graft.functions.IntDot.register(spark)
       val embBase = spark.read.parquet(s"$srcDir/embeddings.parquet")
       val qb = embBase.select(col("vec_id"),
         Similarity.quantize(col("embedding")).as("qv"))
@@ -130,21 +131,24 @@ object ScaleTenX {
         .filter(col("dot") >= graft.SparkEntry.EmbedMinScore)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the SHIPPED q84 operating point: multi-probe tables rule, probes
+      // = bits (round 13) — what the declared entries actually run
       def found(emb: DataFrame, bits: Int) = Similarity.portableEmbedPairs(
           emb, "vec_id", "embedding",
           minScore = graft.SparkEntry.EmbedMinScore,
-          tables = Similarity.recommendedTables(bits), bits = bits)
+          tables = Similarity.recommendedTablesProbed(bits), bits = bits,
+          probes = bits, corpusRowsHint = emb.count())
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val foundBase = found(embBase, b0)
-      println(f"[scale10x] q84 pair recall at 1x (bits=$b0, L=${Similarity.recommendedTables(b0)}): " +
+      println(f"[scale10x] q84 pair recall at 1x (bits=$b0, L=${Similarity.recommendedTablesProbed(b0)}, probes=$b0): " +
         f"${foundBase.intersect(truth).size.toDouble / truth.size}%.3f (truth=${truth.size})")
       val emb10 = spark.read.parquet(s"$outDir/embeddings.parquet")
       val truth10 = (0 until factor).flatMap(r =>
         truth.map { case (a, b) => (a + r * 10000000L, b + r * 10000000L) }).toSet
       val found10 = found(emb10, b1)
       val cross10 = found10.count { case (a, b) => a / 10000000L != b / 10000000L }
-      println(f"[scale10x] q84 pair recall at 10x (rule bits=$b1, L=${Similarity.recommendedTables(b1)}): " +
+      println(f"[scale10x] q84 pair recall at 10x (rule bits=$b1, L=${Similarity.recommendedTablesProbed(b1)}, probes=$b1): " +
         f"${found10.intersect(truth10).size.toDouble / truth10.size}%.3f " +
         s"(truth=${truth10.size}, cross-replica extras=$cross10)")
       val nQ = 50

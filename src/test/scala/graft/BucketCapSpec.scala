@@ -179,6 +179,22 @@ class BucketCapSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "identical vector pair must survive")
   }
 
+  test("portableEmbedPairs under MULTI-PROBE still drops the boilerplate cluster, keeps the genuine pair") {
+    // identical vectors have identical signatures, so the whole 2000-row
+    // cluster shares one over-cap HOME bucket per table — ineligible on
+    // the home side of the probe join in every orientation, so no
+    // boilerplate×boilerplate pair can surface. Probes from boilerplate
+    // into small neighbor buckets stay linear (each bounded by the small
+    // bucket's size) — the quadratic blowup is what the cap kills.
+    val pairs = Similarity.portableEmbedPairs(vecs, "vec_id", "embedding",
+        minScore = 1L, tables = 2, bits = 6, probes = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!pairs.exists { case (a, b) => a > 10000L && b > 10000L },
+      "no boilerplate-boilerplate pair may survive the home-bucket cap under probing")
+    assert(pairs.contains((1L, 2L)), "identical vector pair must survive")
+    assert(pairs.length <= 3 * 2000 + 10, s"probe fan-out exceeded the linear bound: ${pairs.length}")
+  }
+
   test("embeddingNearDupPairs (production float path) completes bounded") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect()

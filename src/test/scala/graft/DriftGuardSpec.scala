@@ -43,7 +43,7 @@ class DriftGuardSpec extends AnyFunSuite {
       val n = emb.count()
       val bits = Similarity.recommendedBits(n, 32)
       val sizes = Similarity.portableEmbedBucketSizes(emb, "vec_id", "embedding",
-        tables = Similarity.recommendedTables(bits), bits = bits)
+        tables = Similarity.recommendedTablesProbed(bits), bits = bits)
         .agg(max("n").as("mx"), sum(col("n") * col("n")).as("sq"), sum("n").as("tot")).head()
       val (mx, sq, tot) = (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2))
       // r11 measured (graft.tools.DriftProbe): sf0.01 (n=500, bits=4)
@@ -147,6 +147,23 @@ class DriftGuardSpec extends AnyFunSuite {
       s"$dir: semdedup pairs=${st.getLong(1)} dropped=${st.getLong(2)} of ${st.getLong(0)} — the threshold no longer splits this regen's vector clustering")
     val protos = SparkEntry.queries("q187_prototypes")(spark, dir).count()
     assert(protos > 0, s"$dir: prototype prune dropped nothing — clusters shrank below the 20% quota floor")
+    // q207/q208 centroid containment (round 13): their oracle reuses the
+    // q186 FULL-corpus replay, which is only valid while the nlist
+    // lowest vec_ids all precede the incremental split — i.e. the
+    // existing-side centroid set equals the full-corpus one. A regen
+    // that renumbers vec_ids or shrinks the existing side breaks the
+    // identity silently; pin it, plus a non-empty cross-pair stream.
+    dirs.foreach { d =>
+      val emb = Tables.table(spark, d, "embeddings")
+      val k = SparkEntry.semNlistFor(spark, d)
+      val kth = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
+        .agg(max("vec_id")).head().getLong(0)
+      assert(kth < SparkEntry.IncrementalSplitId,
+        s"$d: nlist=$k-th lowest vec_id $kth >= split ${SparkEntry.IncrementalSplitId} — " +
+          "the q207/q208 oracle's centroid-containment identity broke on this regen")
+    }
+    val crossPairs = SparkEntry.queries("q207_incremental_semdedup")(spark, dir).count()
+    assert(crossPairs > 0, s"$dir: no cross-split semantic pairs — the q207/q208 fixture degenerated")
   }
 
   test("edit-distance prefix/suffix block occupancy under cap with margin (q136/q141/q142)") {

@@ -42,6 +42,28 @@ class NativeExprPropSpec extends AnyFunSuite {
     }, "simhash64")
   }
 
+  test("int_dot agrees with the HOF spelling on arbitrary long vectors (incl. null edges)") {
+    graft.functions.IntDot.register(spark)
+    import graft.operators.Similarity
+    // unequal lengths and null elements must NULL out exactly like
+    // zip_with+aggregate (pad-with-null poisons the fold)
+    val elemGen = Gen.frequency(
+      9 -> Gen.choose(-10000L, 10000L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val vecGen = for {
+      la <- Gen.choose(0, 16); lb <- Gen.choose(0, 16)
+      a <- Gen.listOfN(la, elemGen); b <- Gen.listOfN(lb, elemGen)
+    } yield (a, b)
+    check(forAll(vecGen) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(call_function("int_dot", col("a"), col("b")).as("n"),
+          Similarity.intDotHof(col("a"), col("b")).as("h"))
+      val r = df.head()
+      (r.isNullAt(0) && r.isNullAt(1)) ||
+        (!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1))
+    }, "int_dot")
+  }
+
   test("cosine_sim agrees with scalar reference on arbitrary float vectors") {
     CosineSim.register(spark)
     val vecGen = Gen.choose(1, 16).flatMap(n =>

@@ -29,7 +29,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q198_stream_admission", // CC fixpoint + admission stream at build
     "q203_release_manifest", // writes + reloads the JSONL shards at build
     "q204_stream_gate_ensemble", // runs the gate stream to completion at build
-    "q206_stream_release") // gate stream + per-batch shard writes at build
+    "q206_stream_release", // gate stream + per-batch shard writes at build
+    "q208_stream_semdedup") // runs the assignment stream to completion at build (q126 shape)
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic
@@ -44,10 +45,13 @@ class PlanGuardSpec extends AnyFunSuite {
   //  - q68_contamination: the broadcast side is the BENCHMARK suite
   //    (eval sets are thousands of rows at most, fixed as the corpus
   //    grows; contaminationScores scans the corpus once against it).
-  //  - q186_semdedup / q187_prototypes: the broadcast side is the
-  //    SEMANTIC-CENTROID set (semNlistFor clamps k to ≤ 4096 — the same
-  //    corpus-size-independent bound as q53's IVF centroids); the corpus
-  //    scans once against it for assignment.
+  //  - q186_semdedup / q187_prototypes / q207_incremental_semdedup: the
+  //    broadcast side is the SEMANTIC-CENTROID set (semNlistFor clamps k
+  //    to ≤ 4096 — the same corpus-size-independent bound as q53's IVF
+  //    centroids); each side of the corpus scans once against it for
+  //    assignment. (q208, the streaming twin, replaces the centroid
+  //    cross with the literal-centroid expression — no BNL at all — and
+  //    is eager-excluded above.)
   //  - q188/q189/q190 (Naive Bayes): the broadcast side is the LABEL-
   //    STATS table — one row per class label (5 langs here; bounded by
   //    the classification task, never the corpus); every document needs
@@ -57,7 +61,7 @@ class PlanGuardSpec extends AnyFunSuite {
   //  - q201_gate_ensemble composes the q188 scorer, so it carries the
   //    same label-stats broadcast cross (same size contract).
   private val bnlAllowed = Set("q44_cosine_topk", "q53_ann_ivf", "q68_contamination",
-    "q186_semdedup", "q187_prototypes",
+    "q186_semdedup", "q187_prototypes", "q207_incremental_semdedup",
     "q188_nb_langid", "q189_nb_confusion", "q190_nb_incremental",
     "q201_gate_ensemble")
 

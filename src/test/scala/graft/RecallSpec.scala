@@ -96,6 +96,63 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("recommendedTablesProbed holds the base collision probability with ~bits-fold fewer tables (round 13)") {
+    // Multi-probe (Lv et al. 2007): per-table collision for a threshold
+    // pair is P(hamming ≤ 1) = p^b + b·p^(b−1)(1−p); the rule picks the
+    // minimal L whose 1−(1−pTable)^L still clears the base operating
+    // point's collision probability — same guarantee as
+    // recommendedTables, ~(1 + b(1−p)/p)× cheaper. Pin the landmarks
+    // (incl. the 10× point: L=72 home-only → L=9 probed), the floor/cap
+    // and the invariant.
+    val pBit = 1.0 - math.acos(0.25) / math.Pi
+    def pTable(bits: Int) = math.pow(pBit, bits) + bits * math.pow(pBit, bits - 1) * (1 - pBit)
+    def collide(bits: Int, l: Int) = 1.0 - math.pow(1.0 - pTable(bits), l)
+    val base = 1.0 - math.pow(1.0 - math.pow(pBit, 6), 8)
+    assert(Similarity.recommendedTablesProbed(4) == 2, "floor: never a single table")
+    assert(Similarity.recommendedTablesProbed(6) == 2, "base-width probed point")
+    assert(Similarity.recommendedTablesProbed(10) == 9, "the 10x operating point: 72 -> 9 tables")
+    assert(Similarity.recommendedTablesProbed(24) == 128, "cap: shard the corpus past 128 tables")
+    (5 to 14).foreach { b =>
+      val l = Similarity.recommendedTablesProbed(b)
+      if (l < 128)
+        assert(collide(b, l) >= base - 1e-9,
+          f"bits=$b L=$l: probed threshold collision ${collide(b, l)}%.3f fell below base $base%.3f")
+    }
+  }
+
+  test("multi-probe pair generation is a superset of home-only at the same (tables, bits)") {
+    // probe set includes the home bucket and the cap semantics align on
+    // ham-0 pairs (an over-cap home bucket yields nothing in either
+    // mode), so probing can only ADD ham-1 pairs — the recall direction
+    // is one-sided by construction; this pins it on the real fixture.
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    def pairSet(probes: Int) = Similarity.portableEmbedPairs(
+        emb, "vec_id", "embedding", minScore = graft.SparkEntry.EmbedMinScore,
+        tables = 4, bits = 6, probes = probes)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val homeOnly = pairSet(0)
+    val probed = pairSet(6)
+    assert(homeOnly.subsetOf(probed),
+      s"home-only found ${(homeOnly -- probed).size} pairs the probed mode missed")
+    assert(probed.size > homeOnly.size,
+      "probing added no ham-1 pairs at bits=6 on the real fixture — probe keys are not reaching neighbor buckets")
+  }
+
+  test("embed-LSH pair recall at the SHIPPED multi-probe point holds the floor (q84 family, round 13)") {
+    // the round-12 verdict's recall receipt, re-taken at the round-13
+    // multi-probe operating point (tables from recommendedTablesProbed,
+    // probes = bits — exactly what q84/q97/q125 run). r13 measured
+    // 0.298+ at sf0.01; floor 0.25 leaves regen noise room while
+    // catching a probing/cap regression (the 10× receipt lives in
+    // BASELINE.md via ScaleTenX).
+    val (found, truth, recall) = graft.tools.DedupQuality.measureEmbedPairs(
+      spark, Tables.table(spark, TestSpark.sf01, "embeddings"))
+    assert(truth > 0, "no exact near-dup vector pairs at the oracle SF — the embedding fixture degenerated")
+    assert(recall >= 0.25,
+      f"embed-LSH pair recall $found/$truth = $recall%.3f < 0.25 at the shipped multi-probe point — " +
+        "re-measure via DedupQuality and re-derive (bits, tables, probes)")
+  }
+
   test("minhash banding recall vs exact all-pairs Jaccard truth holds the floor (q82 family)") {
     // the text twin of the q84 pair-recall receipt (round 12): found ⊆
     // truth because verification is exact on the same shingle sets, so

@@ -131,4 +131,74 @@ class SemDedupSpec extends AnyFunSuite {
       minScore = 50000000L, nlist = 3).orderBy("cid").collect().toSeq
     assert(run() === run())
   }
+
+  /** Scalar reference for the cross-pair family (q207/q208): existing
+    * members of eligible clusters (existing-side size ≤ cap) × incoming
+    * vectors assigned to the same EXISTING-derived centroid, verified by
+    * quantized dot. */
+  private def refCrossPairs(vecs: Map[Long, Seq[Double]], split: Long, nlist: Int,
+                            minScore: Long, cap: Int): Set[(Long, Long, Long, Long)] = {
+    val q = vecs.map { case (id, v) => id -> quant(v) }
+    val existing = vecs.filter(_._1 < split)
+    val cents = existing.keys.toSeq.sorted.take(nlist).map(id => id -> q(id))
+    def assign(id: Long): Long =
+      cents.map { case (c, cv) => (c, dot(q(id), cv)) }.maxBy { case (c, s) => (s, -c) }._1
+    val asgE = existing.keys.map(id => id -> assign(id)).toMap
+    val eligible = asgE.groupBy(_._2).collect { case (cid, m) if m.size <= cap => cid }.toSet
+    (for {
+      (e, cidE) <- asgE if eligible(cidE)
+      i <- vecs.keys if i >= split && assign(i) == cidE
+      s = dot(q(e), q(i)) if s >= minScore
+    } yield (cidE, e, i, s)).toSet
+  }
+
+  test("semCrossPairs equals the scalar cross reference (q207)") {
+    val vecs = plantedVecs(60)
+    val split = 30L
+    val got = Similarity.semCrossPairs(
+        toDf(vecs.filter(_._1 < split)), toDf(vecs.filter(_._1 >= split)),
+        "vec_id", "embedding", minScore = 50000000L, nlist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ref = refCrossPairs(vecs, split, nlist = 3, minScore = 50000000L,
+      cap = graft.operators.TextDedup.DefaultMaxBucketSize)
+    assert(got === ref)
+    assert(got.nonEmpty, "cross fixture degenerated: no cross pairs")
+  }
+
+  test("semCrossPairs honors the existing-side cap (micro-batch-invariant by construction)") {
+    val vecs = plantedVecs(60)
+    val split = 30L
+    // cap 9 < the 10 existing members per planted cluster → everything
+    // ineligible → empty; the incoming batch size can never change that
+    val got = Similarity.semCrossPairs(
+        toDf(vecs.filter(_._1 < split)), toDf(vecs.filter(_._1 >= split)),
+        "vec_id", "embedding", minScore = 1L, nlist = 3, maxExistingCluster = 9)
+      .count()
+    assert(got == 0L, s"over-cap existing clusters must be ineligible, got $got pairs")
+  }
+
+  test("semStreamCrossPairs equals semCrossPairs on the closed input (q208 streaming = batch)") {
+    val vecs = plantedVecs(60)
+    val split = 30L
+    val existing = toDf(vecs.filter(_._1 < split))
+    val incoming = toDf(vecs.filter(_._1 >= split))
+    val batch = Similarity.semCrossPairs(existing, incoming,
+        "vec_id", "embedding", minScore = 50000000L, nlist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_semstream").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val idx = Similarity.semExistingIndex(existing, "vec_id", "embedding", nlist = 3)
+    val cents = Similarity.collectCentroids(
+      Similarity.semCentroids(existing, "vec_id", "embedding", nlist = 3))
+    val streamed = graft.streaming.StreamOps.runAppend(spark,
+        Similarity.semStreamCrossPairs(stream, "vec_id", "embedding",
+          cents, idx, minScore = 50000000L),
+        "semstream_probe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "streaming fixture degenerated")
+    spark.catalog.dropTempView("semstream_probe")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -546,6 +546,24 @@ class TierESpec extends AnyFunSuite {
     assert(cross == sym, s"asymmetric pair set diverged: only-cross=${(cross -- sym).take(5)}, only-sym=${(sym -- cross).take(5)}")
   }
 
+  test("portableCrossEmbedPairs under MULTI-PROBE equals the probed symmetric pipeline restricted to cross pairs (q125 oracle path, round 13)") {
+    // the shipped q125 config runs probed — the oracle identity must hold
+    // there too: combined-occupancy cap on the home side of both
+    // directional probe joins = the symmetric pipeline's home-bucket cap
+    val vecs = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val split = 400L
+    val sym = graft.operators.Similarity.portableEmbedPairs(vecs, "vec_id", "embedding",
+        minScore = 25000000L, tables = 2, bits = 6, probes = 6)
+      .filter(col("id_a") < split && col("id_b") >= split)
+      .select("id_a", "id_b", "score").as[(Long, Long, Long)].collect().toSet
+    val cross = graft.operators.Similarity.portableCrossEmbedPairs(
+        vecs.filter(col("vec_id") < split), vecs.filter(col("vec_id") >= split),
+        "vec_id", "embedding", minScore = 25000000L, tables = 2, bits = 6, probes = 6)
+      .select("id_a", "id_b", "score").as[(Long, Long, Long)].collect().toSet
+    assert(cross.nonEmpty, "the probed sf0.001 embeddings must contain cross-split candidates")
+    assert(cross == sym, s"probed asymmetric pair set diverged: only-cross=${(cross -- sym).take(5)}, only-sym=${(sym -- cross).take(5)}")
+  }
+
   test("portableSimhashPairs: near-identical docs pair, disjoint docs don't (q83 oracle path)") {
     // an APPENDED token shifts each bit's sign-sum by ±1 (a swapped one
     // shifts ±2 and with these fixed hashes lands at hamming 4 — just
