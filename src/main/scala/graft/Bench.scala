@@ -58,16 +58,44 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> measure(name, fn)
     }
-    // Self-adjudication pass (round 12): two rounds running, the driver's
-    // per-entry numbers needed a judge to re-measure them — a host
-    // contention burst spanning all `reps` back-to-back runs of ONE entry
-    // poisons its median (r11 artifact: q131 18.39 s vs true 2.45 s). The
-    // K slowest entries get a SECOND median in a time-separated window
-    // (the full pass between the two is the separation), and each reports
-    // min-of-the-two-medians: a burst now has to strike the same entry in
-    // both windows to survive. K=10 bounds the extra cost to ~2× the
-    // heavy tail, not 2× the corpus.
-    val retryK = firstPass.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1).toSet
+    // Self-adjudication pass (round 12, mid-tail extension round 13):
+    // two rounds running, the driver's per-entry numbers needed a judge
+    // to re-measure them — a host contention burst spanning all `reps`
+    // back-to-back runs of ONE entry poisons its median (r11 artifact:
+    // q131 18.39 s vs true 2.45 s). Entries in the retry set get a
+    // SECOND median in a time-separated window (the full pass between
+    // the two is the separation), and each reports min-of-the-two: a
+    // burst now has to strike the same entry in both windows to
+    // survive. The set is
+    //   (a) the 10 slowest entries (the heavy tail — bounded extra
+    //       cost), plus
+    //   (b) any entry whose first-pass median exceeds 3× its EXPECTED
+    //       value (or expected + 0.3 s, whichever is larger — sub-second
+    //       entries would otherwise retry on scheduler jitter), from the
+    //       checked-in tools/bench_expected.json (clean-host medians,
+    //       regenerated when operators change), plus
+    //   (c) any entry NEW since the expected vector (no entry in the
+    //       file) reading over 1 s — new entries have no baseline, so a
+    //       burst on one would otherwise become its first baseline.
+    // (b) closes the round-12 hole: BENCH_r12 recorded q14 at 3.00 s vs
+    // a true 0.33 s because the K=10 rule never reached the mid-tail.
+    val expected: Map[String, Double] = {
+      val f = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_EXPECTED", "tools/bench_expected.json"))
+      if (!f.isFile) Map.empty
+      else {
+        val text = scala.io.Source.fromFile(f, "UTF-8")
+        try """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(text.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally text.close()
+      }
+    }
+    val retrySlow = firstPass.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1)
+    val retryMidTail = firstPass.collect {
+      case (n, v) if v > 0 && expected.get(n).exists(e => v > math.max(3 * e, e + 0.3)) => n
+      case (n, v) if v > 1.0 && expected.nonEmpty && !expected.contains(n) => n
+    }
+    val retryK = (retrySlow ++ retryMidTail).toSet
     val results = firstPass.map { case (name, first) =>
       if (!retryK.contains(name)) name -> first
       else {

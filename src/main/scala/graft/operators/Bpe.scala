@@ -41,7 +41,22 @@ object Bpe {
     * character by the '<'/'>' framing (the Sennrich convention). */
   val EndOfWord = "</w>"
 
-  /** Train `nMerges` merges on the corpus word histogram. */
+  /** Train `nMerges` merges on the corpus word histogram.
+    *
+    * The merge loop is the INCREMENTAL form of the Sennrich trainer
+    * (round 13): global pair counts and an inverted pair → word-index
+    * occurrence map are built once, and each merge rewrites only the
+    * words that actually CONTAIN the merged pair, applying the count
+    * delta of that word's pair multiset — so per-merge cost is
+    * O(affected words × length), not O(total symbols). The full-rescan
+    * form measured 155 ms/merge at a 100k-type vocabulary
+    * (graft.tools.BpeBench — ~83 min extrapolated to a production 32k
+    * merge run); the incremental form's tail merges touch only the
+    * Zipf-tail words that still carry the pair. Selection is a TreeSet
+    * ordered (count DESC, pair ASC) kept in lock-step with the count
+    * map — byte-identical merge sequence to the rescan form (the
+    * deterministic argmax: highest count, then lexicographically
+    * smallest (left, right); BpePropSpec/TierESpec pin it). */
   def train(df: DataFrame, textCol: String, nMerges: Int,
             maxVocab: Int = 100000): Seq[Merge] = {
     val hist: Array[(String, Long)] = df
@@ -51,46 +66,75 @@ object Bpe {
       .orderBy(col("c").desc, col("w"))
       .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    var words: Array[(Array[String], Long)] =
-      hist.map { case (w, c) => (w.map(_.toString).toArray :+ EndOfWord, c) }
+    val words: Array[Array[String]] =
+      hist.map { case (w, _) => w.map(_.toString).toArray :+ EndOfWord }
+    val counts: Array[Long] = hist.map(_._2)
+
+    // adjacent-pair multiset of one word (with multiplicity)
+    def pairBag(syms: Array[String]): scala.collection.mutable.HashMap[(String, String), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        m(k) = m.getOrElse(k, 0L) + 1L
+        i += 1
+      }
+      m
+    }
+
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // selection structure: (−count, left, right) ascending ⇒ head is the
+    // deterministic argmax (highest count, then smallest pair)
+    implicit val ord: Ordering[(Long, String, String)] = Ordering.Tuple3
+    val queue = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    def queueRemove(p: (String, String), c: Long): Unit = { queue.remove((-c, p._1, p._2)); () }
+    def queueAdd(p: (String, String), c: Long): Unit = { queue.add((-c, p._1, p._2)); () }
+    def bump(p: (String, String), delta: Long): Unit = if (delta != 0) {
+      val old = pairCounts.getOrElse(p, 0L)
+      if (old != 0) queueRemove(p, old)
+      val now = old + delta
+      if (now != 0) { pairCounts(p) = now; queueAdd(p, now) }
+      else { pairCounts.remove(p); () }
+    }
+    words.indices.foreach { w =>
+      pairBag(words(w)).foreach { case (p, mult) =>
+        bump(p, mult * counts(w))
+        occ.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += w
+      }
+    }
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var iter = 0
-    var exhausted = false
-    while (iter < nMerges && !exhausted) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
+    while (iter < nMerges && queue.nonEmpty) {
+      val head = queue.head
+      val (l, r) = (head._2, head._3)
+      merges += Merge(l, r, iter)
+      val affected = occ.getOrElse((l, r), scala.collection.mutable.HashSet.empty).toArray
+      affected.foreach { w =>
+        val syms = words(w)
+        val before = pairBag(syms)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
-          i += 1
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        val next = out.toArray
+        words(w) = next
+        val after = pairBag(next)
+        (before.keySet ++ after.keySet).foreach { p =>
+          val d = after.getOrElse(p, 0L) - before.getOrElse(p, 0L)
+          bump(p, d * counts(w))
+          if (after.getOrElse(p, 0L) > 0)
+            occ.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += w
+          else occ.get(p).foreach(_ -= w)
         }
       }
-      if (pairCounts.isEmpty) exhausted = true
-      else {
-        // deterministic argmax: highest count, then smallest (left, right)
-        var best: ((String, String), Long) = null
-        pairCounts.foreach { kv =>
-          if (best == null || kv._2 > best._2 ||
-            (kv._2 == best._2 && Ordering[(String, String)].lt(kv._1, best._1))) best = kv
-        }
-        val (l, r) = best._1
-        merges += Merge(l, r, iter)
-        words = words.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += (l + r); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, c)
-          }
-        }
-        iter += 1
-      }
+      // the merged pair is gone from every word that held it
+      occ.remove((l, r))
+      iter += 1
     }
     merges.toSeq
   }

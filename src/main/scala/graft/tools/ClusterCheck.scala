@@ -57,13 +57,22 @@ object ClusterCheck {
     // q82_minhash_portable q97_embed_clusters` with it set to prove the
     // reliable path end-to-end on real executor JVMs
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
-    val chaos = args.headOption.contains("chaos")
+    // chaos-stream (round 13, verdict #5): the batch chaos receipt
+    // exercises checkpoint recovery; this one kills an executor
+    // MID-MICRO-BATCH of a run-to-completion STREAMING entry and
+    // requires (a) completion, (b) scheduler-visible executor loss +
+    // task failure, and (c) the post-recovery output EQUAL to a clean
+    // run taken first in the same session — the foreachBatch/state-store
+    // recovery claim receipted, not asserted.
+    val chaosStream = args.headOption.contains("chaos-stream")
+    val chaos = args.headOption.contains("chaos") || chaosStream
     if (chaos && spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_chaos_ckpt").toString)
     val rest = if (chaos) args.tail.toSeq else args.toSeq
     val ids = if (rest == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
     else if (rest.nonEmpty) rest
+    else if (chaosStream) Seq("q204_stream_gate_ensemble")
     else if (chaos) Seq("q74_neardup_clusters", "q82_minhash_portable", "q97_embed_clusters")
     else Seq(
       "q04_agg_rank", "q11_join4_chain", "q16_topn_window", "q29_not_in_anti",
@@ -95,8 +104,13 @@ object ClusterCheck {
         if (t.taskInfo.executorId == victimId) { victimLive.incrementAndGet(); () }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         if (t.reason != org.apache.spark.Success) taskFailures.incrementAndGet()
+        // clamped at 0: the pid-probe job's tasks on the victim can START
+        // before victimId is assigned (missed by onTaskStart) yet deliver
+        // their async onTaskEnd after it is set — an unclamped decrement
+        // then goes negative and the killer's `>= 1` wait stalls to the
+        // 60 s fallback (round-13 advice)
         if (t.taskInfo != null && t.taskInfo.executorId == victimId)
-          victimLive.decrementAndGet()
+          victimLive.updateAndGet(v => math.max(0, v - 1))
         ()
       }
     }
@@ -134,6 +148,17 @@ object ClusterCheck {
       Some(t)
     }
     var failed = 0
+    // chaos-stream: a CLEAN reference pass before arming the killer —
+    // the same-output receipt's left-hand side (same session, same dir,
+    // deterministic entries)
+    val cleanRef: Map[String, Seq[String]] =
+      if (!chaosStream) Map.empty
+      else ids.map { id =>
+        val rows = SparkEntry.queries(id)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        println(s"[cluster] chaos-stream clean pass: $id rows=${rows.size}")
+        id -> rows
+      }.toMap
     // per-query windows so chaos mode can prove the kill landed DURING a
     // query — a receipt where the band finished before the SIGKILL (or
     // the kill fell in a between-queries gap) exercised zero recovery
@@ -142,9 +167,19 @@ object ClusterCheck {
       if (i == 0) killer.foreach(_.start())
       val t0 = System.nanoTime()
       try {
-        val n = SparkEntry.queries(id)(spark, dir).count()
-        windows += ((id, t0, System.nanoTime(), true))
-        println(f"[cluster] $id rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (chaosStream) {
+          val rows = SparkEntry.queries(id)(spark, dir)
+            .collect().map(_.toString).sorted.toSeq
+          val same = rows == cleanRef(id)
+          if (!same) failed += 1
+          windows += ((id, t0, System.nanoTime(), same))
+          println(f"[cluster] $id rows=${rows.size} ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            s"output==clean: $same")
+        } else {
+          val n = SparkEntry.queries(id)(spark, dir).count()
+          windows += ((id, t0, System.nanoTime(), true))
+          println(f"[cluster] $id rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       } catch { case e: Throwable =>
         failed += 1
         windows += ((id, t0, System.nanoTime(), false))
