@@ -110,7 +110,14 @@ object Bench {
         if (second < 0) {
           System.err.println(s"[bench] $name retry window FAILED; reporting first-pass median")
           name -> first
-        } else name -> math.min(first, second)
+        } else {
+          // both windows on stderr (round-13 advice): min-of-two biases
+          // the retried entries low relative to single-median entries —
+          // acceptable as the documented contention guard, but the raw
+          // windows stay visible so a reader can compare like with like
+          System.err.println(f"[bench] $name retry windows: first=$first%.3f second=$second%.3f -> min")
+          name -> math.min(first, second)
+        }
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

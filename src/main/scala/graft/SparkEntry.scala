@@ -279,13 +279,15 @@ object SparkEntry {
       "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
       "bk0 AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
       // bsz ≤ cap on the HOME side mirrors the Spark degenerate-bucket
-      // guard (TextDedup.DefaultMaxBucketSize); pb is the 1-bit-flip
-      // multi-probe key stream (home bucket + `probes` XOR-neighbors —
-      // Similarity.probedBucketKeys), and the probe→home join covers
-      // both orientations, so a pair survives if either endpoint's home
-      // bucket is under the cap — exactly the Spark pair set
+      // guard (TextDedup.DefaultMaxBucketSize); pb is the DIRECTIONAL
+      // 1-bit-flip multi-probe key stream (home bucket + each UNSET
+      // probe bit flipped to 1 — Similarity.probedBucketKeys), so a
+      // Hamming-1 pair is probed exactly once, by its 0-bit member: it
+      // survives iff the 1-side member's home bucket is under the cap;
+      // a Hamming-0 pair pairs through the shared home bucket — exactly
+      // the Spark pair set
       "bk AS (SELECT *, COUNT(*) OVER (PARTITION BY t, bkt) AS bsz FROM bk0), " +
-      s"pb AS (SELECT vec_id, t, unnest(list_prepend(bkt, list_transform(range(0, $probes), j -> xor(bkt, 1::BIGINT << j)))) AS pbkt FROM bk0), " +
+      s"pb AS (SELECT vec_id, t, unnest(list_prepend(bkt, list_transform(list_filter(range(0, $probes), j -> ((bkt >> j) & 1) = 0), j -> bkt | (1::BIGINT << j)))) AS pbkt FROM bk0), " +
       "pr AS (SELECT DISTINCT least(p.vec_id, h.vec_id) AS id_a, greatest(p.vec_id, h.vec_id) AS id_b " +
       "FROM pb p JOIN bk h ON h.t = p.t AND h.bkt = p.pbkt AND h.vec_id <> p.vec_id " +
       s"WHERE h.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize}), " +

@@ -451,16 +451,29 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** The 1-bit-flip probe key stream: each (t, bkt, id) home key fans
-    * out to its own bucket plus the buckets at Hamming distance 1 in the
-    * first `probes` signature bits (probes = bits ⇒ the full 1-flip
-    * neighborhood of Lv et al. 2007). Keys only — (probes+1)× more key
-    * rows, never a vector. */
+  /** The DIRECTIONAL 1-bit-flip probe key stream: each (t, bkt, id)
+    * home key fans out to its own bucket plus the buckets obtained by
+    * flipping each UNSET bit among the first `probes` signature bits to
+    * 1 (probes = bits ⇒ the full directional 1-flip neighborhood of Lv
+    * et al. 2007). Directionality (0→1 only) means a Hamming-1 pair is
+    * probed by exactly ONE member — the one holding 0 on the differing
+    * bit — instead of both, halving the candidate stream the verifier
+    * pays for at identical Hamming-≤1 coverage; a Hamming-0 pair pairs
+    * through the shared home bucket as before. Cap consequence
+    * (mirrored in the DuckDB texts): a ham-1 pair survives iff the
+    * 1-side member's home bucket is under the cap; a ham-0 pair iff
+    * the shared bucket is. Keys only — ≈(probes/2 + 1)× key rows,
+    * never a vector. */
   private def probedBucketKeys(keys: DataFrame, idCol: String,
-                               probes: Int): DataFrame =
+                               probes: Int): DataFrame = {
+    val flips = (0 until probes).map { j =>
+      when(col("__bkt").bitwiseAND(lit(1L << j)) === 0L,
+        col("__bkt").bitwiseOR(lit(1L << j)))
+    }
     keys.select(col(idCol), col("__t"),
-      explode(array((col("__bkt") +: (0 until probes).map(j =>
-        col("__bkt").bitwiseXOR(lit(1L << j)))): _*)).as("__bkt"))
+      explode(filter(array((col("__bkt") +: flips): _*), x => x.isNotNull))
+        .as("__bkt"))
+  }
 
   /** Row-count bound under which the verification join-back broadcasts
     * the quantized vector frame (≈53 MB of array<long> payload at the
@@ -516,13 +529,13 @@ object Similarity {
     else {
       // MULTI-PROBE (round 13, Lv et al. 2007): a pair collides in a
       // table iff its signatures differ in ≤ 1 bit — each doc's probe
-      // keys (home + 1-flips) join the capped HOME buckets, so the
-      // same threshold recall needs ~(1 + bits(1−p)/p)× fewer tables
-      // (recommendedTablesProbed). Both orientations are covered by
-      // the one join (a probes b's home ⟺ b probes a's home), so a
-      // pair survives the cap if EITHER endpoint's home bucket is
-      // under it. Home lists of size 1 stay eligible: a singleton
-      // bucket can still receive probes from neighbors.
+      // keys (home + DIRECTIONAL 0→1 flips, probedBucketKeys) join the
+      // capped HOME buckets, so the same threshold recall needs
+      // ~(1 + bits(1−p)/p)× fewer tables (recommendedTablesProbed)
+      // while each ham-1 pair costs the verifier exactly ONE candidate
+      // row (probed by its 0-bit member alone). Home lists of size 1
+      // stay eligible: a singleton bucket can still receive probes
+      // from neighbors.
       val home = keys
         .groupBy("__t", "__bkt")
         .agg(collect_list(col(idCol)).as("__ids"))
@@ -579,9 +592,11 @@ object Similarity {
         // probed symmetric pipeline on the concatenated corpus restricted
         // to cross pairs (the q125 oracle identity): the cap is the
         // COMBINED home-bucket occupancy (= the symmetric pipeline's
-        // home-bucket size), and a cross pair survives if EITHER
-        // endpoint's home bucket is under it — so both directional
-        // probe-into-home joins are unioned. Keys-only throughout.
+        // home-bucket size), and with DIRECTIONAL probing a ham-1 cross
+        // pair is found by exactly one orientation (its 0-bit member
+        // probing the 1-side's home) — the two probe-into-home joins
+        // are unioned so both orientations are available, whichever
+        // side holds the 0 bit. Keys-only throughout.
         val occ = bOld.select("__t", "__bkt").unionAll(bNew.select("__t", "__bkt"))
           .groupBy("__t", "__bkt").agg(count(lit(1)).as("__n"))
         val okOld = bOld.join(occ.filter(col("__n") <= maxBucketSize), Seq("__t", "__bkt"))

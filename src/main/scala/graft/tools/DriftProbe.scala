@@ -22,7 +22,8 @@ object DriftProbe {
       // tables from the SAME recall-preserving rule DriftGuardSpec (and
       // the q84/q97/q125 entries) derive — probe and guard must measure
       // the identical banding or re-tuned margins pin wrong values
-      val tables = Similarity.recommendedTables(bits)
+      // (round 13: the multi-probe rule, matching embedTablesFor)
+      val tables = Similarity.recommendedTablesProbed(bits)
       val r = Similarity.portableEmbedBucketSizes(emb,"vec_id","embedding",tables=tables,bits=bits)
         .agg(max("n"),sum(col("n")*col("n")),sum("n")).head()
       println(s"$d embed n=$n bits=$bits tables=$tables max=${r.getLong(0)} sq=${r.getLong(1)} tot=${r.getLong(2)}")

@@ -94,6 +94,31 @@ object ProfileQ84 {
       .filter(col("score") >= graft.SparkEntry.EmbedMinScore)
       .distinct()
     time("variant C: broadcast + post-verify dedup") { println("  n=" + verifiedC.count()) }
+    // Shuffle-regime dedup experiments (the >BroadcastVerifyMaxRows
+    // path): the distinct()'s partial HashAggregate over a nearly-unique
+    // 2-long key stream is suspected thrash — compare one-exchange
+    // alternatives that skip partial aggregation.
+    val rawPairs = raw
+      .select(least(col("__pid"), col("__hid")).as("id_a"),
+        greatest(col("__pid"), col("__hid")).as("id_b"))
+    time("variant D: repartition + mapPartitions local dedup") {
+      import spark.implicits._
+      val n = rawPairs.repartition(col("id_a"), col("id_b"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          // exact for ids < 2^32 (this corpus: ≤ 9e7) — a shipped form
+          // would dedup the exact pair, not a hash
+          val seen = new java.util.HashSet[java.lang.Long](1 << 20)
+          it.filter { case (a, b) => seen.add((a << 32) | (b & 0xffffffffL)) }
+        }.count()
+      println("  n=" + n)
+    }
+    time("variant E: distinct at 128 shuffle partitions") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      try println("  n=" + rawPairs.distinct().count())
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.stop()
   }
 }
