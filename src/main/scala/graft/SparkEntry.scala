@@ -1033,10 +1033,17 @@ object SparkEntry {
     },
     // Embedding-cosine near-dup pairs via hyperplane LSH — rows-only.
     // τ=0.25 because the synthetic embeddings top out near cosine 0.4;
-    // real corpora use τ≈0.9 with the same operator.
+    // real corpora use τ≈0.9 with the same operator. Round 13: the
+    // production float path runs the same self-sized directional
+    // multi-probe operating point as its hash-checked portable twin
+    // (q84) — fewer tables for the same threshold recall, broadcast
+    // verify regime under the row hint.
     "q43_embed_neardup" -> { (spark, dir) =>
+      val b = embedBitsFor(spark, dir)
       Similarity.embeddingNearDupPairs(Tables.table(spark, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.25, numTables = 8, bitsPerTable = 6)
+          "vec_id", "embedding", threshold = 0.25,
+          numTables = embedTablesFor(b), bitsPerTable = b,
+          probes = embedProbesFor(b), corpusRowsHint = embedCountFor(spark, dir))
         .orderBy("id_a", "id_b").limit(100)
     },
     // Brute-force top-k (exact ANN baseline) — ORACLE since round 5: the

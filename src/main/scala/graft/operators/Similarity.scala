@@ -491,6 +491,48 @@ object Similarity {
     * regime-independent. */
   val BroadcastVerifyMaxRows = 100000L
 
+  /** DISTINCT within-bucket id pairs of a (id, __t, __bkt) key stream —
+    * the home-only candidate generator (probes = 0), shared by the
+    * portable and float pair pipelines. */
+  private def homeOnlyPairs(keys: DataFrame, idCol: String,
+                            maxBucketSize: Int): DataFrame =
+    keys
+      .groupBy("__t", "__bkt")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+
+  /** RAW (with multiplicity) multi-probe candidate pairs of a
+    * (id, __t, __bkt) key stream — directional probe keys joined to the
+    * capped home buckets; the dedup regime (before vs after exact
+    * verification — the found set commutes) is the caller's decision.
+    * Shared by the portable and float pair pipelines.
+    *
+    * MULTI-PROBE (round 13, Lv et al. 2007): a pair collides in a table
+    * iff its signatures differ in ≤ 1 bit — each doc's probe keys (home
+    * + DIRECTIONAL 0→1 flips, probedBucketKeys) join the capped HOME
+    * buckets, so the same threshold recall needs ~(1 + bits(1−p)/p)×
+    * fewer tables (recommendedTablesProbed) while each ham-1 pair costs
+    * the verifier exactly ONE candidate row (probed by its 0-bit member
+    * alone). Home lists of size 1 stay eligible: a singleton bucket can
+    * still receive probes from neighbors. */
+  private def probedRawPairs(keys: DataFrame, idCol: String,
+                             maxBucketSize: Int, probes: Int): DataFrame = {
+    val home = keys
+      .groupBy("__t", "__bkt")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) <= maxBucketSize)
+    probedBucketKeys(keys, idCol, probes)
+      .join(home, Seq("__t", "__bkt"))
+      .select(col(idCol).as("__pid"), explode(col("__ids")).as("__hid"))
+      .filter(col("__pid") =!= col("__hid"))
+      .select(least(col("__pid"), col("__hid")).as("id_a"),
+        greatest(col("__pid"), col("__hid")).as("id_b"))
+  }
+
   def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minScore: Long, tables: Int = 8, bits: Int = 6,
                          dim: Int = 64, seed: Long = 11L,
@@ -518,34 +560,9 @@ object Similarity {
         .filter(col("score") >= minScore)
     }
     if (probes <= 0)
-      verify(keys
-        .groupBy("__t", "__bkt")
-        .agg(collect_list(col(idCol)).as("__ids"))
-        .filter(size(col("__ids")).between(2, maxBucketSize))
-        .select(explode(col("__ids")).as("id_a"), col("__ids"))
-        .select(col("id_a"), explode(col("__ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .distinct(), useBroadcast = false)
+      verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
     else {
-      // MULTI-PROBE (round 13, Lv et al. 2007): a pair collides in a
-      // table iff its signatures differ in ≤ 1 bit — each doc's probe
-      // keys (home + DIRECTIONAL 0→1 flips, probedBucketKeys) join the
-      // capped HOME buckets, so the same threshold recall needs
-      // ~(1 + bits(1−p)/p)× fewer tables (recommendedTablesProbed)
-      // while each ham-1 pair costs the verifier exactly ONE candidate
-      // row (probed by its 0-bit member alone). Home lists of size 1
-      // stay eligible: a singleton bucket can still receive probes
-      // from neighbors.
-      val home = keys
-        .groupBy("__t", "__bkt")
-        .agg(collect_list(col(idCol)).as("__ids"))
-        .filter(size(col("__ids")) <= maxBucketSize)
-      val rawPairs = probedBucketKeys(keys, idCol, probes)
-        .join(home, Seq("__t", "__bkt"))
-        .select(col(idCol).as("__pid"), explode(col("__ids")).as("__hid"))
-        .filter(col("__pid") =!= col("__hid"))
-        .select(least(col("__pid"), col("__hid")).as("id_a"),
-          greatest(col("__pid"), col("__hid")).as("id_b"))
+      val rawPairs = probedRawPairs(keys, idCol, maxBucketSize, probes)
       if (corpusRowsHint >= 0 && corpusRowsHint <= BroadcastVerifyMaxRows)
         // broadcast regime: verify the duplicates map-side, dedup the
         // (tiny) survivor set — see BroadcastVerifyMaxRows
@@ -625,32 +642,39 @@ object Similarity {
                             threshold: Double, numTables: Int = 4,
                             bitsPerTable: Int = 8, dim: Int = 64,
                             seed: Long = 42L,
-                            maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+                            maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                            probes: Int = 0, corpusRowsHint: Long = -1L): DataFrame = {
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
     // Single-pass bucketing (cf. TextDedup.minhashCandidates) with a
-    // KEYS-ONLY exchange: (table, bucket, id) triples, members collected
-    // per bucket, pairs by double explode. Vectors never ride the bucket
-    // shuffle — they are joined back for surviving candidate pairs only
-    // (same narrow-band discipline as portableEmbedPairs; a self-join
-    // formulation would also recompute the signature projections per side).
-    val bucketed = corpus.select(col(idCol),
-      posexplode(allBuckets(col(vecCol), planes)).as(Seq("__table", "__bucket")))
-    // degenerate-bucket guard (cf. TextDedup.DefaultMaxBucketSize)
-    val pairs = bucketed
-      .groupBy("__table", "__bucket")
-      .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
-      .select(col("id_a"), explode(col("__ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    // KEYS-ONLY exchange: (table, bucket, id) triples — vectors never
+    // ride the bucket shuffle; they are joined back for candidate pairs
+    // only. Round 13: the production float path shares the portable
+    // twin's candidate generators — home-only (probes = 0, the declared
+    // q43 form through round 12) or directional multi-probe + two-regime
+    // verification (the q84 machinery: fewer tables for the same
+    // threshold recall, duplicates verified map-side when the vector
+    // frame broadcasts).
+    val keys = corpus.select(col(idCol),
+      posexplode(allBuckets(col(vecCol), planes)).as(Seq("__t", "__bkt")))
     val v = corpus.select(col(idCol), col(vecCol))
-    pairs
-      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
-      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        fastCosine(corpus, col("__va"), col("__vb")).as("sim"))
-      .filter(col("sim") >= threshold)
+    def verify(pairs: DataFrame, useBroadcast: Boolean): DataFrame = {
+      def side(df: DataFrame) = if (useBroadcast) broadcast(df) else df
+      pairs
+        .join(side(v.select(col(idCol).as("id_a"), col(vecCol).as("__va"))), Seq("id_a"))
+        .join(side(v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          fastCosine(corpus, col("__va"), col("__vb")).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
+    if (probes <= 0)
+      verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
+    else {
+      val rawPairs = probedRawPairs(keys, idCol, maxBucketSize, probes)
+      if (corpusRowsHint >= 0 && corpusRowsHint <= BroadcastVerifyMaxRows)
+        verify(rawPairs, useBroadcast = true).distinct()
+      else
+        verify(rawPairs.distinct(), useBroadcast = false)
+    }
   }
 
   /** Deterministic semantic clustering for the SemDeDup family (q186/

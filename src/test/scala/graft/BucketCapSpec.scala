@@ -202,4 +202,19 @@ class BucketCapSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a > 10000L && b > 10000L })
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("embeddingNearDupPairs under MULTI-PROBE (the shipped q43 config) keeps the cap discipline") {
+    // the float path shares the portable twin's probed generators
+    // (homeOnlyPairs/probedRawPairs) — same boilerplate-cluster
+    // guarantees in both verification regimes
+    Seq(-1L, 3000L).foreach { hint => // shuffle regime, broadcast regime
+      val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+          threshold = 0.2, numTables = 2, bitsPerTable = 6, probes = 6,
+          corpusRowsHint = hint)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(!pairs.exists { case (a, b) => a > 10000L && b > 10000L },
+        s"hint=$hint: boilerplate pair survived the probed cap")
+      assert(pairs.contains((1L, 2L)), s"hint=$hint: genuine pair lost")
+    }
+  }
 }
