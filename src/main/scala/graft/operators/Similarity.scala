@@ -147,11 +147,21 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k. Same output shape as bruteForceTopK;
-    * recall < 1 by construction, tunable via numTables/bitsPerTable. */
+    * recall < 1 by construction, tunable via numTables/bitsPerTable.
+    *
+    * `probes` > 0 enables QUERY-SIDE multi-probe (Lv et al. 2007 — the
+    * search-shaped use): each query additionally probes the buckets at
+    * Hamming distance 1 in the first `probes` signature bits (full XOR
+    * flips, not the pair-gen path's directional ones — search has no
+    * second orientation: only the query probes), so a near neighbor is
+    * found when the signatures differ in ≤ 1 bit. The same recall then
+    * needs fewer TABLES, and tables are what the CORPUS side pays for —
+    * its bucket stream is n×L keys while the probe fan-out rides the
+    * broadcast-small query side. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, numTables: Int = 4, bitsPerTable: Int = 8,
-              dim: Int = 64, seed: Long = 42L): DataFrame = {
+              dim: Int = 64, seed: Long = 42L, probes: Int = 0): DataFrame = {
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
     // Keys-only candidate generation: the bucket join and the distinct
     // carry (query_id, vec_id) ids, never the vectors (the narrow-band
@@ -162,7 +172,12 @@ object Similarity {
       df.select(col(id).as(aId),
           posexplode(allBuckets(col(vec), planes)).as(Seq("__table", "__bucket")))
     val c = withBuckets(corpus, idCol, vecCol, "vec_id")
-    val q = withBuckets(queries, queryIdCol, queryVecCol, "query_id")
+    val qHome = withBuckets(queries, queryIdCol, queryVecCol, "query_id")
+    val q =
+      if (probes <= 0) qHome
+      else qHome.select(col("query_id"), col("__table"),
+        explode(array((col("__bucket") +: (0 until probes).map(j =>
+          col("__bucket").bitwiseXOR(lit(1L << j)))): _*)).as("__bucket"))
     val candidates = c.join(broadcast(q), Seq("__table", "__bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")

@@ -35,6 +35,16 @@ object Recall {
       val recall = got.intersect(bf).size.toDouble / bf.size
       println(f"[recall] L=$tables%2d bits=$bits: recall@$k=${recall}%.3f time=$sec%.2f s")
     }
+    // query-side multi-probe (round 13): fewer tables — the corpus-side
+    // cost — at the same recall; probe fan-out rides the broadcast side
+    for ((tables, bits, probes) <- Seq((4, 4, 4), (8, 4, 4), (4, 6, 6), (8, 6, 6), (2, 4, 4))) {
+      val t1 = System.nanoTime()
+      val got = pairs(Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k,
+        numTables = tables, bitsPerTable = bits, probes = probes))
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = got.intersect(bf).size.toDouble / bf.size
+      println(f"[recall] L=$tables%2d bits=$bits probes=$probes: recall@$k=${recall}%.3f time=$sec%.2f s")
+    }
     // IVF: recall governed by nprobe/nlist (fraction of inverted lists
     // scanned); nprobe == nlist degenerates to exact brute force
     // 256/32 exercises the realistic-nlist regime: with the broadcast-join

@@ -161,8 +161,8 @@ object ScaleTenX {
         emb10, "vec_id", "embedding", qs, "qid", "qvec", k))
       val got = pairSet(Similarity.lshTopK(
         emb10, "vec_id", "embedding", qs, "qid", "qvec", k,
-        numTables = 16, bitsPerTable = 4))
-      println(f"[scale10x] lshTopK recall@$k at 10x (declared point L=16, bits=4): " +
+        numTables = 4, bitsPerTable = 4, probes = 4))
+      println(f"[scale10x] lshTopK recall@$k at 10x (declared point L=4, bits=4, probes=4): " +
         f"${got.intersect(bf).size.toDouble / bf.size}%.3f")
     }
     spark.stop()

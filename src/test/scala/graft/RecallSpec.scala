@@ -29,15 +29,24 @@ class RecallSpec extends AnyFunSuite {
     (emb, queries, truth)
   }
 
-  test("lshTopK at the declared q45 operating point (16 tables x 4 bits) holds recall@10") {
+  test("lshTopK at the declared q45 operating point (4 tables x 4 bits + 4 probes) holds recall@10") {
     val (emb, queries, truth) = fixtures(k = 10, nQ = 50)
+    // round 13: q45 ships query-side multi-probe — r13 measured 0.940 at
+    // sf0.1 (vs the former 16×4 home-only point's 0.916) with 4× fewer
+    // corpus-side tables (graft.tools.Recall)
     val got = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
-      queries, "qid", "qvec", k = 10, numTables = 16, bitsPerTable = 4))
+      queries, "qid", "qvec", k = 10, numTables = 4, bitsPerTable = 4, probes = 4))
     val recall = got.intersect(truth).size.toDouble / truth.size
-    // r11 measured 0.908 on the regenerated sf0.01 fixture
     assert(recall >= 0.70,
-      f"lshTopK(16x4) recall@10 = $recall%.3f < 0.70 — regenerated embeddings distribution " +
+      f"lshTopK(4x4+4probes) recall@10 = $recall%.3f < 0.70 — regenerated embeddings distribution " +
         "no longer suits the declared q45 parameters (re-tune via graft.tools.Recall)")
+    // the probed point must not UNDERPERFORM the former home-only point:
+    // probing trades table count for probe fan-out, never recall
+    val home = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10, numTables = 16, bitsPerTable = 4))
+    val homeRecall = home.intersect(truth).size.toDouble / truth.size
+    assert(recall >= homeRecall - 0.10,
+      f"probed recall $recall%.3f fell >0.10 under the 16x4 home-only point's $homeRecall%.3f")
   }
 
   test("adaptiveBits widens past the count rule on a clustered corpus, fits the occupancy bound") {
