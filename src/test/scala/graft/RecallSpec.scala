@@ -147,6 +147,24 @@ class RecallSpec extends AnyFunSuite {
       "probing added no ham-1 pairs at bits=6 on the real fixture — probe keys are not reaching neighbor buckets")
   }
 
+  test("probed pair set is verification-regime-invariant (broadcast vs shuffle)") {
+    // the two-regime claim (BroadcastVerifyMaxRows): dedup before or
+    // after exact verification commutes, so the found (id_a, id_b,
+    // score) SET cannot depend on which regime ran — pinned here so a
+    // future regime change can't silently alter oracle output
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    def found(hint: Long) = Similarity.portableEmbedPairs(
+        emb, "vec_id", "embedding", minScore = graft.SparkEntry.EmbedMinScore,
+        tables = 2, bits = 6, probes = 6, corpusRowsHint = hint)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val broadcastRegime = found(emb.count()) // under the bound
+    val shuffleRegime = found(-1L)           // no hint → distinct-first
+    assert(broadcastRegime == shuffleRegime,
+      s"regimes diverged: only-broadcast=${(broadcastRegime -- shuffleRegime).take(3)}, " +
+        s"only-shuffle=${(shuffleRegime -- broadcastRegime).take(3)}")
+    assert(broadcastRegime.nonEmpty, "regime fixture degenerated: no pairs")
+  }
+
   test("embed-LSH pair recall at the SHIPPED multi-probe point holds the floor (q84 family, round 13)") {
     // the round-12 verdict's recall receipt, re-taken at the round-13
     // multi-probe operating point (tables from recommendedTablesProbed,
