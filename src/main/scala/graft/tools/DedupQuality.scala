@@ -135,6 +135,28 @@ object DedupQuality {
     * cluster (the published method's known blind spot — cross-cluster
     * near-dups; Abbas et al. 2023 accept it for the k ≪ n win). This
     * quantifies that blind spot on the actual corpus. */
+  /** Pair recall of the SHIPPED q43 float-path operating point (round
+    * 13: self-sized bits, probed tables, directional probes — the
+    * production config) vs exact all-pairs float-cosine truth at the
+    * q43 threshold. Found ⊆ truth by exact verification, same logic as
+    * the portable receipt. */
+  def measureEmbedPairsFloat(spark: SparkSession, emb: DataFrame,
+                             threshold: Double = 0.25): (Long, Long, Double) = {
+    import graft.operators.Similarity
+    graft.functions.CosineSim.register(spark)
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val truth = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", call_function("cosine_sim", col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold).count()
+    val n = emb.count()
+    val bits = Similarity.recommendedBits(n, 32)
+    val found = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = threshold, numTables = Similarity.recommendedTablesProbed(bits),
+      bitsPerTable = bits, probes = bits, corpusRowsHint = n).count()
+    (found, truth, if (truth == 0) 1.0 else found.toDouble / truth)
+  }
+
   /** Exact ≥-threshold near-dup pair truth over the quantized vectors —
     * shared by the cluster-visibility measurements below. */
   private def embedTruth(spark: SparkSession, emb: DataFrame): DataFrame = {
@@ -219,6 +241,8 @@ object DedupQuality {
       val emb = Tables.table(spark, d, "embeddings")
       val (ef, et, er) = measureEmbedPairs(spark, emb)
       println(f"[dedupq] $d embed-LSH pair recall (shipped multi-probe point): $ef/$et = $er%.3f")
+      val (ff, ft, fr) = measureEmbedPairsFloat(spark, emb)
+      println(f"[dedupq] $d float embed pair recall (shipped q43 point): $ff/$ft = $fr%.3f")
       val k = math.max(16, math.min(4096, math.ceil(emb.count() / 125.0).toInt))
       val (sf, st, sr) = measureSem(spark, emb, k)
       println(f"[dedupq] $d semdedup cluster recall (nlist=$k%d): $sf/$st = $sr%.3f")

@@ -180,6 +180,19 @@ class RecallSpec extends AnyFunSuite {
         "re-measure via DedupQuality and re-derive (bits, tables, probes)")
   }
 
+  test("float embed pair recall at the SHIPPED q43 point holds the floor (round 13)") {
+    // the production float path's twin of the portable receipt — r13
+    // measured 0.711 at sf0.01 / 0.396 at sf0.1, essentially identical
+    // to the portable twin's 0.712/0.402 (different hyperplane family,
+    // same collision theory). Same 0.25 floor as the portable pin.
+    val (found, truth, recall) = graft.tools.DedupQuality.measureEmbedPairsFloat(
+      spark, Tables.table(spark, TestSpark.sf01, "embeddings"))
+    assert(truth > 0, "no exact float near-dup pairs at the oracle SF — the embedding fixture degenerated")
+    assert(recall >= 0.25,
+      f"float embed pair recall $found/$truth = $recall%.3f < 0.25 at the shipped q43 point — " +
+        "re-measure via DedupQuality and re-derive (bits, tables, probes)")
+  }
+
   test("minhash banding recall vs exact all-pairs Jaccard truth holds the floor (q82 family)") {
     // the text twin of the q84 pair-recall receipt (round 12): found ⊆
     // truth because verification is exact on the same shingle sets, so
