@@ -904,9 +904,19 @@ object Similarity {
   /** Per-row argmax assignment against DRIVER-COLLECTED centroid literals
     * — the streaming form of `semAssignTo` (a streaming groupBy would be
     * a stateful aggregation; with the centroid set manifest-sized by the
-    * nlist ≤ 4096 contract, inlining it makes assignment a pure codegen'd
+    * nlist ≤ 4096 contract, inlining it makes assignment a pure
     * expression, the hyperplane-literal discipline). Returns a (cid, s)
-    * struct column. */
+    * struct column.
+    *
+    * Measured envelope (round 13): the literal tree is probed working
+    * at nlist = 64 / 256 / 1024 (2.3 / 2.4 / 6.6 s for a 1k-row frame
+    * INCLUDING plan construction — past a few hundred centroids Spark
+    * falls back from codegen to interpreted evaluation, and the plan
+    * cost grows with the constant count, but q208 builds the expression
+    * ONCE per stream arm, so it amortizes over every micro-batch). For
+    * nlist near the 4096 clamp prefer the batch `semAssignTo`
+    * broadcast-join form; SemDedupSpec pins streaming ≡ batch at
+    * nlist = 64 on top of the small-nlist cases. */
   def semAssignExpr(vec: Column, cents: Seq[(Long, Seq[Long])]): Column = {
     require(cents.nonEmpty, "semAssignExpr needs at least one centroid")
     val entries = cents.map { case (cid, cv) =>

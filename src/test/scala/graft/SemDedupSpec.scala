@@ -201,4 +201,37 @@ class SemDedupSpec extends AnyFunSuite {
     spark.catalog.dropTempView("semstream_probe")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("semStreamCrossPairs = semCrossPairs at a realistic centroid count (nlist=64 literal tree)") {
+    // the literal-centroid expression's measured envelope reaches 1024
+    // centroids (Similarity.semAssignExpr scaladoc); this pins
+    // correctness of the big-literal tree where codegen may fall back
+    // to interpreted evaluation — the values must not care.
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    val all = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(64)((rng.nextFloat() * 2 - 1) / 8))).toDF("vec_id", "embedding")
+    val split = 150L
+    val existing = all.filter(org.apache.spark.sql.functions.col("vec_id") < split)
+    val incoming = all.filter(org.apache.spark.sql.functions.col("vec_id") >= split)
+    val batch = Similarity.semCrossPairs(existing, incoming,
+        "vec_id", "embedding", minScore = 1L, nlist = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_semstream64").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val idx = Similarity.semExistingIndex(existing, "vec_id", "embedding", nlist = 64)
+    val cents = Similarity.collectCentroids(
+      Similarity.semCentroids(existing, "vec_id", "embedding", nlist = 64))
+    assert(cents.size == 64)
+    val streamed = graft.streaming.StreamOps.runAppend(spark,
+        Similarity.semStreamCrossPairs(stream, "vec_id", "embedding",
+          cents, idx, minScore = 1L),
+        "semstream64_probe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "nlist=64 streaming fixture degenerated")
+    spark.catalog.dropTempView("semstream64_probe")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
