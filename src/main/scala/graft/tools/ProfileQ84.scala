@@ -50,9 +50,15 @@ object ProfileQ84 {
       .agg(collect_list(col("vec_id")).as("__ids"))
       .filter(size(col("__ids")) <= graft.operators.TextDedup.DefaultMaxBucketSize)
     time("home buckets (grouped)") { home.count() }
+    // DIRECTIONAL probes (0→1 flips), matching the shipped
+    // Similarity.probedBucketKeys — the earlier symmetric-XOR stage
+    // numbers (44.9M raw candidates) are preserved in BASELINE.md as
+    // the measurement that motivated the two verification regimes
     val probed = keys.select(col("vec_id"), col("__t"),
-      explode(array((col("__bkt") +: (0 until probes).map(j =>
-        col("__bkt").bitwiseXOR(lit(1L << j)))): _*)).as("__bkt"))
+      explode(filter(array((col("__bkt") +: (0 until probes).map(j =>
+        when(col("__bkt").bitwiseAND(lit(1L << j)) === 0L,
+          col("__bkt").bitwiseOR(lit(1L << j))))): _*),
+        x => x.isNotNull)).as("__bkt"))
     time("probe keys") { probed.count() }
     val raw = probed.join(home, Seq("__t", "__bkt"))
       .select(col("vec_id").as("__pid"), explode(col("__ids")).as("__hid"))
@@ -70,10 +76,15 @@ object ProfileQ84 {
         Similarity.intDot(col("__va"), col("__vb")).as("score"))
       .filter(col("score") >= graft.SparkEntry.EmbedMinScore)
     time("full pipeline (verified count)") { println("  n=" + verified.count()) }
-    time("declared entry end-to-end") {
+    time("shuffle-regime end-to-end (no row hint)") {
       Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
         minScore = graft.SparkEntry.EmbedMinScore,
         tables = tables, bits = bits, probes = probes).count()
+    }
+    time("declared entry end-to-end (row hint -> broadcast regime)") {
+      Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
+        minScore = graft.SparkEntry.EmbedMinScore,
+        tables = tables, bits = bits, probes = probes, corpusRowsHint = n).count()
     }
     // variant B: broadcast the vector side of both verify joins
     val verifiedB = cands
