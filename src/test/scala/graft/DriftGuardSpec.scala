@@ -37,6 +37,22 @@ class DriftGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddings stay 64-dimensional (the quantized replay's range(1, 65) contract)") {
+    // every quantized-embedding DuckDB text unrolls the dot product over
+    // range(1, 65), and the Spark operators default dim = 64 — a regen
+    // that changes the vector width would fail far from the cause
+    // (hash mismatches on every embedding entry). Pin the dimension
+    // loudly instead.
+    dirs.foreach { d =>
+      val emb = Tables.table(spark, d, "embeddings")
+      val dims = emb.select(size(col("embedding")).as("n")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(dims == Set(64),
+        s"$d: embedding dims drifted to $dims — every quantEmbCte range(1, 65) " +
+          "and dim=64 default must be re-derived together")
+    }
+  }
+
   test("embed-LSH occupancy at rule-derived bits stays far from the cap (q84/q97/q125)") {
     dirs.foreach { d =>
       val emb = Tables.table(spark, d, "embeddings")
