@@ -37,6 +37,19 @@ class DriftGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("documents.lang stays within the five-language contract (q101 quotas, FIXTURES.md)") {
+    // SparkEntry.MixQuotasBp keys the weighted-mix quotas on exactly
+    // {de, en, es, fr, zh} (FIXTURES.md); a regen introducing a new
+    // language would silently fall outside the quota map (and several
+    // per-lang fixtures' assumptions) — surface it at the source.
+    dirs.foreach { d =>
+      val langs = Tables.table(spark, d, "documents")
+        .select("lang").distinct().collect().map(_.getString(0)).toSet
+      assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")) && langs.size >= 2,
+        s"$d: documents.lang drifted to $langs — re-derive MixQuotasBp and the per-lang fixtures")
+    }
+  }
+
   test("embeddings stay 64-dimensional (the quantized replay's range(1, 65) contract)") {
     // every quantized-embedding DuckDB text unrolls the dot product over
     // range(1, 65), and the Spark operators default dim = 64 — a regen
