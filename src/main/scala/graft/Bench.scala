@@ -85,9 +85,18 @@ object Bench {
       if (!f.isFile) Map.empty
       else {
         val text = scala.io.Source.fromFile(f, "UTF-8")
-        try """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(text.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally text.close()
+        try {
+          val m = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(text.mkString)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // Shape guard (r13 advice): the regex absorbs ANY "key": number
+          // pair, so a future metadata/nesting addition to the file would
+          // silently join the expected vector and mis-target retries.
+          // Every key must look like a query id (qNN_name).
+          val alien = m.keys.filterNot(_.matches("q\\d+[A-Za-z0-9_]*"))
+          require(alien.isEmpty,
+            s"bench_expected.json carries non-query keys ${alien.take(3).mkString(", ")} — flat {\"qNN_name\": seconds} only")
+          m
+        } finally text.close()
       }
     }
     val retrySlow = firstPass.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1)

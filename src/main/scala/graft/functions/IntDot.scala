@@ -24,8 +24,13 @@ import org.apache.spark.sql.types._
   * aggregate, so the result is NULL when the lengths differ or any
   * overlapped element is null; otherwise the exact Long sum. Overflow
   * contract is the caller's (quantized |x_i| ≤ 10⁴ ⇒ 64-dim sums
-  * ≤ 6.4e9 ≪ Long.Max); Java long arithmetic here neither checks nor
-  * needs ANSI guards, same as the HOF's unchecked multiply.
+  * ≤ 6.4e9 ≪ Long.Max). KNOWN DIVERGENCE outside that
+  * contract: this expression's Java long arithmetic WRAPS on overflow,
+  * while the HOF spelling under Spark 4's ANSI mode THROWS on the x*y
+  * multiply — the two agree only while every product and partial sum
+  * stays in-range, which the quantized callers guarantee (and
+  * NativeExprPropSpec's |x_i| ≤ 10⁴ generators deliberately stay
+  * inside).
   */
 case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
 

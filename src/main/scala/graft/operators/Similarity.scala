@@ -162,6 +162,8 @@ object Similarity {
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, numTables: Int = 4, bitsPerTable: Int = 8,
               dim: Int = 64, seed: Long = 42L, probes: Int = 0): DataFrame = {
+    require(probes <= bitsPerTable,
+      s"probes ($probes) beyond the $bitsPerTable-bit signature flip bits no bucket key carries")
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
     // Keys-only candidate generation: the bucket join and the distinct
     // carry (query_id, vec_id) ids, never the vectors (the narrow-band
@@ -504,7 +506,22 @@ object Similarity {
     * is identical in both regimes (dedup before or after exact
     * verification commutes), so oracles and recall receipts are
     * regime-independent. */
-  val BroadcastVerifyMaxRows = 100000L
+  val BroadcastVerifyBudgetBytes = 100000L * 64 * 8 // = the r13-measured 100k-rows-at-dim-64 point
+
+  /** The row bound DERIVED from the vector dimension (round-14 verdict
+    * #5: the former flat 100000L silently encoded dim=64 — at dim=512
+    * the same row count is 8× the broadcast payload). rows ≈ budget /
+    * (dim × 8 bytes per quantized long); at dim=64 this is exactly the
+    * measured 100k-row / ≈53 MB point. */
+  def broadcastVerifyMaxRows(dim: Int): Long = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    BroadcastVerifyBudgetBytes / (dim * 8L)
+  }
+
+  /** The dim=64 point of [[broadcastVerifyMaxRows]] (the corpus'
+    * embedding contract — DriftGuard pins it); kept as the named
+    * constant docs and specs reference. */
+  val BroadcastVerifyMaxRows: Long = broadcastVerifyMaxRows(64)
 
   /** DISTINCT within-bucket id pairs of a (id, __t, __bkt) key stream —
     * the home-only candidate generator (probes = 0), shared by the
@@ -554,6 +571,8 @@ object Similarity {
                          scale: Int = 10000,
                          maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                          probes: Int = 0, corpusRowsHint: Long = -1L): DataFrame = {
+    require(probes <= bits,
+      s"probes ($probes) beyond the $bits-bit signature flip bits no bucket key carries")
     val planes = portableHyperplanes(dim, tables, bits, seed)
     val q = portableQuantized(corpus, idCol, vecCol, scale)
     // Bucketing fans out KEYS ONLY — compact (t, bkt, id) triples, never
@@ -578,9 +597,9 @@ object Similarity {
       verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
     else {
       val rawPairs = probedRawPairs(keys, idCol, maxBucketSize, probes)
-      if (corpusRowsHint >= 0 && corpusRowsHint <= BroadcastVerifyMaxRows)
+      if (corpusRowsHint >= 0 && corpusRowsHint <= broadcastVerifyMaxRows(dim))
         // broadcast regime: verify the duplicates map-side, dedup the
-        // (tiny) survivor set — see BroadcastVerifyMaxRows
+        // (tiny) survivor set — see broadcastVerifyMaxRows
         verify(rawPairs, useBroadcast = true).distinct()
       else
         verify(rawPairs.distinct(), useBroadcast = false)
@@ -659,6 +678,8 @@ object Similarity {
                             seed: Long = 42L,
                             maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                             probes: Int = 0, corpusRowsHint: Long = -1L): DataFrame = {
+    require(probes <= bitsPerTable,
+      s"probes ($probes) beyond the $bitsPerTable-bit signature flip bits no bucket key carries")
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
     // Single-pass bucketing (cf. TextDedup.minhashCandidates) with a
     // KEYS-ONLY exchange: (table, bucket, id) triples — vectors never
@@ -685,7 +706,7 @@ object Similarity {
       verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
     else {
       val rawPairs = probedRawPairs(keys, idCol, maxBucketSize, probes)
-      if (corpusRowsHint >= 0 && corpusRowsHint <= BroadcastVerifyMaxRows)
+      if (corpusRowsHint >= 0 && corpusRowsHint <= broadcastVerifyMaxRows(dim))
         verify(rawPairs, useBroadcast = true).distinct()
       else
         verify(rawPairs.distinct(), useBroadcast = false)

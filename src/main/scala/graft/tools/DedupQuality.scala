@@ -129,12 +129,6 @@ object DedupQuality {
     (found, truth, if (truth == 0) 1.0 else found.toDouble / truth)
   }
 
-  /** Cluster recall of the SemDeDup family (q186/q187): truth = exact
-    * all-pairs quantized dots ≥ the q84 threshold; a true near-dup pair
-    * is only VISIBLE to SemDeDup if both ends land in the same semantic
-    * cluster (the published method's known blind spot — cross-cluster
-    * near-dups; Abbas et al. 2023 accept it for the k ≪ n win). This
-    * quantifies that blind spot on the actual corpus. */
   /** Pair recall of the SHIPPED q43 float-path operating point (round
     * 13: self-sized bits, probed tables, directional probes — the
     * production config) vs exact all-pairs float-cosine truth at the
@@ -181,6 +175,12 @@ object DedupQuality {
     (same, n, if (n == 0) 1.0 else same.toDouble / n)
   }
 
+  /** Cluster recall of the SemDeDup family (q186/q187): truth = exact
+    * all-pairs quantized dots ≥ the q84 threshold; a true near-dup pair
+    * is only VISIBLE to SemDeDup if both ends land in the same semantic
+    * cluster (the published method's known blind spot — cross-cluster
+    * near-dups; Abbas et al. 2023 accept it for the k ≪ n win). This
+    * quantifies that blind spot on the actual corpus. */
   def measureSem(spark: SparkSession, emb: DataFrame, nlist: Int): (Long, Long, Double) = {
     import graft.operators.Similarity
     sameClusterFraction(embedTruth(spark, emb),

@@ -190,6 +190,20 @@ class DriftGuardSpec extends AnyFunSuite {
       assert(kth < SparkEntry.IncrementalSplitId,
         s"$d: nlist=$k-th lowest vec_id $kth >= split ${SparkEntry.IncrementalSplitId} — " +
           "the q207/q208 oracle's centroid-containment identity broke on this regen")
+      // round-14 margin pin: the containment must also hold at the NEXT
+      // likely nlist step — semNlistFor at a DOUBLED corpus (the regen
+      // that moves k). r14 measured: sf0.01 n=500 k=16→k2=16 (clamp
+      // floor), kth2 vec_id 15; sf0.1 n=2000 k=16→k2=32, kth2 vec_id 31
+      // — both ≪ split 400, so a regen has ≥ 12× headroom before the
+      // q186-replay identity needs a new oracle form.
+      val n = emb.count()
+      val k2 = math.max(16, math.min(4096, math.ceil(2 * n / 125.0).toInt))
+      val kth2 = emb.select(col("vec_id")).orderBy("vec_id").limit(k2)
+        .agg(max("vec_id")).head().getLong(0)
+      assert(kth2 < SparkEntry.IncrementalSplitId,
+        s"$d: at the next nlist step (2x corpus -> k=$k2) the $k2-th lowest vec_id $kth2 " +
+          s">= split ${SparkEntry.IncrementalSplitId} — margin gone; re-derive the q207/q208 oracle " +
+          "(DriftProbe prints the measured ids)")
     }
     val crossPairs = SparkEntry.queries("q207_incremental_semdedup")(spark, dir).count()
     assert(crossPairs > 0, s"$dir: no cross-split semantic pairs — the q207/q208 fixture degenerated")

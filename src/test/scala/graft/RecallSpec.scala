@@ -165,6 +165,18 @@ class RecallSpec extends AnyFunSuite {
     assert(broadcastRegime.nonEmpty, "regime fixture degenerated: no pairs")
   }
 
+  test("broadcast-verify row bound derives from the vector dimension (round 14)") {
+    // the former flat 100000L silently encoded dim=64 (53 MB of
+    // array<long> payload); the bound now scales as budget/(dim*8) so a
+    // dim change moves the regime switch proportionally
+    assert(Similarity.broadcastVerifyMaxRows(64) == 100000L,
+      "dim=64 must reproduce the r13-measured 100k-row point")
+    assert(Similarity.BroadcastVerifyMaxRows == 100000L)
+    assert(Similarity.broadcastVerifyMaxRows(512) == 12500L,
+      "8x the dimension must shrink the broadcastable row bound 8x")
+    assertThrows[IllegalArgumentException](Similarity.broadcastVerifyMaxRows(0))
+  }
+
   test("embed-LSH pair recall at the SHIPPED multi-probe point holds the floor (q84 family, round 13)") {
     // the round-12 verdict's recall receipt, re-taken at the round-13
     // multi-probe operating point (tables from recommendedTablesProbed,
