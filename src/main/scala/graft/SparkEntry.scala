@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Bpe, Checkpoints, Dsir, Multimodal, NaiveBayes, Similarity, TextAnalysis, TextDedup}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -314,6 +314,54 @@ object SparkEntry {
     * ClusterSplitSpec, NbDsirSpec) reference it instead of re-spelling
     * 400 — a retuned boundary must move every guard with it. */
   private[graft] val IncrementalSplitId = 400L
+
+  /** q210's planted-variant id offset: a resized copy of image media_id
+    * keeps identity as media_id + this. One constant for the Spark entry
+    * AND the DuckDB text; far above any doc_id the generator emits
+    * (DriftGuardSpec pins max doc_id < offset each regen — an overlap
+    * would alias a variant onto a real row in both engines). */
+  private[graft] val PhashVariantOffset = 1000000L
+
+  /** q209/q210's shared oracle CTE: the image-typed ASCII documents with
+    * the synthetic generator's dimensions (w = 4 + id%13, h = 3 + id%7 —
+    * `Multimodal.syntheticMedia`'s one spelling) and the byte length the
+    * pixel replay indexes modulo. DuckDB spells byte-length `strlen`
+    * where Spark spells it `octet_length` (dual-text allowlisted). */
+  private val phashImgCte: String =
+    "img AS (SELECT doc_id, text, strlen(text) AS len, " +
+      "4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h " +
+      "FROM documents WHERE doc_id % 3 = 0 AND length(text) = strlen(text))"
+
+  /** The dHash64 replay over `img`: bit b (gx = b%8, gy = b DIV 8) set
+    * iff pixel(sample(gx+1), sample(gy)) > pixel(sample(gx), sample(gy)),
+    * where pixel(x, y) = ascii byte at (x + y·7) mod len and the sample
+    * lattice is the 9×8 floor grid — integer arithmetic both engines
+    * evaluate identically (prototyped value-equal against a scalar
+    * reference before wiring). Bit 63 must be the min-long literal:
+    * DuckDB's (1::BIGINT << 63) raises Out of Range. */
+  private val phashExprSql: String =
+    "CAST(list_sum(list_transform(range(0, 64), b -> " +
+      "CASE WHEN ascii(substr(text, CAST((((b % 8 + 1) * w // 9) + ((b // 8) * h // 8) * 7) % len AS INT) + 1, 1)) " +
+      "> ascii(substr(text, CAST((((b % 8) * w // 9) + ((b // 8) * h // 8) * 7) % len AS INT) + 1, 1)) " +
+      "THEN (CASE WHEN b = 63 THEN (-9223372036854775807::BIGINT - 1) ELSE (1::BIGINT << b) END) " +
+      "ELSE 0::BIGINT END)) AS BIGINT)"
+
+  /** The q209/q210 image fixture: image-typed rows of the synthetic
+    * media table whose source document is pure ASCII (byte length =
+    * char length — the precondition for the oracle's ascii(substr(...))
+    * pixel replay; the current corpus is entirely ASCII, so this is a
+    * regen guard, not a filter). The ASCII semi-join runs BEFORE any
+    * decode so non-replayable rows never cost codec work. */
+  private def phashAsciiImages(spark: SparkSession,
+                               dir: String): Dataset[Multimodal.MediaRow] = {
+    val media = Multimodal.syntheticMedia(spark, dir) // registers documents
+    val ascii = spark.table("documents")
+      .filter(length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id").as("media_id"))
+    media.filter(col("media_type") === "image")
+      .join(broadcast(ascii), Seq("media_id"), "left_semi")
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+  }
 
   /** q199's frequency head: the Zipf fit runs over the top-ZipfHead
     * terms per language (the power-law HEAD — standard practice, and
@@ -2520,6 +2568,38 @@ object SparkEntry {
           s"q208_mem_${math.abs(dir.hashCode)}")
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Perceptual image hash (round 14 — the brief's multimodal modality
+    // gets a similarity signature, not just byte-exact dedup): every
+    // image row of the synthetic media table is ENCODED as a real
+    // BMP/PNG container, decoded back through the real codecs, and
+    // dHash64'd over the reconstructed pixel grid. The oracle recomputes
+    // the hash straight from the document text bytes (the pixel source),
+    // so a hash match proves the ENTIRE container round-trip — zlib
+    // INFLATE, filter reversal, row order, channel averaging — is
+    // pixel-exact, the q83 discipline applied to binary media. ASCII
+    // filter: the oracle reads pixel bytes via ascii(substr(...)), valid
+    // only where byte length = char length (currently the whole corpus;
+    // the filter is the regen guard).
+    "q209_phash" -> { (spark, dir) =>
+      Multimodal.phashFeatures(phashAsciiImages(spark, dir))
+        .orderBy("media_id").limit(100)
+    },
+    // Perceptual near-dup pairs (round 14): originals ∪ planted
+    // integer-lattice resizes (18×16 = 2× the 9×8 dHash sample lattice ⇒
+    // dHash-invariant by the floor arithmetic — the variant is a
+    // different container byte stream with the SAME perceptual hash),
+    // banded with the text-SimHash combination machinery. The DuckDB
+    // text replays dHash from text bytes, duplicates it at the variant
+    // offset, and mirrors banding + cap + min-combo — hash-checking
+    // decode → resize → re-encode → decode → dHash → banding end to end.
+    "q210_phash_pairs" -> { (spark, dir) =>
+      val imgs = phashAsciiImages(spark, dir)
+      val variants = Multimodal.resizeMedia(imgs, 18, 16)
+        .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.phashPairs(Multimodal.phashFeatures(imgs.unionAll(variants)))
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // TRAINED-classifier gate (round 11, session 2): multinomial Naive
     // Bayes over token counts — the fastText-style model-based language/
     // quality filter (CCNet / GPT-3-era curation), completing the gate
@@ -3923,6 +4003,53 @@ object SparkEntry {
           s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
           s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
           s"c -> CASE WHEN ((xor(a.sim, b.sim) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
+          "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+          "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
+          "ORDER BY id_a, id_b LIMIT 100")
+      },
+      // round 14, q209: the dHash recomputed straight from the document
+      // text bytes — the synthetic image's pixel(x, y) is
+      // text[(x + y·7) mod len], the 9×8 sample lattice is floor
+      // arithmetic, and bit b compares the two adjacent samples. A match
+      // proves the Spark side's BMP/PNG encode → real-codec decode →
+      // pixel-grid dHash round-trip is pixel-exact. ascii(substr) reads
+      // BYTES only on ASCII text — the img CTE's strlen guard (mirrored
+      // by the Spark side's octet_length semi-join). Bit 63 is spelled
+      // as min-long (DuckDB's 1<<63 throws); summing disjoint bit values
+      // through HUGEINT then casting back is exact two's-complement.
+      "q209_phash" ->
+        (s"WITH $phashImgCte " +
+          s"SELECT doc_id AS media_id, $phashExprSql AS phash FROM img " +
+          "ORDER BY media_id LIMIT 100"),
+      // round 14, q210: q209's hash duplicated at the variant offset
+      // (the 18×16 integer-lattice resize is dHash-invariant — the
+      // planted-pair identity the Spark pipeline must reproduce through
+      // decode → resample → re-encode → decode), then the q83
+      // combination-banding replay verbatim at 8-bit chunks: packed
+      // combo keys, bucket cap, min-combo single emission, exact
+      // hamming.
+      "q210_phash_pairs" -> {
+        val chunkBits = 64 / graft.operators.TextDedup.SimhashChunks
+        val nChunks = graft.operators.TextDedup.SimhashChunks
+        val mask = (1L << chunkBits) - 1
+        val comboVals = graft.operators.TextDedup.simhashCombos.zipWithIndex
+          .map { case (cs, j) => s"($j, ${cs.mkString("[", ", ", "]")})" }.mkString(", ")
+        val minCombo = graft.operators.TextDedup.simhashMinComboByMask
+          .mkString("[", ", ", "]")
+        (s"WITH $phashImgCte, " +
+          s"ph0 AS (SELECT doc_id AS media_id, $phashExprSql AS phash FROM img), " +
+          s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
+          s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
+          "chunks0 AS (SELECT media_id, phash, j, " +
+          s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
+          s"i -> ((phash >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
+          "FROM ph, combos), " +
+          "chunks AS (SELECT *, COUNT(*) OVER (PARTITION BY j, ckey) AS bsz FROM chunks0), " +
+          "pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b, a.phash AS sa, b.phash AS sb " +
+          "FROM chunks a JOIN chunks b ON a.j = b.j AND a.ckey = b.ckey AND a.media_id < b.media_id " +
+          s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
+          s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
+          s"c -> CASE WHEN ((xor(a.phash, b.phash) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
           "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
           "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
           "ORDER BY id_a, id_b LIMIT 100")

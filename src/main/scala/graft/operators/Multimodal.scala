@@ -564,6 +564,107 @@ object Multimodal {
     }
   }
 
+  /** True iff the bytes carry a container magic `decodePixels` reads
+    * (BMP / PNG / binary PPM) — the image-row predicate of the
+    * perceptual-hash family. */
+  def isImage(bs: Array[Byte]): Boolean =
+    (bs.length >= 2 && bs(0) == 'B' && bs(1) == 'M') ||
+      (bs.length >= 4 && (bs(0) & 0xff) == 0x89 &&
+        bs(1) == 'P' && bs(2) == 'N' && bs(3) == 'G') ||
+      (bs.length >= 2 && bs(0) == 'P' && bs(1) == '6')
+
+  /** 64-bit difference hash (dHash — the standard perceptual image hash:
+    * downsample, then threshold on the horizontal gradient sign) of any
+    * image container this codec reads. The grayscale pixel grid is
+    * nearest-neighbor sampled on a 9×8 lattice (sample (gx, gy) =
+    * pixel(gx·w DIV 9, gy·h DIV 8) — the same floor arithmetic as
+    * `resizeImage`, so an integer-lattice resize is dHash-INVARIANT by
+    * construction), and bit gy·8+gx is set iff the right neighbor is
+    * strictly brighter than the left. Container-independent: BMP↔PNG↔PPM
+    * transcodes of the same pixels hash identically (the codecs are
+    * grayscale-lossless), which is exactly what byte-exact dedup (q35)
+    * cannot see. Near-duplicate pixels ⇒ near Hamming distance, so the
+    * SimHash combination-banding machinery applies unchanged. */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val (w, h, px) = RealCodec.decodePixels(bytes)
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val row = (gy * h / 8) * w
+      var gx = 0
+      while (gx < 8) {
+        if (px(row + (gx + 1) * w / 9) > px(row + gx * w / 9))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** (media_id, phash) frame of a media table's image rows — per-partition
+    * batch decode like `decodeFeatures` (codec init amortized; the blob
+    * never leaves the scan stage: what shuffles downstream is one long per
+    * image). Non-image rows are skipped, not failed: a mixed media table
+    * routes audio/video to their own feature stages. */
+  def phashFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.collect {
+      case r if isImage(r.content) => (r.media_id, dHash64(r.content))
+    }).toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-duplicate image pairs over a (id, phash) signature
+    * frame: the 64-bit dHashes are combination-banded with the EXACT text
+    * SimHash machinery (8×8-bit chunks, every C(8,5) intact subset a
+    * bucket — pigeonhole-complete for hamming ≤ 3; min-combo single
+    * emission; `TextDedup.DefaultMaxBucketSize` caps degenerate buckets —
+    * flat/monochrome images all hash near 0 and are this family's
+    * boilerplate cluster). Keys-only exchange: (combo, ckey, id, sim)
+    * longs, never pixels or blobs. Output: (id_a, id_b, hamming).
+    * Verified end-to-end by the q210 DuckDB replay (dHash → banding →
+    * cap → hamming, all integer arithmetic). */
+  def phashPairs(features: DataFrame, idCol: String = "media_id",
+                 hashCol: String = "phash", maxHamming: Int = 3,
+                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming <= TextDedup.SimhashChunks - TextDedup.SimhashIntact,
+      s"${TextDedup.SimhashChunks} chunks with ${TextDedup.SimhashIntact} intact only guarantee " +
+        s"hamming <= ${TextDedup.SimhashChunks - TextDedup.SimhashIntact}")
+    val chunkBits = 64 / TextDedup.SimhashChunks
+    val sigs = features.select(col(idCol), col(hashCol).cast("long").as("__sim"))
+    TextDedup.simhashEmitPairs(
+      TextDedup.simhashComboKeys(sigs, chunkBits), chunkBits, maxHamming, maxBucketSize)
+  }
+
+  /** Occupancy audit for the phash combo buckets: (combo, ckey, n) —
+    * DriftGuardSpec's margin probe for the q209/q210 fixture (cf.
+    * `TextDedup.portableSimhashBucketSizes`). */
+  def phashBucketSizes(features: DataFrame, idCol: String = "media_id",
+                       hashCol: String = "phash"): DataFrame =
+    TextDedup.simhashComboKeys(
+        features.select(col(idCol), col(hashCol).cast("long").as("__sim")),
+        64 / TextDedup.SimhashChunks)
+      .groupBy(col("__combo").as("combo"), col("__ckey").as("ckey"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Re-encode an image row's pixels in the named container family
+    * ("bmp" / "png" / "ppm") — pixel-preserving for the grayscale grids
+    * this codec reads. The planted-duplicate generator of the perceptual
+    * dedup receipts: a transcode changes every byte of the container
+    * (defeating q35's byte-exact dedup) while `dHash64` is invariant. */
+  def transcode(row: MediaRow, family: String): MediaRow = {
+    val (w, h, px) = RealCodec.decodePixels(row.content)
+    def p(x: Int, y: Int): Int = px(y * w + x)
+    val out = family match {
+      case "bmp" => RealCodec.encodeBmp(w, h, p)
+      case "png" => RealCodec.encodePng(w, h, p)
+      case "ppm" => RealCodec.encodePpm(w, h, p)
+      case f => throw new IllegalArgumentException(s"unknown image family $f")
+    }
+    row.copy(content = out)
+  }
+
   /** Synthesize a deterministic media table from the documents table —
     * the testdata carrier. Round 10: image rows carry a REAL 24-bpp BMP
     * and audio rows a REAL PCM WAV (pixels/samples derived from the

@@ -933,15 +933,25 @@ object TextDedup {
     val th = df.select(col(idCol),
       array_distinct(portableShingleHashes(col(textCol), 1)).as("__th"))
     val sigs = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
-    val chunkBits = 32 / SimhashChunks
-    val mask = (1L << chunkBits) - 1
     // combo key = the 5 chunk values PACKED into one 20-bit long (round
     // 10 — the production simhashPairs packing applied to the portable
     // twin: the ProfileQ83 receipt put ~0.45 s of q83's 2.1 s in building
-    // 56 dash-joined STRINGS per doc, and integer keys also shuffle 4-8×
-    // narrower; the q83 DuckDB text spells the identical packing with an
-    // indexed range lambda, so keys — and bucket-cap drops — stay
-    // value-equal across engines)
+    // 56 dash-joined STRINGS per doc; since round 14 the packing lives in
+    // the shared simhashComboKeys)
+    simhashComboKeys(sigs, 32 / SimhashChunks)
+  }
+
+  /** (id, __sim, __combo, __ckey) combination-banding key stream of any
+    * (id, __sim) signature frame at the given chunk width — the one
+    * packing all three banded signature families share (32-bit portable
+    * simhash, 64-bit production simhash, and round 14's 64-bit
+    * perceptual dHash in [[graft.operators.Multimodal.phashPairs]]).
+    * Combo key = the SimhashIntact chunk values packed into one long
+    * (integer keys shuffle 4-8× narrower than strings; the q83/q210
+    * DuckDB texts spell the identical arithmetic with a range lambda). */
+  private[operators] def simhashComboKeys(sigs: DataFrame, chunkBits: Int): DataFrame = {
+    val idCol = sigs.columns.filterNot(_.startsWith("__")).head
+    val mask = (1L << chunkBits) - 1
     sigs.select(
       col(idCol), col("__sim"),
       posexplode(array(simhashCombos.map { cs =>
@@ -967,8 +977,8 @@ object TextDedup {
     * explode, min-combo single emission (simhashMinComboByMask — the pair
     * stream is unique by construction, no distinct), exact-hamming
     * verification. `chunks` = (__combo, __ckey, id-col, __sim). */
-  private def simhashEmitPairs(chunks: DataFrame, chunkBits: Int,
-                               maxHamming: Int, maxBucketSize: Int): DataFrame = {
+  private[operators] def simhashEmitPairs(chunks: DataFrame, chunkBits: Int,
+                                          maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val idCol = chunks.columns.filterNot(c => c.startsWith("__")).head
     val mask = (1L << chunkBits) - 1
     val intactMask = (0 until SimhashChunks).map { c =>
@@ -1005,17 +1015,10 @@ object TextDedup {
       col(idCol),
       call_function("simhash64", tokens(col(textCol))).as("__sim"))
     val chunkBits = 64 / SimhashChunks
-    val mask = (1L << chunkBits) - 1
-    // combo key = the 5 chunk values packed into one 40-bit long (integer
-    // keys shuffle cheaper than strings; since round 10 the portable twin
-    // packs the same way — the SQL mirror spells it with a range lambda)
-    val chunks = sigs.select(
-      col(idCol), col("__sim"),
-      posexplode(array(simhashCombos.map { cs =>
-        cs.zipWithIndex.map { case (c, i) =>
-          shiftrightunsigned(col("__sim"), chunkBits * c).bitwiseAND(lit(mask)) * lit(1L << (chunkBits * i))
-        }.reduce(_ + _)
-      }: _*)).as(Seq("__combo", "__ckey")))
+    // combo key = the 5 chunk values packed into one 40-bit long via the
+    // shared simhashComboKeys builder (round 14; integer keys shuffle
+    // cheaper than strings — the SQL mirror spells it with a range lambda)
+    val chunks = simhashComboKeys(sigs, chunkBits)
     // single-pass bucketing (cf. minhashCandidates / portableSimhashPairs):
     // ONE shuffle of (combo, key, id, sim) and in-bucket pairs by double
     // explode — the previous two-sided join recomputed the tokenize +

@@ -225,6 +225,62 @@ object DedupQuality {
       if (truth.isEmpty) 1.0 else agree.toDouble / truth.size)
   }
 
+  /** Perceptual-hash recall vs exact PIXEL-distance truth (round 14 —
+    * the verdict's planted-duplicate receipt): fixture = the synthetic
+    * image corpus ∪ three planted variant classes per image (container
+    * transcode BMP↔PNG, 2×-lattice resize, and ±`noiseAmp` pixel noise
+    * on every pixel), truth = pairs whose mean |Δ| over the shared 9×8
+    * dHash sample lattice ≤ `maxMeanDiff` (exact, brute force over the
+    * collected 72-sample vectors — a measurement budget, cf.
+    * jaccardTruthPairs), found = the banded `phashPairs` pipeline at
+    * hamming ≤ 3. Recall < 1 measures the SIGNATURE's fidelity on
+    * pixel-near pairs (a ±noise pixel pair can flip a low-gradient
+    * bit); banding itself is pigeonhole-complete (PhashSpec). */
+  def measurePhash(spark: SparkSession, docsDir: String,
+                   noiseAmp: Int = 2, maxMeanDiff: Double = 2.0): (Long, Long, Double) = {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaRow, RealCodec}
+    import spark.implicits._
+    val imgs = Multimodal.syntheticMedia(spark, docsDir)
+      .filter(col("media_type") === "image")
+    val planted = imgs.mapPartitions(_.flatMap { r =>
+      val (w, h, px) = RealCodec.decodePixels(r.content)
+      def noisy(x: Int, y: Int): Int = {
+        val v = px(y * w + x)
+        val d = (((x * 31L + y * 7L + r.media_id) % (2 * noiseAmp + 1)) - noiseAmp).toInt
+        math.max(0, math.min(255, v + d))
+      }
+      val other = if (r.content(0) == 'B') "png" else "bmp"
+      Seq(r,
+        Multimodal.transcode(r, other).copy(media_id = r.media_id + 10000000L),
+        RealCodec.resizeImage(r.copy(media_id = r.media_id + 20000000L), 18, 16),
+        r.copy(media_id = r.media_id + 30000000L,
+          content = RealCodec.encodeBmp(w, h, noisy)))
+    })
+    // 72-sample lattice vectors for the exact pixel-distance truth
+    val sampled = planted.mapPartitions(_.map { r =>
+      val (w, h, px) = RealCodec.decodePixels(r.content)
+      val s = for (gy <- 0 until 8; gx <- 0 until 9)
+        yield px((gy * h / 8) * w + gx * w / 9)
+      (r.media_id, s.toArray)
+    }).collect()
+    val truth = Set.newBuilder[(Long, Long)]
+    for (i <- sampled.indices; j <- (i + 1) until sampled.length) {
+      val (ia, va) = sampled(i); val (ib, vb) = sampled(j)
+      var d = 0L
+      var k = 0
+      while (k < 72) { d += math.abs(va(k) - vb(k)); k += 1 }
+      if (d <= maxMeanDiff * 72)
+        truth += ((math.min(ia, ib), math.max(ia, ib)))
+    }
+    val t = truth.result()
+    val found = Multimodal.phashPairs(Multimodal.phashFeatures(planted))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = t.count(found.contains).toLong
+    (hit, t.size.toLong, if (t.isEmpty) 1.0 else hit.toDouble / t.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
     else Seq("/root/testdata/sf0.01",
@@ -252,6 +308,8 @@ object DedupQuality {
       }
       val (af, at, ar) = measureSimhashAgreement(spark, docs, Some(jt))
       println(f"[dedupq] $d simhash agreement on Jaccard-truth pairs: $af/$at = $ar%.3f")
+      val (pf, pt, pr) = measurePhash(spark, d)
+      println(f"[dedupq] $d phash recall vs exact pixel-lattice truth (planted variants): $pf/$pt = $pr%.3f")
     }
     // exact edit truth is O(n² · len · maxDist) — bounded to the small SF
     val (fn, tn, rn, fa, ta) = measureEdit(spark,

@@ -34,6 +34,20 @@ object DriftProbe {
       val ag = TextDedup.portableSimhashBucketSizes(docs,"doc_id","text")
         .agg(sum(when(col("n")>cap,col("n")).otherwise(lit(0L))),sum("n")).head()
       println(s"$d simhash dropped=${ag.getLong(0)} tot=${ag.getLong(1)}")
+      // phash (q209/q210): ASCII-image survivorship, id headroom, and
+      // combo occupancy on the doubled (originals ∪ variants) frame
+      val pc = docs.filter(col("doc_id") % 3 === 0)
+        .agg(count(lit(1)),
+          sum(when(length(col("text")) === octet_length(col("text")), 1L).otherwise(0L)),
+          max("doc_id")).head()
+      val pf = graft.operators.Multimodal.phashFeatures(
+        graft.operators.Multimodal.syntheticMedia(spark, d)
+          .filter(col("media_type") === "image"))
+      val pAg = graft.operators.Multimodal.phashBucketSizes(
+          pf.unionAll(pf.select(col("media_id") + graft.SparkEntry.PhashVariantOffset, col("phash"))))
+        .agg(sum(when(col("n") > cap, col("n")).otherwise(lit(0L))), sum("n"), max("n")).head()
+      println(s"$d phash img=${pc.getLong(0)} ascii=${pc.getLong(1)} maxId=${pc.getLong(2)} " +
+        s"dropped=${pAg.getLong(0)} tot=${pAg.getLong(1)} maxBucket=${pAg.getLong(2)}")
       for ((lbl,k) <- Seq("prefix"->TextDedup.prefixKey(col("text"),TextDedup.EditPrefixLen),
                           "suffix"->TextDedup.suffixKey(col("text"),TextDedup.EditPrefixLen))) {
         val mx = docs.select(k.as("k")).groupBy("k").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)

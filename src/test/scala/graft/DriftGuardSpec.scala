@@ -117,6 +117,46 @@ class DriftGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("phash fixture survives regeneration: ASCII images, id headroom, combo occupancy (q209/q210)") {
+    dirs.foreach { d =>
+      val docs = Tables.table(spark, d, "documents")
+      // (a) the ascii(substr) pixel replay needs byte length = char
+      // length on image-typed docs; r14 regen measured ALL docs ASCII at
+      // every SF (167/167, 167/167, 1667/1667 image rows survive)
+      val counts = docs.filter(col("doc_id") % 3 === 0)
+        .agg(count(lit(1)).as("img"),
+          sum(when(length(col("text")) === octet_length(col("text")), 1L).otherwise(0L)).as("ascii"))
+        .head()
+      assert(counts.getLong(1) > 0,
+        s"$d: 0 of ${counts.getLong(0)} image-typed docs are ASCII — the q209/q210 oracle replay is empty on this regen")
+      // (b) variant ids must not alias real rows (both engines add the
+      // same offset; r14 measured max doc_id 4,999 ≪ 1,000,000)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      assert(mx < SparkEntry.PhashVariantOffset,
+        s"$d: max doc_id $mx >= PhashVariantOffset ${SparkEntry.PhashVariantOffset} — q210 variants would alias real media ids")
+      // (c) combo-bucket weight in over-cap buckets stays bounded on the
+      // q210 frame (originals ∪ variants — the variant doubling is the
+      // worst case the entry actually runs; identical-hash clusters are
+      // this family's boilerplate). r14 measured (DriftProbe): 0 dropped
+      // at every SF.
+      val imgs = graft.operators.Multimodal.syntheticMedia(spark, d)
+        .filter(col("media_type") === "image")
+      val feats = graft.operators.Multimodal.phashFeatures(imgs)
+      val doubled = feats.unionAll(
+        feats.select(col("media_id") + SparkEntry.PhashVariantOffset, col("phash")))
+      val agg = graft.operators.Multimodal.phashBucketSizes(doubled)
+        .agg(sum(when(col("n") > Cap, col("n")).otherwise(lit(0L))).as("dropped"),
+          sum("n").as("tot")).head()
+      assert(agg.getLong(0) * 2 <= agg.getLong(1),
+        s"$d: ${agg.getLong(0)}/${agg.getLong(1)} of phash combo-bucket weight is over-cap — the image corpus collapsed to one perceptual cluster")
+    }
+    // degenerate-output guard at the oracle SF: the pair stream must be
+    // non-empty (r14: 167 planted resize pairs + 1 natural at sf0.01)
+    val dir = dirs.find(_.endsWith("sf0.01")).getOrElse(dirs.head)
+    val pairs = SparkEntry.queries("q210_phash_pairs")(spark, dir).count()
+    assert(pairs > 0, s"$dir: q210 emitted no pairs — the planted-resize identity or the fixture degenerated")
+  }
+
   test("round-11 gate thresholds still SPLIT the regenerated corpus (q170/q174/q177)") {
     // A threshold pinned to one round's distribution stays hash-green
     // after regeneration but can degenerate to keep-all / drop-all —
