@@ -395,7 +395,7 @@ object Similarity {
   /** Quantized-vector frame (id, __qv) — materialized in its own
     * projection: the bucket expressions reference __qv tables×bits times
     * (CollapseProject, cf. signatureFrame). */
-  private def portableQuantized(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def portableQuantized(df: DataFrame, idCol: String, vecCol: String,
                                 scale: Int): DataFrame = {
     registerIntDot(df)
     df.select(col(idCol), quantize(col(vecCol), scale).as("__qv"))
@@ -413,7 +413,7 @@ object Similarity {
   /** (table, bucket) key stream of the portable embedding-LSH bucketing —
     * the EXACT keys `portableEmbedPairs` pairs on, factored out so the
     * occupancy audit below and the pair generator can never drift. */
-  private def portableBucketKeys(q: DataFrame, idCol: String,
+  private[graft] def portableBucketKeys(q: DataFrame, idCol: String,
                                  planes: Seq[Seq[Array[Long]]]): DataFrame =
     q.select(col(idCol),
       posexplode(array(portableBucketCols(planes): _*)).as(Seq("__t", "__bkt")))
@@ -523,6 +523,57 @@ object Similarity {
     * constant docs and specs reference. */
   val BroadcastVerifyMaxRows: Long = broadcastVerifyMaxRows(64)
 
+  /** Raw-candidate rows per dedup shuffle partition in the shuffle
+    * verification regime — the operating point of the round-13
+    * measurement (ProfileQ84: a 44.9M-row raw stream deduped at 128
+    * partitions ≈ 350k rows each cost 12.8–13.6 s where the session
+    * default's 32 partitions cost ~24 s: the partial HashAggregate over
+    * a nearly-unique 2-long key stream thrashes when partitions carry
+    * millions of mostly-distinct keys). */
+  val DedupTargetRowsPerPartition = 350000L
+
+  /** EXACT keys-only size of the raw (pre-dedup) candidate stream the
+    * probed generator will emit: Σ over capped home buckets (t, k) of
+    * probesInto(t, k) × homeSize(t, k), where probesInto counts the home
+    * keys of k itself plus the directional donors — buckets at one
+    * CLEARED bit among the first `probes` bits of k (a key at k′ probes
+    * k iff k = k′ OR (1<<j) for an unset j < probes of k′). This is the
+    * join-size inner product `Sketches.countMinJoinSize` (q152)
+    * estimates from two CMS sketches — exact here, and cheaper than the
+    * sketches, because the per-bucket count frame (≤ tables·min(2^bits,
+    * n) rows) is already grouped: ONE keys-only aggregation pass, then
+    * arithmetic on the tiny bucket frame. (Self-matches the generator's
+    * `pid ≠ hid` filter drops are included — the figure is a ≤1%-slack
+    * upper bound for partition sizing, not an emitted-row count.) */
+  private[graft] def estimatedRawCandidates(keys: DataFrame, probes: Int,
+                                            maxBucketSize: Int): Long = {
+    val bc = keys.groupBy("__t", "__bkt").agg(count(lit(1)).as("__n"))
+    val home = bc.filter(col("__n") <= maxBucketSize)
+      .select(col("__t"), col("__bkt"), col("__n").as("__h"))
+    val donors = home.select(col("__t"), col("__h"),
+      explode(filter(
+        array((col("__bkt") +: (0 until probes).map(j =>
+          when(col("__bkt").bitwiseAND(lit(1L << j)) =!= 0L,
+            col("__bkt").bitwiseXOR(lit(1L << j))))): _*),
+        x => x.isNotNull)).as("__bkt"))
+    val est = donors.join(bc, Seq("__t", "__bkt"))
+      .agg(sum(col("__h") * col("__n")).as("__est")).head()
+    if (est.isNullAt(0)) 0L else est.getLong(0)
+  }
+
+  /** Dedup shuffle-partition count for the shuffle regime's pre-verify
+    * distinct, chosen BY CODE from the estimated raw candidate-stream
+    * size (round-14: the r13 BASELINE measured the session-default
+    * partitioning ~1.8× worse on the 10× stream and left the knob as
+    * documentation — this wires it). Floor at the session default
+    * (small streams keep the session's sizing), cap 2048 (past that a
+    * 100-TB deployment tunes the cluster-wide shuffle sizing, not one
+    * operator's repartition). */
+  def dedupPartitionsFor(estRows: Long, sessionDefault: Int): Int = {
+    val byRows = math.ceil(estRows.toDouble / DedupTargetRowsPerPartition).toInt
+    math.min(2048, math.max(sessionDefault, byRows))
+  }
+
   /** DISTINCT within-bucket id pairs of a (id, __t, __bkt) key stream —
     * the home-only candidate generator (probes = 0), shared by the
     * portable and float pair pipelines. */
@@ -551,7 +602,7 @@ object Similarity {
     * the verifier exactly ONE candidate row (probed by its 0-bit member
     * alone). Home lists of size 1 stay eligible: a singleton bucket can
     * still receive probes from neighbors. */
-  private def probedRawPairs(keys: DataFrame, idCol: String,
+  private[graft] def probedRawPairs(keys: DataFrame, idCol: String,
                              maxBucketSize: Int, probes: Int): DataFrame = {
     val home = keys
       .groupBy("__t", "__bkt")
@@ -596,13 +647,30 @@ object Similarity {
     if (probes <= 0)
       verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
     else {
-      val rawPairs = probedRawPairs(keys, idCol, maxBucketSize, probes)
       if (corpusRowsHint >= 0 && corpusRowsHint <= broadcastVerifyMaxRows(dim))
         // broadcast regime: verify the duplicates map-side, dedup the
         // (tiny) survivor set — see broadcastVerifyMaxRows
-        verify(rawPairs, useBroadcast = true).distinct()
-      else
-        verify(rawPairs.distinct(), useBroadcast = false)
+        verify(probedRawPairs(keys, idCol, maxBucketSize, probes),
+          useBroadcast = true).distinct()
+      else {
+        // shuffle regime: the pre-verify distinct is load-bearing (it
+        // minimizes the payload-carrying join intermediate) and its
+        // partition count is chosen by code from a keys-only size
+        // estimate — see estimatedRawCandidates/dedupPartitionsFor.
+        // The keys subtree (the signature passes) is referenced three
+        // times here (estimate, home buckets, probe stream) — cut its
+        // lineage once (the q82 rule: dominant subtree, N references;
+        // measured 18.1 → 14.5 s at 10× — BASELINE.md round 14). At
+        // production scale signatures are a persisted table (PLANS.md),
+        // which plays the same role.
+        val cutKeys = Checkpoints.cut(keys, eager = true)
+        val parts = dedupPartitionsFor(
+          estimatedRawCandidates(cutKeys, probes, maxBucketSize),
+          corpus.sparkSession.sessionState.conf.numShufflePartitions)
+        verify(probedRawPairs(cutKeys, idCol, maxBucketSize, probes)
+          .repartition(parts, col("id_a"), col("id_b")).distinct(),
+          useBroadcast = false)
+      }
     }
   }
 
@@ -705,11 +773,21 @@ object Similarity {
     if (probes <= 0)
       verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
     else {
-      val rawPairs = probedRawPairs(keys, idCol, maxBucketSize, probes)
       if (corpusRowsHint >= 0 && corpusRowsHint <= broadcastVerifyMaxRows(dim))
-        verify(rawPairs, useBroadcast = true).distinct()
-      else
-        verify(rawPairs.distinct(), useBroadcast = false)
+        verify(probedRawPairs(keys, idCol, maxBucketSize, probes),
+          useBroadcast = true).distinct()
+      else {
+        // shuffle regime: keys cut once (three references), dedup
+        // partitioning sized by code from the keys-only candidate
+        // estimate (see portableEmbedPairs)
+        val cutKeys = Checkpoints.cut(keys, eager = true)
+        val parts = dedupPartitionsFor(
+          estimatedRawCandidates(cutKeys, probes, maxBucketSize),
+          corpus.sparkSession.sessionState.conf.numShufflePartitions)
+        verify(probedRawPairs(cutKeys, idCol, maxBucketSize, probes)
+          .repartition(parts, col("id_a"), col("id_b")).distinct(),
+          useBroadcast = false)
+      }
     }
   }
 

@@ -925,7 +925,7 @@ object TextDedup {
   /** (id, __combo, __ckey, __sim) combo-key stream of the portable simhash
     * banding — the EXACT keys `portableSimhashPairs` buckets on, factored
     * out so the occupancy audit below can never drift from the generator. */
-  private def portableSimhashChunkKeys(df: DataFrame, idCol: String,
+  private[graft] def portableSimhashChunkKeys(df: DataFrame, idCol: String,
                                        textCol: String): DataFrame = {
     // token hashes materialized first: the 32 bit-folds of
     // portableSimhash32 each reference the array (CollapseProject note on
@@ -949,7 +949,7 @@ object TextDedup {
     * Combo key = the SimhashIntact chunk values packed into one long
     * (integer keys shuffle 4-8× narrower than strings; the q83/q210
     * DuckDB texts spell the identical arithmetic with a range lambda). */
-  private[operators] def simhashComboKeys(sigs: DataFrame, chunkBits: Int): DataFrame = {
+  private[graft] def simhashComboKeys(sigs: DataFrame, chunkBits: Int): DataFrame = {
     val idCol = sigs.columns.filterNot(_.startsWith("__")).head
     val mask = (1L << chunkBits) - 1
     sigs.select(
@@ -977,7 +977,7 @@ object TextDedup {
     * explode, min-combo single emission (simhashMinComboByMask — the pair
     * stream is unique by construction, no distinct), exact-hamming
     * verification. `chunks` = (__combo, __ckey, id-col, __sim). */
-  private[operators] def simhashEmitPairs(chunks: DataFrame, chunkBits: Int,
+  private[graft] def simhashEmitPairs(chunks: DataFrame, chunkBits: Int,
                                           maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val idCol = chunks.columns.filterNot(c => c.startsWith("__")).head
     val mask = (1L << chunkBits) - 1

@@ -177,6 +177,36 @@ class RecallSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Similarity.broadcastVerifyMaxRows(0))
   }
 
+  test("shuffle-regime dedup partitioning is sized by the keys-only candidate estimate (round 14)") {
+    // Estimator exactness on the real fixture: est = raw probed stream +
+    // home self-matches. Each key row whose home bucket survives the cap
+    // probes ITSELF exactly once (through its home key — the pid != hid
+    // filter drops it from the raw stream); directional flipped probes
+    // land on a DIFFERENT bucket of the same table, where the doc's home
+    // key cannot be, so they never self-match. Pinning the closed form
+    // (not an inequality) means any drift between the estimator and the
+    // generator — cap semantics, probe direction, fan-out — fails loudly.
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val planes = Similarity.portableHyperplanes(64, 2, 6)
+    val q = Similarity.portableQuantized(emb, "vec_id", "embedding", scale = 10000)
+    val keys = Similarity.portableBucketKeys(q, "vec_id", planes)
+    val cap = graft.operators.TextDedup.DefaultMaxBucketSize
+    val raw = Similarity.probedRawPairs(keys, "vec_id", cap, probes = 6).count()
+    val selfMatches = keys.groupBy("__t", "__bkt").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cap).agg(sum(col("n"))).head().getLong(0)
+    val est = Similarity.estimatedRawCandidates(keys, probes = 6, maxBucketSize = cap)
+    assert(raw > 0, "fixture degenerated: no raw candidates")
+    assert(est == raw + selfMatches,
+      s"estimator drifted from the generator: est=$est raw=$raw self=$selfMatches")
+    // The chooser: floor at the session default, ceil(est / target) above
+    // it, hard cap 2048 (a 100-TB deployment tunes cluster-wide shuffle
+    // sizing, not one operator's repartition).
+    assert(Similarity.dedupPartitionsFor(0L, 32) == 32, "small streams keep the session sizing")
+    assert(Similarity.dedupPartitionsFor(44900000L, 32) == 129,
+      "the r13-measured 44.9M-row point must land at ~350k rows/partition")
+    assert(Similarity.dedupPartitionsFor(Long.MaxValue / 4, 32) == 2048, "hard cap")
+  }
+
   test("embed-LSH pair recall at the SHIPPED multi-probe point holds the floor (q84 family, round 13)") {
     // the round-12 verdict's recall receipt, re-taken at the round-13
     // multi-probe operating point (tables from recommendedTablesProbed,
