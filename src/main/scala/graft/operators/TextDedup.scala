@@ -987,11 +987,18 @@ object TextDedup {
     }.reduce(_ + _)
     chunks
       .groupBy("__combo", "__ckey")
-      .agg(collect_list(struct(col(idCol).as("id"), col("__sim").as("sim"))).as("__m"))
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("__sim").as("sim")))).as("__m"))
       .filter(size(col("__m")).between(2, maxBucketSize))
-      .select(col("__combo"), explode(col("__m")).as("a"), col("__m"))
-      .select(col("__combo"), col("a"), explode(col("__m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+      // strict upper triangle emitted DIRECTLY (round 14, ProfileQ83):
+      // the list is sorted by (unique) id, so pairing each element with
+      // its suffix slice yields exactly the id_a < id_b pairs — m(m−1)/2
+      // generated rows instead of the full m² double explode filtered in
+      // half afterwards. Pair set identical by construction; measured
+      // 1.9× on the 10× tail (BASELINE.md round-14 stage table).
+      .select(col("__combo"), col("__m"), posexplode(col("__m")).as(Seq("__i", "a")))
+      .select(col("__combo"), col("a"),
+        explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("b"))
       .withColumn("__xor", col("a.sim").bitwiseXOR(col("b.sim")))
       .filter(col("__combo") ===
         element_at(typedLit(simhashMinComboByMask), intactMask + 1))

@@ -71,10 +71,19 @@ object ProfileQ83 {
       time(s"r$rep + bucket grouping (census forced)")(
         chunks.groupBy("__combo", "__ckey").agg(count(lit(1)).as("n"))
           .agg(sum(col("n"))).head())
+      // stage 4b: the tail's raw volume — in-bucket pair rows the double
+      // explode emits BEFORE the min-combo/hamming filters (what the
+      // per-pair work scales with)
+      time(s"r$rep raw in-bucket pair rows")(
+        println("  n=" + chunks
+          .groupBy("__combo", "__ckey")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, TextDedup.DefaultMaxBucketSize))
+          .agg(sum(col("n") * (col("n") - 1) / 2)).head().get(0)))
       // stage 5: full pipeline (grouping + double explode + min-combo +
       // hamming verification)
       val full = TextDedup.portableSimhashPairs(docs, "doc_id", "text")
-      time(s"r$rep full pipeline")(full.count())
+      time(s"r$rep full pipeline")(println("  pairs=" + full.count()))
     }
     spark.stop()
   }
