@@ -89,7 +89,7 @@ object ScaleTenX {
 
     Tables.register(spark, srcDir)
     spark.sql("SELECT COUNT(*) FROM documents").collect() // warmup
-    println("| query | sf0.1 (s) | 10x (s) | ratio |")
+    println(s"| query | sf0.1 (s) | ${factor}x (s) | ratio |")
     println("|---|---|---|---|")
     queries.foreach { q =>
       val base = medianTime(q, srcDir)
@@ -106,7 +106,7 @@ object ScaleTenX {
       val b0 = graft.operators.Similarity.recommendedBits(
         spark.read.parquet(s"$srcDir/embeddings.parquet").count(), 32)
       val b1 = graft.operators.Similarity.recommendedBits(ne, 32)
-      println(s"[scale10x] q84/q97 self-sized bits: base=$b0, 10x=$b1")
+      println(s"[scale10x] q84/q97 self-sized bits: base=$b0, ${factor}x=$b1")
       // round 12: the sizing rule's RECALL at 10× — DriftGuard bounds the
       // rule's occupancy (work); this evidences its QUALITY on the scaled
       // corpus, for each task at ITS OWN declared sizing:
@@ -148,9 +148,18 @@ object ScaleTenX {
         truth.map { case (a, b) => (a + r * 10000000L, b + r * 10000000L) }).toSet
       val found10 = found(emb10, b1)
       val cross10 = found10.count { case (a, b) => a / 10000000L != b / 10000000L }
-      println(f"[scale10x] q84 pair recall at 10x (rule bits=$b1, L=${Similarity.recommendedTablesProbed(b1)}, probes=$b1): " +
+      println(f"[scale10x] q84 pair recall at ${factor}x (rule bits=$b1, L=${Similarity.recommendedTablesProbed(b1)}, probes=$b1): " +
         f"${found10.intersect(truth10).size.toDouble / truth10.size}%.3f " +
         s"(truth=${truth10.size}, cross-replica extras=$cross10)")
+      // occupancy of the rule-derived banding on the scaled corpus — the
+      // DriftGuard margin, measured at THIS factor (round 14: the 33×
+      // point's receipt needs occupancy alongside recall)
+      val occ = Similarity.portableEmbedBucketSizes(emb10, "vec_id", "embedding",
+          tables = Similarity.recommendedTablesProbed(b1), bits = b1)
+        .agg(max(col("n")), sum(col("n") * col("n")), sum(col("n"))).head()
+      println(s"[scale10x] embed-LSH occupancy at ${factor}x (bits=$b1): " +
+        s"maxBucket=${occ.getLong(0)} sumSq=${occ.getLong(1)} tot=${occ.getLong(2)} " +
+        s"cap=${graft.operators.TextDedup.DefaultMaxBucketSize}")
       val nQ = 50
       val k = 10
       val qs = emb10.filter(col("vec_id") < nQ)
@@ -162,7 +171,7 @@ object ScaleTenX {
       val got = pairSet(Similarity.lshTopK(
         emb10, "vec_id", "embedding", qs, "qid", "qvec", k,
         numTables = 4, bitsPerTable = 4, probes = 4))
-      println(f"[scale10x] lshTopK recall@$k at 10x (declared point L=4, bits=4, probes=4): " +
+      println(f"[scale10x] lshTopK recall@$k at ${factor}x (declared point L=4, bits=4, probes=4): " +
         f"${got.intersect(bf).size.toDouble / bf.size}%.3f")
     }
     spark.stop()
