@@ -363,6 +363,112 @@ object SparkEntry {
       .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
   }
 
+  /** q211/q213's audio fixture: audio-typed rows of the synthetic media
+    * table whose source document is pure ASCII and ≥ 65 bytes — the
+    * aHash lattice precondition (shorter streams have empty floor
+    * windows, which the oracle's list_sum reads as NULL); both
+    * preconditions mirrored in the `aud` CTE. */
+  private def ahashAsciiAudio(spark: SparkSession,
+                              dir: String): Dataset[Multimodal.MediaRow] = {
+    val media = Multimodal.syntheticMedia(spark, dir) // registers documents
+    val ok = spark.table("documents")
+      .filter(length(col("text")) === octet_length(col("text")) &&
+        octet_length(col("text")) >= 65)
+      .select(col("doc_id").as("media_id"))
+    media.filter(col("media_type") === "audio")
+      .join(broadcast(ok), Seq("media_id"), "left_semi")
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+  }
+
+  /** q212/q214's video fixture — ASCII precondition only (the pixel
+    * replay indexes bytes; every frame count the generator emits is
+    * ≥ 2, no length bound needed beyond non-empty). */
+  private def vhashAsciiVideo(spark: SparkSession,
+                              dir: String): Dataset[Multimodal.MediaRow] = {
+    val media = Multimodal.syntheticMedia(spark, dir)
+    val ok = spark.table("documents")
+      .filter(length(col("text")) === octet_length(col("text")) &&
+        octet_length(col("text")) >= 1)
+      .select(col("doc_id").as("media_id"))
+    media.filter(col("media_type") === "video")
+      .join(broadcast(ok), Seq("media_id"), "left_semi")
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+  }
+
+  /** q211/q213's shared oracle CTE: the audio-typed ASCII documents with
+    * the aHash length precondition. */
+  private val ahashAudCte: String =
+    "aud AS (SELECT doc_id, text, strlen(text) AS len FROM documents " +
+      "WHERE doc_id % 3 = 1 AND length(text) = strlen(text) AND strlen(text) >= 65)"
+
+  /** The aHash64 replay over `aud`: the synthetic audio's PCM samples
+    * ARE the document bytes (`Multimodal.syntheticMedia` →
+    * `encodeWav(8000, text)`), so window k's sum is a byte-range
+    * list_sum on the floor lattice and bit b compares windows b+1 and b
+    * (1-based list indices b+2 / b+1). len ≥ 65 (the CTE guard) keeps
+    * every window non-empty. Bit 63 spelled as min-long (cf.
+    * phashExprSql). */
+  private val ahashSumsCte: String =
+    "aws AS (SELECT doc_id, list_transform(range(0, 65), k -> " +
+      "list_sum(list_transform(range(k * len // 65, (k + 1) * len // 65), " +
+      "i -> CAST(ascii(substr(text, CAST(i AS INT) + 1, 1)) AS BIGINT)))) AS s FROM aud)"
+  private val ahashExprSql: String =
+    "CAST(list_sum(list_transform(range(0, 64), b -> " +
+      "CASE WHEN s[CAST(b AS INT) + 2] > s[CAST(b AS INT) + 1] " +
+      "THEN (CASE WHEN b = 63 THEN (-9223372036854775807::BIGINT - 1) ELSE (1::BIGINT << b) END) " +
+      "ELSE 0::BIGINT END)) AS BIGINT)"
+
+  /** q212/q214's shared oracle CTE: the video-typed ASCII documents with
+    * the synthetic generator's dimensions (w = 4 + id%9, h = 3 + id%5,
+    * nf = 2 + id%4 — `Multimodal.syntheticMedia`'s one spelling). */
+  private val vhashVidCte: String =
+    "vid AS (SELECT doc_id, text, strlen(text) AS len, " +
+      "4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, 2 + doc_id % 4 AS nf " +
+      "FROM documents WHERE doc_id % 3 = 2 AND length(text) = strlen(text) AND strlen(text) >= 1)"
+
+  /** The vHash64 replay over `vid`: frame f's pixel(x, y) is
+    * text[((x + f) + y·7) mod len] (the generator's px(x + f, y)), the
+    * 9×8 sample lattice is the dHash floor grid, samples are SUMMED over
+    * frames with a nested lambda, and bit b compares the summed right
+    * and left samples. */
+  private val vhashExprSql: String =
+    "CAST(list_sum(list_transform(range(0, 64), b -> " +
+      "CASE WHEN " +
+      "list_sum(list_transform(range(0, nf), f -> CAST(ascii(substr(text, " +
+      "CAST((((b % 8 + 1) * w // 9 + f) + ((b // 8) * h // 8) * 7) % len AS INT) + 1, 1)) AS BIGINT))) " +
+      "> list_sum(list_transform(range(0, nf), f -> CAST(ascii(substr(text, " +
+      "CAST((((b % 8) * w // 9 + f) + ((b // 8) * h // 8) * 7) % len AS INT) + 1, 1)) AS BIGINT))) " +
+      "THEN (CASE WHEN b = 63 THEN (-9223372036854775807::BIGINT - 1) ELSE (1::BIGINT << b) END) " +
+      "ELSE 0::BIGINT END)) AS BIGINT)"
+
+  /** The combination-banding replay over a `ph(media_id, phash)` CTE —
+    * q210's tail (packed combo keys → bucket cap → min-combo single
+    * emission → exact hamming), factored so the image/audio/video
+    * planted-pair replays share one spelling. */
+  private def phashBandingReplaySql: String = {
+    val chunkBits = 64 / graft.operators.TextDedup.SimhashChunks
+    val nChunks = graft.operators.TextDedup.SimhashChunks
+    val mask = (1L << chunkBits) - 1
+    val comboVals = graft.operators.TextDedup.simhashCombos.zipWithIndex
+      .map { case (cs, j) => s"($j, ${cs.mkString("[", ", ", "]")})" }.mkString(", ")
+    val minCombo = graft.operators.TextDedup.simhashMinComboByMask
+      .mkString("[", ", ", "]")
+    s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
+      "chunks0 AS (SELECT media_id, phash, j, " +
+      s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
+      s"i -> ((phash >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
+      "FROM ph, combos), " +
+      "chunks AS (SELECT *, COUNT(*) OVER (PARTITION BY j, ckey) AS bsz FROM chunks0), " +
+      "pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b, a.phash AS sa, b.phash AS sb " +
+      "FROM chunks a JOIN chunks b ON a.j = b.j AND a.ckey = b.ckey AND a.media_id < b.media_id " +
+      s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
+      s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
+      s"c -> CASE WHEN ((xor(a.phash, b.phash) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+      "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
+      "ORDER BY id_a, id_b LIMIT 100"
+  }
+
   /** q199's frequency head: the Zipf fit runs over the top-ZipfHead
     * terms per language (the power-law HEAD — standard practice, and
     * what keeps the per-lang rank window WindowGroupLimit-prunable and
@@ -2600,6 +2706,51 @@ object SparkEntry {
       Multimodal.phashPairs(Multimodal.phashFeatures(imgs.unionAll(variants)))
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Audio perceptual hash (round 14, completing the brief's modality
+    // set): 64-bit envelope-sum gradient over the REAL-decoded PCM
+    // stream (aHash64 — 65 floor-lattice windows, bit = right sum >
+    // left sum). The DuckDB text recomputes the hash straight from the
+    // document bytes (the synthetic WAV's samples ARE the text bytes) —
+    // a match proves WAV encode → chunk-walk decode → envelope hash is
+    // sample-exact.
+    "q211_ahash" -> { (spark, dir) =>
+      Multimodal.ahashFeatures(ahashAsciiAudio(spark, dir))
+        .orderBy("media_id").limit(100)
+    },
+    // Video perceptual hash (round 14): 64-bit cross-frame lattice-sum
+    // gradient over the REAL-decoded AVI frames (vHash64 — the image
+    // dHash's 9×8 lattice per frame, sums across frames). DuckDB
+    // replays pixel(x, y, f) from the text bytes with a nested lambda.
+    "q212_vhash" -> { (spark, dir) =>
+      Multimodal.vhashFeatures(vhashAsciiVideo(spark, dir))
+        .orderBy("media_id").limit(100)
+    },
+    // Audio perceptual near-dup pairs (round 14): originals ∪ planted
+    // 8→16-bit PCM transcodes (every container byte differs, the
+    // normalized sample stream is identical ⇒ aHash-invariant), banded
+    // with the shared SimHash combination machinery. The q210 recipe on
+    // the audio modality.
+    "q213_ahash_pairs" -> { (spark, dir) =>
+      val aud = ahashAsciiAudio(spark, dir)
+      val variants = Multimodal.transcodeWav16(aud)
+        .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.phashPairs(
+          Multimodal.ahashFeatures(aud.unionAll(variants)), hashCol = "ahash")
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // Video perceptual near-dup pairs (round 14): originals ∪ planted
+    // per-frame 18×16 integer-lattice resizes (the dHash floor identity
+    // applied frame-wise ⇒ vHash-invariant), banded identically.
+    "q214_vhash_pairs" -> { (spark, dir) =>
+      val vid = vhashAsciiVideo(spark, dir)
+      val variants = Multimodal.resizeVideo(vid, 18, 16)
+        .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.phashPairs(
+          Multimodal.vhashFeatures(vid.unionAll(variants)), hashCol = "vhash")
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // TRAINED-classifier gate (round 11, session 2): multinomial Naive
     // Bayes over token counts — the fastText-style model-based language/
     // quality filter (CCNet / GPT-3-era curation), completing the gate
@@ -4028,32 +4179,44 @@ object SparkEntry {
       // combination-banding replay verbatim at 8-bit chunks: packed
       // combo keys, bucket cap, min-combo single emission, exact
       // hamming.
-      "q210_phash_pairs" -> {
-        val chunkBits = 64 / graft.operators.TextDedup.SimhashChunks
-        val nChunks = graft.operators.TextDedup.SimhashChunks
-        val mask = (1L << chunkBits) - 1
-        val comboVals = graft.operators.TextDedup.simhashCombos.zipWithIndex
-          .map { case (cs, j) => s"($j, ${cs.mkString("[", ", ", "]")})" }.mkString(", ")
-        val minCombo = graft.operators.TextDedup.simhashMinComboByMask
-          .mkString("[", ", ", "]")
+      "q210_phash_pairs" ->
         (s"WITH $phashImgCte, " +
           s"ph0 AS (SELECT doc_id AS media_id, $phashExprSql AS phash FROM img), " +
           s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
-          s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
-          "chunks0 AS (SELECT media_id, phash, j, " +
-          s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
-          s"i -> ((phash >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
-          "FROM ph, combos), " +
-          "chunks AS (SELECT *, COUNT(*) OVER (PARTITION BY j, ckey) AS bsz FROM chunks0), " +
-          "pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b, a.phash AS sa, b.phash AS sb " +
-          "FROM chunks a JOIN chunks b ON a.j = b.j AND a.ckey = b.ckey AND a.media_id < b.media_id " +
-          s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
-          s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
-          s"c -> CASE WHEN ((xor(a.phash, b.phash) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
-          "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
-          "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
-          "ORDER BY id_a, id_b LIMIT 100")
-      },
+          phashBandingReplaySql),
+      // round 14, q211: the aHash recomputed straight from the document
+      // bytes — the synthetic WAV's PCM samples ARE the text bytes, so
+      // the 65 floor-lattice window sums and the gradient bits replay as
+      // pure integer arithmetic. A match proves WAV encode → chunk-walk
+      // decode → envelope hash is sample-exact.
+      "q211_ahash" ->
+        (s"WITH $ahashAudCte, $ahashSumsCte " +
+          s"SELECT doc_id AS media_id, $ahashExprSql AS ahash FROM aws " +
+          "ORDER BY media_id LIMIT 100"),
+      // round 14, q212: the vHash replayed from the text bytes — frame
+      // f's pixel(x, y) is text[((x + f) + y·7) mod len], sampled on the
+      // dHash lattice and summed over frames with a nested lambda.
+      "q212_vhash" ->
+        (s"WITH $vhashVidCte " +
+          s"SELECT doc_id AS media_id, $vhashExprSql AS vhash FROM vid " +
+          "ORDER BY media_id LIMIT 100"),
+      // round 14, q213: q211's hash duplicated at the variant offset
+      // (the 8→16-bit PCM transcode is aHash-invariant — the planted-
+      // pair identity the Spark pipeline must reproduce through decode →
+      // re-encode → decode), then the shared banding replay.
+      "q213_ahash_pairs" ->
+        (s"WITH $ahashAudCte, $ahashSumsCte, " +
+          s"ph0 AS (SELECT doc_id AS media_id, $ahashExprSql AS phash FROM aws), " +
+          s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
+          phashBandingReplaySql),
+      // round 14, q214: q212's hash duplicated at the variant offset
+      // (the per-frame 18×16 integer-lattice resize is vHash-invariant),
+      // then the shared banding replay.
+      "q214_vhash_pairs" ->
+        (s"WITH $vhashVidCte, " +
+          s"ph0 AS (SELECT doc_id AS media_id, $vhashExprSql AS phash FROM vid), " +
+          s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
+          phashBandingReplaySql),
       // round 5: the merge replayed with a version-desc window (DuckDB's
       // spelling of keep-latest); versions are unique per key by
       // construction so both forms agree

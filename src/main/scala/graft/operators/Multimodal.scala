@@ -461,6 +461,130 @@ object Multimodal {
       (channels, bits, frames, if (end == dataOff) 0.0 else sum.toDouble / (end - dataOff))
     }
 
+    /** PCM sample array of a mono WAV this codec reads, NORMALIZED to
+      * the 8-bit unsigned scale: 8-bit PCM yields the raw unsigned byte;
+      * 16-bit PCM yields s/256 + 128 — the exact inverse of
+      * [[encodeWav16]]'s (v − 128)·256 mapping, so a 16-bit transcode
+      * decodes to the IDENTICAL sample array (every container byte
+      * differs; the perceptual hash cannot tell — the audio analogue of
+      * the image transcode planted duplicate). */
+    def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 44 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+      val channels = b.getShort(22).toInt
+      val bits = b.getShort(34).toInt
+      require(channels == 1, s"mono PCM only, got $channels channels")
+      require(bits == 8 || bits == 16, s"8- or 16-bit PCM only, got $bits")
+      var i = 12
+      var dataOff = -1
+      var dataLen = 0
+      while (i + 8 <= bytes.length && dataOff < 0) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val len = b.getInt(i + 4)
+        if (id == "data") { dataOff = i + 8; dataLen = len }
+        else i += 8 + len + (len & 1)
+      }
+      require(dataOff >= 0 && dataOff + dataLen <= bytes.length, "WAV without data chunk")
+      if (bits == 8) {
+        val out = new Array[Int](dataLen)
+        var j = 0
+        while (j < dataLen) { out(j) = bytes(dataOff + j) & 0xff; j += 1 }
+        out
+      } else {
+        val out = new Array[Int](dataLen / 2)
+        var j = 0
+        while (j < out.length) { out(j) = b.getShort(dataOff + 2 * j) / 256 + 128; j += 1 }
+        out
+      }
+    }
+
+    /** 16-bit mono PCM encode of samples on the 8-bit unsigned scale
+      * (sample v → signed (v − 128)·256, the standard 8→16-bit PCM
+      * widening). The planted-duplicate generator of the audio
+      * perceptual-hash receipts: no byte of the container survives the
+      * re-encode, yet [[decodeWavSamples]] round-trips the samples
+      * exactly. */
+    def encodeWav16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(44 + samples.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1) // PCM
+        .putShort(1).putInt(sampleRate).putInt(sampleRate * 2)  // mono, 16-bit
+        .putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      var j = 0
+      while (j < samples.length) {
+        b.putShort((((samples(j) & 0xff) - 128) * 256).toShort); j += 1
+      }
+      b.array()
+    }
+
+    /** Per-frame grayscale pixel grids of an AVI this codec reads:
+      * (width, height, nFrames, frames), frames(f) row-major TOP-DOWN
+      * (the 00db payload is bottom-up 24-bpp like BMP; channels
+      * average). The frame-level decode behind [[Multimodal.vHash64]]
+      * and [[resizeAvi]]. */
+    def decodeAviFramePixels(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Int]]) = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI")
+      var width = -1; var height = -1; var headerFrames = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      def walk(start: Int, end: Int): Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val id = new String(bytes, i, 4, "US-ASCII")
+          val len = b.getInt(i + 4)
+          require(len >= 0 && i + 8 + len <= end, s"chunk $id overruns container")
+          if (id == "LIST") walk(i + 12, i + 8 + len)
+          else if (id == "avih") {
+            require(len >= 40, "avih too short")
+            headerFrames = b.getInt(i + 8 + 16)
+            width = b.getInt(i + 8 + 32)
+            height = b.getInt(i + 8 + 36)
+          } else if (id == "00db" || id == "00dc") {
+            require(width > 0 && height > 0, "frame chunk before avih header")
+            val rowSize = (width * 3 + 3) / 4 * 4
+            require(len >= rowSize * height, "frame chunk shorter than one frame")
+            val px = new Array[Int](width * height)
+            var y = 0
+            while (y < height) {
+              val src = i + 8 + (height - 1 - y) * rowSize // bottom-up rows
+              var x = 0
+              while (x < width) {
+                val o = src + x * 3
+                px(y * width + x) =
+                  ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            frames += px
+          }
+          i += 8 + len + (len & 1)
+        }
+      }
+      walk(12, bytes.length)
+      require(width > 0 && height > 0 && headerFrames >= 0, "AVI without avih header")
+      require(frames.length == headerFrames,
+        s"avih claims $headerFrames frames, movi holds ${frames.length}")
+      (width, height, frames.length, frames.toArray)
+    }
+
+    /** REAL video resize: every frame decoded, nearest-neighbor
+      * resampled to (tw, th), re-encoded as AVI — the video analogue of
+      * [[resizeImage]]. Resizing to a multiple of the 9×8 vHash sample
+      * lattice (e.g. 18×16) is vHash-invariant frame-wise by the same
+      * floor-arithmetic identity as the image dHash. */
+    def resizeAvi(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+      val (w, h, n, frames) = decodeAviFramePixels(bytes)
+      encodeAvi(tw, th, n,
+        (x, y, f) => frames(f)((y * h / th) * w + (x * w / tw)))
+    }
+
     /** Sniff the container magic and decode for real (RIFF containers
       * dispatch on the form type at offset 8: WAVE vs 'AVI '); bytes no
       * parser claims fall through to the declared deterministic stub.
@@ -647,6 +771,137 @@ object Multimodal {
         64 / TextDedup.SimhashChunks)
       .groupBy(col("__combo").as("combo"), col("__ckey").as("ckey"))
       .agg(count(lit(1)).as("n"))
+
+  /** True iff the bytes carry a RIFF/WAVE magic — the audio-row
+    * predicate of the perceptual-hash family. */
+  def isAudio(bs: Array[Byte]): Boolean =
+    bs.length >= 12 && bs(0) == 'R' && bs(1) == 'I' && bs(2) == 'F' && bs(3) == 'F' &&
+      bs(8) == 'W' && bs(9) == 'A' && bs(10) == 'V' && bs(11) == 'E'
+
+  /** True iff the bytes carry a RIFF/'AVI ' magic — the video-row
+    * predicate of the perceptual-hash family. */
+  def isVideo(bs: Array[Byte]): Boolean =
+    bs.length >= 12 && bs(0) == 'R' && bs(1) == 'I' && bs(2) == 'F' && bs(3) == 'F' &&
+      bs(8) == 'A' && bs(9) == 'V' && bs(10) == 'I' && bs(11) == ' '
+
+  /** 64-bit audio perceptual hash (aHash64 — the dHash idea applied to
+    * the PCM envelope): the sample stream (normalized to the 8-bit
+    * scale, `RealCodec.decodeWavSamples`) splits into 65 windows on the
+    * floor lattice [k·n/65, (k+1)·n/65); bit k is set iff window k+1's
+    * sample SUM strictly exceeds window k's. Sums — not means — make the
+    * hash exactly invariant under the re-encodings the normalization
+    * inverts (the 8↔16-bit PCM transcode: every sum scales back to the
+    * identical integer), while byte-exact dedup (q35) sees a completely
+    * different container. Similar audio ⇒ near Hamming distance, so the
+    * SimHash combination-banding machinery applies unchanged. Needs at
+    * least 65 samples (shorter streams have empty lattice windows — the
+    * q211 entries filter on byte length, mirrored in the oracle CTE). */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val s = RealCodec.decodeWavSamples(bytes)
+    val n = s.length
+    require(n >= 65, s"aHash64 needs >= 65 samples, got $n")
+    val sums = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      var i = k * n / 65
+      val end = (k + 1) * n / 65
+      var acc = 0L
+      while (i < end) { acc += s(i); i += 1 }
+      sums(k) = acc
+      k += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b + 1) > sums(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** 64-bit video perceptual hash (vHash64): every frame is sampled on
+    * the SAME 9×8 integer lattice as the image dHash, the samples are
+    * SUMMED across frames, and bit gy·8+gx is set iff the right sum
+    * strictly exceeds the left — a horizontal-gradient hash of the
+    * temporally-integrated frame. Per-frame integer-lattice resizes
+    * (18×16 = 2× the lattice) are invariant by the dHash floor identity
+    * applied frame-wise, and sums (not means) keep frame-count-preserving
+    * re-encodes exact. Frame SAMPLING (dropping frames) changes the sums
+    * by design — a cut video is a different video. */
+  def vHash64(bytes: Array[Byte]): Long = {
+    val (w, h, _, frames) = RealCodec.decodeAviFramePixels(bytes)
+    val sums = new Array[Long](72) // gy*9 + gx, gx in 0..8
+    var f = 0
+    while (f < frames.length) {
+      val px = frames(f)
+      var gy = 0
+      while (gy < 8) {
+        val row = (gy * h / 8) * w
+        var gx = 0
+        while (gx < 9) {
+          sums(gy * 9 + gx) += px(row + gx * w / 9)
+          gx += 1
+        }
+        gy += 1
+      }
+      f += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      val gx = b % 8
+      val gy = b / 8
+      if (sums(gy * 9 + gx + 1) > sums(gy * 9 + gx)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** (media_id, ahash) frame of a media table's audio rows with ≥ 65
+    * PCM samples — per-partition batch decode like `phashFeatures`; the
+    * blob never leaves the scan stage, one long per row shuffles. */
+  def ahashFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.collect {
+      case r if isAudio(r.content) &&
+        RealCodec.decodeWavSamples(r.content).length >= 65 =>
+        (r.media_id, aHash64(r.content))
+    }).toDF("media_id", "ahash")
+  }
+
+  /** (media_id, vhash) frame of a media table's video rows — cf.
+    * `phashFeatures`/`ahashFeatures`. */
+  def vhashFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.collect {
+      case r if isVideo(r.content) => (r.media_id, vHash64(r.content))
+    }).toDF("media_id", "vhash")
+  }
+
+  /** 8→16-bit PCM transcode of a media table's audio rows (non-audio
+    * rows pass through) — the planted-duplicate stage of the q213
+    * receipt. */
+  def transcodeWav16(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (isAudio(r.content))
+        r.copy(content = RealCodec.encodeWav16(8000, RealCodec.decodeWavSamples(r.content)))
+      else r
+    })
+  }
+
+  /** Content-level video resize (non-video rows pass through) — the
+    * planted-duplicate stage of the q214 receipt (18×16 per frame =
+    * vHash-invariant). */
+  def resizeVideo(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (isVideo(r.content)) r.copy(content = RealCodec.resizeAvi(r.content, w, h))
+      else r
+    })
+  }
 
   /** Re-encode an image row's pixels in the named container family
     * ("bmp" / "png" / "ppm") — pixel-preserving for the grayscale grids

@@ -157,6 +157,56 @@ class DriftGuardSpec extends AnyFunSuite {
     assert(pairs > 0, s"$dir: q210 emitted no pairs — the planted-resize identity or the fixture degenerated")
   }
 
+  test("ahash/vhash fixtures survive regeneration: ASCII + length preconditions, combo occupancy (q211-q214)") {
+    dirs.foreach { d =>
+      val docs = Tables.table(spark, d, "documents")
+      // (a) audio replay preconditions: ASCII bytes AND >= 65 of them
+      // (the aHash lattice — both mirrored in the aud CTE). r14 regen
+      // measured ALL audio docs qualifying at every SF.
+      val aud = docs.filter(col("doc_id") % 3 === 1)
+        .agg(count(lit(1)).as("n"),
+          sum(when(length(col("text")) === octet_length(col("text")) &&
+            octet_length(col("text")) >= 65, 1L).otherwise(0L)).as("ok"))
+        .head()
+      assert(aud.getLong(1) > 0,
+        s"$d: 0 of ${aud.getLong(0)} audio-typed docs are ASCII+>=65B — the q211/q213 oracle replay is empty on this regen")
+      // (b) video replay precondition: ASCII, non-empty
+      val vid = docs.filter(col("doc_id") % 3 === 2)
+        .agg(count(lit(1)).as("n"),
+          sum(when(length(col("text")) === octet_length(col("text")) &&
+            octet_length(col("text")) >= 1, 1L).otherwise(0L)).as("ok"))
+        .head()
+      assert(vid.getLong(1) > 0,
+        s"$d: 0 of ${vid.getLong(0)} video-typed docs are ASCII — the q212/q214 oracle replay is empty on this regen")
+      // (c) combo-bucket weight in over-cap buckets bounded on the
+      // doubled (originals ∪ variants) frames the pair entries run —
+      // flat/monotone envelopes hashing alike are this family's
+      // boilerplate. r14 measured 0 dropped at every SF for both.
+      val media = graft.operators.Multimodal.syntheticMedia(spark, d)
+      def overcap(feats: org.apache.spark.sql.DataFrame, hashCol: String): (Long, Long) = {
+        val doubled = feats.unionAll(feats.select(
+          col("media_id") + SparkEntry.PhashVariantOffset, col(hashCol)))
+        val agg = graft.operators.Multimodal.phashBucketSizes(doubled, hashCol = hashCol)
+          .agg(sum(when(col("n") > Cap, col("n")).otherwise(lit(0L))).as("dropped"),
+            sum("n").as("tot")).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+      val (ad, at) = overcap(graft.operators.Multimodal.ahashFeatures(media), "ahash")
+      assert(ad * 2 <= at,
+        s"$d: $ad/$at of ahash combo-bucket weight is over-cap — the audio corpus collapsed to one perceptual cluster")
+      val (vd, vt) = overcap(graft.operators.Multimodal.vhashFeatures(media), "vhash")
+      assert(vd * 2 <= vt,
+        s"$d: $vd/$vt of vhash combo-bucket weight is over-cap — the video corpus collapsed to one perceptual cluster")
+    }
+    // degenerate-output guards at the oracle SF (r14: every planted
+    // transcode/resize variant pairs with its original)
+    val dir = dirs.find(_.endsWith("sf0.01")).getOrElse(dirs.head)
+    assert(SparkEntry.queries("q213_ahash_pairs")(spark, dir).count() > 0,
+      s"$dir: q213 emitted no pairs — the planted-transcode identity or the fixture degenerated")
+    assert(SparkEntry.queries("q214_vhash_pairs")(spark, dir).count() > 0,
+      s"$dir: q214 emitted no pairs — the planted-resize identity or the fixture degenerated")
+  }
+
   test("round-11 gate thresholds still SPLIT the regenerated corpus (q170/q174/q177)") {
     // A threshold pinned to one round's distribution stays hash-green
     // after regeneration but can degenerate to keep-all / drop-all —
