@@ -281,6 +281,92 @@ object DedupQuality {
     (hit, t.size.toLong, if (t.isEmpty) 1.0 else hit.toDouble / t.size)
   }
 
+  /** Recall of the audio/video perceptual families (q213/q214) vs exact
+    * envelope/lattice truth — the measurePhash protocol on the other two
+    * modalities. Planted variants per row: the aHash/vHash-invariant
+    * re-encode (16-bit PCM transcode / per-frame 18×16 resize) and a
+    * ±noiseAmp perturbation (per-sample / per-pixel). Truth = mean
+    * absolute difference ≤ maxMeanDiff over the signature's own support
+    * (the 65 window means / the 72 per-frame-mean lattice sums).
+    * Returns ((audioFound, audioTruth, audioRecall), (video...)). */
+  def measureAvHash(spark: SparkSession, docsDir: String,
+                    noiseAmp: Int = 2, maxMeanDiff: Double = 2.0)
+      : ((Long, Long, Double), (Long, Long, Double)) = {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaRow, RealCodec}
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, docsDir)
+    def recallOf(planted: org.apache.spark.sql.Dataset[MediaRow],
+                 envelope: MediaRow => Array[Double],
+                 pairs: org.apache.spark.sql.Dataset[MediaRow] => org.apache.spark.sql.DataFrame)
+        : (Long, Long, Double) = {
+      val sampled = planted.mapPartitions(_.map(r => (r.media_id, envelope(r)))).collect()
+      val truth = Set.newBuilder[(Long, Long)]
+      for (i <- sampled.indices; j <- (i + 1) until sampled.length) {
+        val (ia, va) = sampled(i); val (ib, vb) = sampled(j)
+        var d = 0.0
+        var k = 0
+        while (k < va.length) { d += math.abs(va(k) - vb(k)); k += 1 }
+        if (d <= maxMeanDiff * va.length)
+          truth += ((math.min(ia, ib), math.max(ia, ib)))
+      }
+      val t = truth.result()
+      val found = pairs(planted)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = t.count(found.contains).toLong
+      (hit, t.size.toLong, if (t.isEmpty) 1.0 else hit.toDouble / t.size)
+    }
+    def noise(i: Long, k: Int): Int =
+      (((k * 31L + i) % (2 * noiseAmp + 1)) - noiseAmp).toInt
+    val auds = media.filter(r => Multimodal.isAudio(r.content) &&
+      r.content.length >= 44 + 65)
+    val plantedAud = auds.mapPartitions(_.flatMap { r =>
+      val s = RealCodec.decodeWavSamples(r.content)
+      val noisy = Array.tabulate(s.length)(k =>
+        math.max(0, math.min(255, s(k) + noise(r.media_id, k))))
+      Seq(r,
+        r.copy(media_id = r.media_id + 10000000L,
+          content = RealCodec.encodeWav16(8000, s)),
+        r.copy(media_id = r.media_id + 20000000L,
+          content = RealCodec.encodeWav(8000, noisy.map(_.toByte))))
+    })
+    def audEnvelope(r: MediaRow): Array[Double] = {
+      val s = RealCodec.decodeWavSamples(r.content)
+      val n = s.length
+      Array.tabulate(65) { k =>
+        val lo = k * n / 65; val hi = (k + 1) * n / 65
+        var acc = 0L; var i = lo
+        while (i < hi) { acc += s(i); i += 1 }
+        acc.toDouble / math.max(1, hi - lo)
+      }
+    }
+    val audio = recallOf(plantedAud, audEnvelope,
+      ds => Multimodal.phashPairs(Multimodal.ahashFeatures(ds), hashCol = "ahash"))
+    val vids = media.filter(r => Multimodal.isVideo(r.content))
+    val plantedVid = vids.mapPartitions(_.flatMap { r =>
+      val (w, h, nf, frames) = RealCodec.decodeAviFramePixels(r.content)
+      def noisy(x: Int, y: Int, f: Int): Int =
+        math.max(0, math.min(255,
+          frames(f)(y * w + x) + noise(r.media_id, (f * h + y) * w + x)))
+      Seq(r,
+        r.copy(media_id = r.media_id + 10000000L,
+          content = RealCodec.resizeAvi(r.content, 18, 16)),
+        r.copy(media_id = r.media_id + 20000000L,
+          content = RealCodec.encodeAvi(w, h, nf, noisy)))
+    })
+    def vidEnvelope(r: MediaRow): Array[Double] = {
+      val (w, h, nf, frames) = RealCodec.decodeAviFramePixels(r.content)
+      val out = new Array[Double](72)
+      for (f <- 0 until nf; gy <- 0 until 8; gx <- 0 until 9)
+        out(gy * 9 + gx) += frames(f)((gy * h / 8) * w + gx * w / 9).toDouble / nf
+      out
+    }
+    val video = recallOf(plantedVid, vidEnvelope,
+      ds => Multimodal.phashPairs(Multimodal.vhashFeatures(ds), hashCol = "vhash"))
+    (audio, video)
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
     else Seq("/root/testdata/sf0.01",
@@ -310,6 +396,9 @@ object DedupQuality {
       println(f"[dedupq] $d simhash agreement on Jaccard-truth pairs: $af/$at = $ar%.3f")
       val (pf, pt, pr) = measurePhash(spark, d)
       println(f"[dedupq] $d phash recall vs exact pixel-lattice truth (planted variants): $pf/$pt = $pr%.3f")
+      val ((ahf, aht, ahr), (vhf, vht, vhr)) = measureAvHash(spark, d)
+      println(f"[dedupq] $d ahash recall vs exact envelope truth (planted variants): $ahf/$aht = $ahr%.3f")
+      println(f"[dedupq] $d vhash recall vs exact lattice truth (planted variants): $vhf/$vht = $vhr%.3f")
     }
     // exact edit truth is O(n² · len · maxDist) — bounded to the small SF
     val (fn, tn, rn, fa, ta) = measureEdit(spark,

@@ -140,6 +140,21 @@ class AvHashSpec extends AnyFunSuite {
       s"expected exactly the planted resize pair at hamming 0, got $pairs")
   }
 
+  test("ahash/vhash recall vs exact envelope/lattice truth holds the floors (DedupQuality receipt)") {
+    // r14 measured ahash 0.992 sf0.01 / 0.991 sf0.1 and vhash 0.719 /
+    // 0.721 on planted transcode/resize + ±2-noise variants; the vhash
+    // misses are noise pairs flipping low-gradient summed-lattice bits
+    // over few frames — the signature's documented fidelity limit (the
+    // phash 0.89 class), not a banding loss (machinery shared with the
+    // pigeonhole-complete q83/q210 band). Floors leave regen noise room
+    // while catching a codec/lattice regression.
+    val ((af, at, ar), (vf, vt, vr)) =
+      graft.tools.DedupQuality.measureAvHash(spark, TestSpark.sf01)
+    assert(at > 0 && vt > 0, "planted av-hash truth degenerated")
+    assert(ar >= 0.9, f"ahash recall $af/$at = $ar%.3f < 0.9")
+    assert(vr >= 0.6, f"vhash recall $vf/$vt = $vr%.3f < 0.6")
+  }
+
   test("feature stages hash exactly their modality's rows (others skipped, not failed)") {
     val media = Multimodal.syntheticMedia(spark, TestSpark.sf0001)
     // the aHash lattice needs >= 65 PCM samples (WAV header is 44
