@@ -444,8 +444,10 @@ object SparkEntry {
   /** The combination-banding replay over a `ph(media_id, phash)` CTE —
     * q210's tail (packed combo keys → bucket cap → min-combo single
     * emission → exact hamming), factored so the image/audio/video
-    * planted-pair replays share one spelling. */
-  private def phashBandingReplaySql: String = {
+    * planted-pair replays share one spelling. `extraWhere` restricts the
+    * final pair set (the q217 cross form). */
+  private def phashBandingReplaySql: String = phashBandingReplaySql("")
+  private def phashBandingReplaySql(extraWhere: String): String = {
     val chunkBits = 64 / graft.operators.TextDedup.SimhashChunks
     val nChunks = graft.operators.TextDedup.SimhashChunks
     val mask = (1L << chunkBits) - 1
@@ -465,7 +467,46 @@ object SparkEntry {
       s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
       s"c -> CASE WHEN ((xor(a.phash, b.phash) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
       "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
-      "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
+      s"FROM pairs WHERE bit_count(xor(sa, sb)) <= 3$extraWhere " +
+      "ORDER BY id_a, id_b LIMIT 100"
+  }
+
+  /** The q83 32-bit simhash replay (token md5 → sign fold → combination
+    * banding → cap → min-combo → hamming), parameterized for the
+    * incremental/streaming twins: `bszExpr` is the bucket-occupancy
+    * window (combined COUNT(*) for q83/q215; existing-side-only
+    * CASE-sum for q216's stateless streaming contract) and `extraWhere`
+    * restricts the final pair set (the cross forms). The packed-integer
+    * combo key is the identical arithmetic the Spark side computes, so
+    * keys and bucket-cap drops stay value-equal across engines; the
+    * min-combo condition mirrors simhashMinComboByMask's
+    * single-emission rule. */
+  private def simhash32ReplaySql(bszExpr: String, extraWhere: String): String = {
+    val chunkBits = 32 / graft.operators.TextDedup.SimhashChunks
+    val nChunks = graft.operators.TextDedup.SimhashChunks
+    val mask = (1L << chunkBits) - 1
+    val comboVals = graft.operators.TextDedup.simhashCombos.zipWithIndex
+      .map { case (cs, j) => s"($j, ${cs.mkString("[", ", ", "]")})" }.mkString(", ")
+    val minCombo = graft.operators.TextDedup.simhashMinComboByMask
+      .mkString("[", ", ", "]")
+    "WITH th AS (SELECT doc_id, list_distinct(list_transform(string_split(text, ' '), " +
+      "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS hs FROM documents), " +
+      "sig AS (SELECT doc_id, list_sum(list_transform(range(0, 32), b -> " +
+      "CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) >= 0 " +
+      "THEN (1::BIGINT << b) ELSE 0 END)) AS sim FROM th), " +
+      s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
+      "chunks0 AS (SELECT doc_id, sim, j, " +
+      s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
+      s"i -> ((sim >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
+      "FROM sig, combos), " +
+      s"chunks AS (SELECT *, $bszExpr AS bsz FROM chunks0), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
+      "FROM chunks a JOIN chunks b ON a.j = b.j AND a.ckey = b.ckey AND a.doc_id < b.doc_id " +
+      s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
+      s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
+      s"c -> CASE WHEN ((xor(a.sim, b.sim) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+      s"FROM pairs WHERE bit_count(xor(sa, sb)) <= 3$extraWhere " +
       "ORDER BY id_a, id_b LIMIT 100"
   }
 
@@ -2751,6 +2792,54 @@ object SparkEntry {
           Multimodal.vhashFeatures(vid.unionAll(variants)), hashCol = "vhash")
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Incremental SimHash near-dup (round 14): an incoming batch checked
+    // against the existing corpus — completes the simhash family's
+    // {batch q83, incremental, streaming} matrix row (the q124/q125
+    // shape: combined per-bucket occupancy cap, keys-only, min-combo
+    // unique emission). Oracle = the q83 replay restricted to cross
+    // pairs.
+    "q215_incremental_simhash" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      TextDedup.portableSimhashCrossPairs(
+          docs.filter(col("doc_id") < IncrementalSplitId),
+          docs.filter(col("doc_id") >= IncrementalSplitId),
+          "doc_id", "text")
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // Streaming SimHash ingest check (round 14): incoming documents
+    // simhashed per micro-batch against the STATIC corpus combo-key
+    // index — entirely stateless (the q126/q142 contract: the bucket
+    // cap sees corpus-side occupancy only, which the oracle text
+    // mirrors exactly; min-combo keeps the stream a true set with no
+    // state-store dedup).
+    "q216_stream_simhash" -> { (spark, dir) =>
+      val docs = Tables.table(spark, dir, "documents")
+      val staticChunks = TextDedup.portableSimhashChunkKeys(
+        docs.filter(col("doc_id") < IncrementalSplitId), "doc_id", "text")
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
+        .filter(col("doc_id") >= IncrementalSplitId)
+      val streamChunks = TextDedup.portableSimhashChunkKeys(stream, "doc_id", "text")
+      graft.streaming.StreamOps.runAppend(spark,
+          TextDedup.simhashCrossEmitPairs(staticChunks, streamChunks,
+            32 / TextDedup.SimhashChunks, maxHamming = 3,
+            maxBucketSize = TextDedup.DefaultMaxBucketSize, combinedCap = false),
+          s"q216_mem_${math.abs(dir.hashCode)}")
+        .orderBy("id_a", "id_b").limit(100)
+    },
+    // Incremental perceptual dedup (round 14): arriving re-encoded
+    // copies (the 18×16 resizes) checked against the stored image
+    // corpus WITHOUT re-banding it — the media family's daily-crawl
+    // twin, sharing the text machinery's cross generator. Oracle = the
+    // q210 replay restricted to cross pairs.
+    "q217_incremental_phash" -> { (spark, dir) =>
+      val imgs = phashAsciiImages(spark, dir)
+      val variants = Multimodal.resizeMedia(imgs, 18, 16)
+        .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.phashCrossPairs(
+          Multimodal.phashFeatures(imgs), Multimodal.phashFeatures(variants))
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // TRAINED-classifier gate (round 11, session 2): multinomial Naive
     // Bayes over token counts — the fastText-style model-based language/
     // quality filter (CCNet / GPT-3-era curation), completing the gate
@@ -4123,41 +4212,23 @@ object SparkEntry {
       // hamming. Pigeonhole completeness makes the verified pair set
       // identical to single-chunk banding; the key space grows 2^8 →
       // 2^20 (the round-7 cardinality ceiling).
-      "q83_simhash_portable" -> {
-        val chunkBits = 32 / graft.operators.TextDedup.SimhashChunks
-        val nChunks = graft.operators.TextDedup.SimhashChunks
-        val mask = (1L << chunkBits) - 1
-        val comboVals = graft.operators.TextDedup.simhashCombos.zipWithIndex
-          .map { case (cs, j) => s"($j, ${cs.mkString("[", ", ", "]")})" }.mkString(", ")
-        val minCombo = graft.operators.TextDedup.simhashMinComboByMask
-          .mkString("[", ", ", "]")
-        ("WITH th AS (SELECT doc_id, list_distinct(list_transform(string_split(text, ' '), " +
-          "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS hs FROM documents), " +
-          "sig AS (SELECT doc_id, list_sum(list_transform(range(0, 32), b -> " +
-          "CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) >= 0 " +
-          "THEN (1::BIGINT << b) ELSE 0 END)) AS sim FROM th), " +
-          s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
-          // packed-integer combo key (round 10): Σ_i chunk(cs[i]) << (w·i)
-          // — the identical arithmetic the Spark side computes, so keys
-          // and bucket-cap drops stay value-equal across engines
-          "chunks0 AS (SELECT doc_id, sim, j, " +
-          s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
-          s"i -> ((sim >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
-          "FROM sig, combos), " +
-          // bsz ≤ cap mirrors the Spark degenerate-bucket guard
-          // (TextDedup.DefaultMaxBucketSize); the min-combo condition
-          // mirrors simhashMinComboByMask's single-emission rule so the
-          // cap drops the SAME pairs in both engines
-          "chunks AS (SELECT *, COUNT(*) OVER (PARTITION BY j, ckey) AS bsz FROM chunks0), " +
-          "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
-          "FROM chunks a JOIN chunks b ON a.j = b.j AND a.ckey = b.ckey AND a.doc_id < b.doc_id " +
-          s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
-          s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
-          s"c -> CASE WHEN ((xor(a.sim, b.sim) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
-          "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
-          "FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 " +
-          "ORDER BY id_a, id_b LIMIT 100")
-      },
+      "q83_simhash_portable" ->
+        simhash32ReplaySql("COUNT(*) OVER (PARTITION BY j, ckey)", ""),
+      // round 14, q215: the q83 replay restricted to cross pairs — with
+      // every incoming id above the split, the symmetric a<b order
+      // restricted to (existing, incoming) IS the incremental cross
+      // generator's output, and the symmetric bsz IS the combined cap.
+      "q215_incremental_simhash" ->
+        simhash32ReplaySql("COUNT(*) OVER (PARTITION BY j, ckey)",
+          s" AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId"),
+      // round 14, q216: the STREAMING contract replayed exactly — the
+      // stateless per-batch check can only cap on EXISTING-side
+      // occupancy (per-batch incoming occupancy is unknowable without
+      // state), so bsz counts corpus-side rows only.
+      "q216_stream_simhash" ->
+        simhash32ReplaySql(
+          s"SUM(CASE WHEN doc_id < $IncrementalSplitId THEN 1 ELSE 0 END) OVER (PARTITION BY j, ckey)",
+          s" AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId"),
       // round 14, q209: the dHash recomputed straight from the document
       // text bytes — the synthetic image's pixel(x, y) is
       // text[(x + y·7) mod len], the 9×8 sample lattice is floor
@@ -4200,6 +4271,16 @@ object SparkEntry {
         (s"WITH $vhashVidCte " +
           s"SELECT doc_id AS media_id, $vhashExprSql AS vhash FROM vid " +
           "ORDER BY media_id LIMIT 100"),
+      // round 14, q217: the q210 replay restricted to cross pairs — the
+      // incremental media twin's oracle (combined cap = the symmetric
+      // bsz; originals sit below the variant offset, so a<b restricted
+      // to cross IS (existing, incoming)).
+      "q217_incremental_phash" ->
+        (s"WITH $phashImgCte, " +
+          s"ph0 AS (SELECT doc_id AS media_id, $phashExprSql AS phash FROM img), " +
+          s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
+          phashBandingReplaySql(
+            s" AND id_a < $PhashVariantOffset AND id_b >= $PhashVariantOffset")),
       // round 14, q213: q211's hash duplicated at the variant offset
       // (the 8→16-bit PCM transcode is aHash-invariant — the planted-
       // pair identity the Spark pipeline must reproduce through decode →

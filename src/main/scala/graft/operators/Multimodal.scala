@@ -761,6 +761,31 @@ object Multimodal {
       TextDedup.simhashComboKeys(sigs, chunkBits), chunkBits, maxHamming, maxBucketSize)
   }
 
+  /** Incremental perceptual near-dup: pairs between an EXISTING
+    * (id, hash) signature frame and an INCOMING one — the daily-crawl
+    * shape for the media family (an arriving re-encode/resize of a
+    * stored asset pairs with its original without re-banding the
+    * corpus). Works over any of the three modality hashes (dHash64 /
+    * aHash64 / vHash64 — pass the hash column). Pair set equals
+    * `phashPairs` on the concatenated frame restricted to cross pairs
+    * under the callers' id-offset convention (the q217 oracle);
+    * `combinedCap = false` gives the stateless streaming contract
+    * (existing-side cap only — see `simhashCrossEmitPairs`). */
+  def phashCrossPairs(existing: DataFrame, incoming: DataFrame,
+                      idCol: String = "media_id", hashCol: String = "phash",
+                      maxHamming: Int = 3,
+                      maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                      combinedCap: Boolean = true): DataFrame = {
+    require(maxHamming <= TextDedup.SimhashChunks - TextDedup.SimhashIntact,
+      s"${TextDedup.SimhashChunks} chunks with ${TextDedup.SimhashIntact} intact only guarantee " +
+        s"hamming <= ${TextDedup.SimhashChunks - TextDedup.SimhashIntact}")
+    val chunkBits = 64 / TextDedup.SimhashChunks
+    def keys(df: DataFrame) = TextDedup.simhashComboKeys(
+      df.select(col(idCol), col(hashCol).cast("long").as("__sim")), chunkBits)
+    TextDedup.simhashCrossEmitPairs(keys(existing), keys(incoming),
+      chunkBits, maxHamming, maxBucketSize, combinedCap)
+  }
+
   /** Occupancy audit for the phash combo buckets: (combo, ckey, n) —
     * DriftGuardSpec's margin probe for the q209/q210 fixture (cf.
     * `TextDedup.portableSimhashBucketSizes`). */

@@ -1007,6 +1007,79 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-corpus tail of the simhash machinery (round 14): in-bucket
+    * pairs between an EXISTING combo-key stream and an INCOMING one —
+    * the daily-crawl shape (cf. `portableCrossPairStats` /
+    * `Similarity.portableCrossEmbedPairs`), shared by the text simhash
+    * and perceptual-hash incremental/streaming twins.
+    *
+    * With `combinedCap = true` (the incremental contract) the bucket cap
+    * is the COMBINED existing+incoming occupancy — the pair set then
+    * equals the symmetric generator on the concatenated corpus
+    * restricted to cross pairs, PROVIDED every incoming id exceeds every
+    * existing id (the callers' split/offset convention; the `id_a <
+    * id_b` guard makes the restriction literal). With `combinedCap =
+    * false` (the stateless streaming contract — cf.
+    * `StreamOps.editDistanceAgainstCorpus`) the cap sees EXISTING-side
+    * occupancy only: per-batch incoming occupancy is unknowable
+    * statelessly; the streaming oracle mirrors exactly this semantic.
+    * Min-combo single emission is evaluated per pair, so the stream is
+    * unique by construction in both modes — no distinct. Keys-only
+    * exchange throughout. */
+  private[graft] def simhashCrossEmitPairs(chunksOld: DataFrame, chunksNew: DataFrame,
+                                           chunkBits: Int, maxHamming: Int,
+                                           maxBucketSize: Int,
+                                           combinedCap: Boolean = true): DataFrame = {
+    val idOld = chunksOld.columns.filterNot(_.startsWith("__")).head
+    val idNew = chunksNew.columns.filterNot(_.startsWith("__")).head
+    val mask = (1L << chunkBits) - 1
+    val occSrc =
+      if (combinedCap) chunksOld.select("__combo", "__ckey")
+        .unionAll(chunksNew.select("__combo", "__ckey"))
+      else chunksOld.select("__combo", "__ckey")
+    val eligible = occSrc.groupBy("__combo", "__ckey")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("__combo", "__ckey")
+    val a = chunksOld.join(eligible, Seq("__combo", "__ckey"))
+      .select(col("__combo"), col("__ckey"),
+        col(idOld).as("id_a"), col("__sim").as("__sa"))
+    val b = chunksNew.select(col("__combo"), col("__ckey"),
+      col(idNew).as("id_b"), col("__sim").as("__sb"))
+    val intactMask = (0 until SimhashChunks).map { c =>
+      when(shiftrightunsigned(col("__xor"), chunkBits * c).bitwiseAND(lit(mask)) === 0,
+        lit(1 << c)).otherwise(lit(0))
+    }.reduce(_ + _)
+    a.join(b, Seq("__combo", "__ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__xor", col("__sa").bitwiseXOR(col("__sb")))
+      .filter(col("__combo") ===
+        element_at(typedLit(simhashMinComboByMask), intactMask + 1))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__xor)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental portable SimHash near-dup: candidate pairs between an
+    * EXISTING document corpus and an INCOMING batch — completes the
+    * simhash family's {batch q83, incremental, streaming} matrix row
+    * (cf. q124/q125 for the minhash/embedding families). Pair set equals
+    * `portableSimhashPairs` on the concatenated corpus restricted to
+    * cross pairs (the q215 oracle). Output: (id_a ∈ existing, id_b ∈
+    * incoming, hamming). */
+  def portableSimhashCrossPairs(existing: DataFrame, incoming: DataFrame,
+                                idCol: String, textCol: String,
+                                maxHamming: Int = 3,
+                                maxBucketSize: Int = DefaultMaxBucketSize,
+                                combinedCap: Boolean = true): DataFrame = {
+    require(maxHamming <= SimhashChunks - SimhashIntact,
+      s"$SimhashChunks chunks with $SimhashIntact intact only guarantee hamming <= ${SimhashChunks - SimhashIntact}")
+    simhashCrossEmitPairs(
+      portableSimhashChunkKeys(existing, idCol, textCol),
+      portableSimhashChunkKeys(incoming, idCol, textCol),
+      32 / SimhashChunks, maxHamming, maxBucketSize, combinedCap)
+  }
+
   /** SimHash near-dup: 64-bit signatures combination-banded over 8×8-bit
     * chunks (hamming ≤ 3 ⇒ some 5 chunks intact — see `SimhashChunks`),
     * verified by exact hamming distance. Bucket keys are 40-bit integers

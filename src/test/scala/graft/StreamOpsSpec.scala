@@ -209,6 +209,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming simhash ingest equals the corpus-capped batch cross operator on closed input (q216)") {
+    import graft.operators.TextDedup
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val split = 400L
+    val corpus = docs.filter(col("doc_id") < split)
+    val staticChunks = TextDedup.portableSimhashChunkKeys(corpus, "doc_id", "text")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
+      .filter(col("doc_id") >= split)
+    val streamChunks = TextDedup.portableSimhashChunkKeys(stream, "doc_id", "text")
+    val streamed = StreamOps.runAppend(spark,
+        TextDedup.simhashCrossEmitPairs(staticChunks, streamChunks,
+          32 / TextDedup.SimhashChunks, maxHamming = 3,
+          maxBucketSize = TextDedup.DefaultMaxBucketSize, combinedCap = false),
+        "stream_simhash")
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextDedup.portableSimhashCrossPairs(
+        corpus, docs.filter(col("doc_id") >= split), "doc_id", "text",
+        combinedCap = false)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty, "fixture must contain cross simhash pairs")
+  }
+
   test("q142 cap-coupling margin: no prefix block near DefaultMaxBucketSize") {
     // r10 advice: q142's streaming cap sees CORPUS-side occupancy only
     // while its oracle (the q141 replay) caps COMBINED occupancy — the

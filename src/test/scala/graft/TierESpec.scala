@@ -244,6 +244,38 @@ class TierESpec extends AnyFunSuite {
     assert(cross.nonEmpty, "fixture must contain cross-boundary fuzzy pairs")
   }
 
+  test("portableSimhashCrossPairs equals the symmetric operator restricted to cross pairs (q215 identity)") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val split = 400L
+    val sym = TextDedup.portableSimhashPairs(docs, "doc_id", "text")
+      .filter(col("id_a") < split && col("id_b") >= split)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val cross = TextDedup.portableSimhashCrossPairs(
+        docs.filter(col("doc_id") < split), docs.filter(col("doc_id") >= split),
+        "doc_id", "text")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(cross == sym, s"cross=${cross.size} sym=${sym.size} " +
+      s"onlyCross=${(cross -- sym).take(3)} onlySym=${(sym -- cross).take(3)}")
+    assert(cross.nonEmpty, "fixture must contain cross-boundary simhash pairs")
+  }
+
+  test("phashCrossPairs equals the symmetric phashPairs restricted to cross pairs (q217 identity)") {
+    import graft.operators.Multimodal
+    val imgs = Multimodal.syntheticMedia(spark, TestSpark.sf0001)
+      .filter(col("media_type") === "image")
+    val variants = Multimodal.resizeMedia(imgs, 18, 16)
+      .map(r => r.copy(media_id = r.media_id + 1000000L))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val sym = Multimodal.phashPairs(Multimodal.phashFeatures(imgs.unionAll(variants)))
+      .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val cross = Multimodal.phashCrossPairs(
+        Multimodal.phashFeatures(imgs), Multimodal.phashFeatures(variants))
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(cross == sym, s"cross=${cross.size} sym=${sym.size}")
+    assert(cross.nonEmpty, "fixture must contain cross original-variant pairs")
+  }
+
   test("simhash expression matches scalar reference and codegen evaluates") {
     val texts = Seq("spark shuffles data across executors", "a b c", "")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
