@@ -445,9 +445,14 @@ object SparkEntry {
     * q210's tail (packed combo keys → bucket cap → min-combo single
     * emission → exact hamming), factored so the image/audio/video
     * planted-pair replays share one spelling. `extraWhere` restricts the
-    * final pair set (the q217 cross form). */
+    * final pair set (the q217/q218 cross forms); `bszExpr` is the
+    * bucket-occupancy window (combined COUNT(*) by default;
+    * existing-side-only CASE-sum for q218's stateless streaming
+    * contract — cf. simhash32ReplaySql). */
   private def phashBandingReplaySql: String = phashBandingReplaySql("")
-  private def phashBandingReplaySql(extraWhere: String): String = {
+  private def phashBandingReplaySql(extraWhere: String): String =
+    phashBandingReplaySql("COUNT(*) OVER (PARTITION BY j, ckey)", extraWhere)
+  private def phashBandingReplaySql(bszExpr: String, extraWhere: String): String = {
     val chunkBits = 64 / graft.operators.TextDedup.SimhashChunks
     val nChunks = graft.operators.TextDedup.SimhashChunks
     val mask = (1L << chunkBits) - 1
@@ -460,7 +465,7 @@ object SparkEntry {
       s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
       s"i -> ((phash >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
       "FROM ph, combos), " +
-      "chunks AS (SELECT *, COUNT(*) OVER (PARTITION BY j, ckey) AS bsz FROM chunks0), " +
+      s"chunks AS (SELECT *, $bszExpr AS bsz FROM chunks0), " +
       "pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b, a.phash AS sa, b.phash AS sb " +
       "FROM chunks a JOIN chunks b ON a.j = b.j AND a.ckey = b.ckey AND a.media_id < b.media_id " +
       s"WHERE a.bsz <= ${graft.operators.TextDedup.DefaultMaxBucketSize} " +
@@ -2840,6 +2845,32 @@ object SparkEntry {
           Multimodal.phashFeatures(imgs), Multimodal.phashFeatures(variants))
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Streaming perceptual ingest (round 14): arriving image files
+    // hashed PER MICRO-BATCH (encode → resize → decode → dHash inside
+    // the batch's own partition pass — blobs never leave it) and
+    // checked against the static corpus combo-key index. Stateless (the
+    // q216 contract: corpus-side cap, min-combo uniqueness — no state
+    // store), completing the media family's {batch, incremental,
+    // streaming} row.
+    "q218_stream_phash" -> { (spark, dir) =>
+      val imgs = phashAsciiImages(spark, dir) // registers documents
+      val docs = Tables.table(spark, dir, "documents")
+      val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
+        .filter(col("doc_id") % 3 === 0 &&
+          length(col("text")) === octet_length(col("text")))
+      val streamVariants = Multimodal.resizeMedia(
+          Multimodal.syntheticMediaRows(stream)
+            .filter(col("media_type") === "image")
+            .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]), 18, 16)
+        .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      graft.streaming.StreamOps.runAppend(spark,
+          Multimodal.phashCrossPairs(
+            Multimodal.phashFeatures(imgs),
+            Multimodal.phashFeatures(streamVariants), combinedCap = false),
+          s"q218_mem_${math.abs(dir.hashCode)}")
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // TRAINED-classifier gate (round 11, session 2): multinomial Naive
     // Bayes over token counts — the fastText-style model-based language/
     // quality filter (CCNet / GPT-3-era curation), completing the gate
@@ -4280,6 +4311,17 @@ object SparkEntry {
           s"ph0 AS (SELECT doc_id AS media_id, $phashExprSql AS phash FROM img), " +
           s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
           phashBandingReplaySql(
+            s" AND id_a < $PhashVariantOffset AND id_b >= $PhashVariantOffset")),
+      // round 14, q218: the streaming contract replayed exactly — the
+      // stateless per-batch check caps on CORPUS-side occupancy only
+      // (the q216 rule), so bsz counts originals (below the variant
+      // offset) alone.
+      "q218_stream_phash" ->
+        (s"WITH $phashImgCte, " +
+          s"ph0 AS (SELECT doc_id AS media_id, $phashExprSql AS phash FROM img), " +
+          s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
+          phashBandingReplaySql(
+            s"SUM(CASE WHEN media_id < $PhashVariantOffset THEN 1 ELSE 0 END) OVER (PARTITION BY j, ckey)",
             s" AND id_a < $PhashVariantOffset AND id_b >= $PhashVariantOffset")),
       // round 14, q213: q211's hash duplicated at the variant offset
       // (the 8→16-bit PCM transcode is aHash-invariant — the planted-

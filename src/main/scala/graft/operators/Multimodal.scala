@@ -951,9 +951,18 @@ object Multimodal {
     * document text bytes, dimensions from doc_id — deterministic);
     * video rows keep opaque text bytes for the declared FakeCodec stub. */
   def syntheticMedia(spark: SparkSession, docsDir: String): Dataset[MediaRow] = {
-    import spark.implicits._
     graft.Tables.register(spark, docsDir)
-    spark.table("documents")
+    syntheticMediaRows(spark.table("documents"))
+  }
+
+  /** The synthetic-media construction over ANY (doc_id, text, source)
+    * frame — factored out (round 14) so the STREAMING media entries can
+    * build arriving MediaRows per micro-batch (all stateless: select +
+    * typed mapPartitions work on streaming Datasets). */
+  def syntheticMediaRows(docs: org.apache.spark.sql.DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .select(
         col("doc_id").as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),

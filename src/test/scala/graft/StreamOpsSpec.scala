@@ -235,6 +235,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain cross simhash pairs")
   }
 
+  test("streaming phash ingest equals the corpus-capped batch cross operator on closed input (q218)") {
+    import graft.operators.Multimodal
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val imgs = Multimodal.syntheticMediaRows(docs)
+      .filter(col("media_type") === "image")
+    val offset = 1000000L
+    def variants(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+      Multimodal.resizeMedia(ds, 18, 16)
+        .map(r => r.copy(media_id = r.media_id + offset))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf0001)
+      .filter(col("doc_id") % 3 === 0)
+    val streamVariants = variants(Multimodal.syntheticMediaRows(stream)
+      .filter(col("media_type") === "image")
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+    val streamed = StreamOps.runAppend(spark,
+        Multimodal.phashCrossPairs(Multimodal.phashFeatures(imgs),
+          Multimodal.phashFeatures(streamVariants), combinedCap = false),
+        "stream_phash")
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Multimodal.phashCrossPairs(Multimodal.phashFeatures(imgs),
+        Multimodal.phashFeatures(variants(imgs)), combinedCap = false)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty, "fixture must contain original-variant phash pairs")
+  }
+
   test("q142 cap-coupling margin: no prefix block near DefaultMaxBucketSize") {
     // r10 advice: q142's streaming cap sees CORPUS-side occupancy only
     // while its oracle (the q141 replay) caps COMBINED occupancy — the
