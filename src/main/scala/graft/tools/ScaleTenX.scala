@@ -33,7 +33,13 @@ object ScaleTenX {
     // batch and streaming), the streaming decision twin and the subword
     // budget (segmentation + prefix sum)
     "q203_release_manifest", "q204_stream_gate_ensemble",
-    "q206_stream_release", "q205_subword_budget")
+    "q206_stream_release", "q205_subword_budget",
+    // round-14 additions: the perceptual pair pipelines (image/audio/
+    // video banding over real-codec decodes) and the simhash/perceptual
+    // incremental + streaming twins
+    "q210_phash_pairs", "q213_ahash_pairs", "q214_vhash_pairs",
+    "q215_incremental_simhash", "q216_stream_simhash",
+    "q217_incremental_phash", "q218_stream_phash")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
