@@ -2797,6 +2797,24 @@ object SparkEntry {
           Multimodal.vhashFeatures(vid.unionAll(variants)), hashCol = "vhash")
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Perceptual similarity SEARCH (round 14): hamming top-k over the
+    // image corpus via multi-index hashing (Norouzi et al. 2012) —
+    // disjoint 8-bit chunk indexes, pigeonhole-exact for neighbors at
+    // hamming ≤ 7, capped posting lists, keys-only exchange, exact
+    // (hamming, id) ranking. Queries = the resize variants; each one's
+    // top-1 is its original at hamming 0. Extends the similarity-search
+    // tier (q44/q45/q53) to the media modalities.
+    "q219_phash_topk" -> { (spark, dir) =>
+      val imgs = phashAsciiImages(spark, dir)
+      val corpus = Multimodal.phashFeatures(imgs)
+      val queries = Multimodal.phashFeatures(
+          Multimodal.resizeMedia(imgs, 18, 16)
+            .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
+              org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+        .select(col("media_id").as("query_id"), col("phash"))
+      Multimodal.phashTopK(corpus, queries, k = 3)
+        .orderBy("query_id", "rank").limit(100)
+    },
     // Incremental SimHash near-dup (round 14): an incoming batch checked
     // against the existing corpus — completes the simhash family's
     // {batch q83, incremental, streaming} matrix row (the q124/q125
@@ -4323,6 +4341,30 @@ object SparkEntry {
           phashBandingReplaySql(
             s"SUM(CASE WHEN media_id < $PhashVariantOffset THEN 1 ELSE 0 END) OVER (PARTITION BY j, ckey)",
             s" AND id_a < $PhashVariantOffset AND id_b >= $PhashVariantOffset")),
+      // round 14, q219: the multi-index hamming top-k replayed literally
+      // — chunk indexes from the same shift-and-mask arithmetic (DuckDB's
+      // masked shift agrees with Spark's unsigned shift on every chunk,
+      // incl. bit 63), capped posting lists, DISTINCT candidates, exact
+      // (hamming, media_id) row_number ranking.
+      "q219_phash_topk" -> {
+        val cap = graft.operators.TextDedup.DefaultMaxBucketSize
+        (s"WITH $phashImgCte, " +
+          s"ph0 AS (SELECT doc_id AS media_id, $phashExprSql AS phash FROM img), " +
+          s"q AS (SELECT media_id + $PhashVariantOffset AS query_id, phash FROM ph0), " +
+          "ck AS (SELECT media_id, phash, t.c AS c, (phash >> (8 * t.c)) & 255 AS v FROM ph0, range(0, 8) t(c)), " +
+          "bsz AS (SELECT c, v, COUNT(*) AS n FROM ck GROUP BY c, v), " +
+          "qk AS (SELECT query_id, phash, t.c AS c, (phash >> (8 * t.c)) & 255 AS v FROM q, range(0, 8) t(c)), " +
+          "cand AS (SELECT DISTINCT qk.query_id, ck.media_id FROM qk " +
+          "JOIN ck ON qk.c = ck.c AND qk.v = ck.v " +
+          s"JOIN bsz ON bsz.c = ck.c AND bsz.v = ck.v WHERE bsz.n <= $cap), " +
+          "scored AS (SELECT cand.query_id, cand.media_id, " +
+          "CAST(bit_count(xor(q.phash, p.phash)) AS BIGINT) AS hamming " +
+          "FROM cand JOIN q ON q.query_id = cand.query_id JOIN ph0 p ON p.media_id = cand.media_id), " +
+          s"r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, media_id) AS rnk " +
+          s"FROM scored WHERE hamming <= ${graft.operators.TextDedup.SimhashChunks - 1}) " +
+          "SELECT query_id, media_id, hamming, CAST(rnk AS BIGINT) AS rank " +
+          "FROM r WHERE rnk <= 3 ORDER BY query_id, rank LIMIT 100")
+      },
       // round 14, q213: q211's hash duplicated at the variant offset
       // (the 8→16-bit PCM transcode is aHash-invariant — the planted-
       // pair identity the Spark pipeline must reproduce through decode →

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -784,6 +785,65 @@ object Multimodal {
       df.select(col(idCol), col(hashCol).cast("long").as("__sim")), chunkBits)
     TextDedup.simhashCrossEmitPairs(keys(existing), keys(incoming),
       chunkBits, maxHamming, maxBucketSize, combinedCap)
+  }
+
+  /** Hamming TOP-K similarity search over a 64-bit perceptual-hash
+    * corpus (multi-index hashing — Norouzi & Punjani & Fleet 2012,
+    * "Fast Search in Hamming Space with Multi-Index Hashing"): the hash
+    * splits into 8 disjoint 8-bit chunks indexed separately; candidates
+    * = corpus rows sharing AT LEAST ONE chunk (position AND value) with
+    * the query. By pigeonhole every corpus row within hamming ≤ 7
+    * shares a chunk, so the returned top-k is EXACT whenever the true
+    * k-th neighbor sits at hamming ≤ SimhashChunks − 1 — the regime a
+    * near-dup search runs in; farther rows are out of contract. Ranked
+    * by exact hamming with (hamming, id) tie-break — fully
+    * deterministic, so the pipeline hash-checks (q219).
+    *
+    * Scale shape: the chunk index is a keys-only (chunk, value, id)
+    * exchange — hashes join back AFTER the candidate pairs form; the
+    * per-(chunk, value) corpus posting list is capped at
+    * `maxBucketSize` (a degenerate value — monochrome images all
+    * hashing alike — otherwise multiplies every query landing on it;
+    * the cap is mirrored in the q219 replay, so drops agree
+    * cross-engine). Output: (query_id, media_id, hamming, rank ≤ k). */
+  def phashTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "media_id", hashCol: String = "phash",
+                queryIdCol: String = "query_id",
+                maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val chunkBits = 64 / TextDedup.SimhashChunks
+    val mask = (1L << chunkBits) - 1
+    def chunkKeys(df: DataFrame, id: String): DataFrame =
+      df.select(col(id),
+        posexplode(array((0 until TextDedup.SimhashChunks).map(c =>
+          shiftrightunsigned(col(hashCol).cast("long"), chunkBits * c).bitwiseAND(lit(mask))): _*))
+          .as(Seq("__c", "__v")))
+    val corpusKeys = chunkKeys(corpus, idCol)
+    val eligible = corpusKeys.groupBy("__c", "__v")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("__c", "__v")
+    val cand = chunkKeys(queries, queryIdCol)
+      .join(corpusKeys.join(eligible, Seq("__c", "__v"))
+        .select(col("__c"), col("__v"), col(idCol)), Seq("__c", "__v"))
+      .select(col(queryIdCol), col(idCol))
+      .distinct()
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("hamming"), col(idCol))
+    cand
+      .join(corpus.select(col(idCol), col(hashCol).cast("long").as("__ch")), Seq(idCol))
+      .join(queries.select(col(queryIdCol), col(hashCol).cast("long").as("__qh")), Seq(queryIdCol))
+      .withColumn("hamming",
+        expr("bit_count(__ch ^ __qh)").cast("long"))
+      // the search RADIUS is the exactness bound: sharing a chunk is
+      // necessary for hamming ≤ 7 but not sufficient — unfiltered,
+      // ranks past the true neighbors would be chunk-coincidence
+      // artifacts (found) competing with unseen equally-near rows (not
+      // found). Restricting to the radius makes the result exactly
+      // "the k nearest within hamming ≤ 7", fully deterministic.
+      .filter(col("hamming") <= TextDedup.SimhashChunks - 1)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("hamming"), col("rank"))
   }
 
   /** Occupancy audit for the phash combo buckets: (combo, ckey, n) —

@@ -123,6 +123,36 @@ class PhashSpec extends AnyFunSuite {
       f"phash recall $found/$truth = $recall%.3f < 0.8 — re-measure via DedupQuality and re-tune")
   }
 
+  test("phashTopK equals brute-force hamming top-k on the real fixture (pigeonhole exactness, q219)") {
+    val imgs = Multimodal.syntheticMedia(spark, TestSpark.sf0001)
+      .filter(col("media_type") === "image")
+    val corpus = Multimodal.phashFeatures(imgs)
+    val queries = Multimodal.phashFeatures(
+        Multimodal.resizeMedia(imgs, 18, 16)
+          .map(r => r.copy(media_id = r.media_id + 1000000L))(
+            org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      .select(col("media_id").as("query_id"), col("phash"))
+    val k = 3
+    val got = Multimodal.phashTopK(corpus, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force restricted to the operator's contract: neighbors at
+    // hamming <= SimhashChunks - 1 (the single-chunk pigeonhole bound)
+    val cs = corpus.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val qs = queries.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for ((qid, qh) <- qs) yield {
+      val ranked = cs.map { case (id, h) => (id, ham(qh, h)) }
+        .filter(_._2 <= TextDedup.SimhashChunks - 1)
+        .sortBy { case (id, d) => (d, id) }.take(k)
+      ranked.zipWithIndex.map { case ((id, d), i) => (qid, id, d.toLong, (i + 1).toLong) }
+    }).flatten.toSet
+    assert(got == brute,
+      s"multi-index top-k diverged from brute force: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // every resize variant's top-1 must be its own original at hamming 0
+    val top1 = got.filter(_._4 == 1L)
+    assert(top1.nonEmpty && top1.forall { case (qid, id, d, _) => id == qid - 1000000L && d == 0L },
+      "a resize variant's nearest neighbor was not its original at hamming 0")
+  }
+
   test("phashFeatures hashes exactly the image rows (audio/video skipped, not failed)") {
     val media = Multimodal.syntheticMedia(spark, TestSpark.sf0001)
     val images = media.filter(col("media_type") === "image").count()
