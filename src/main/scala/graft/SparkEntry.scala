@@ -132,7 +132,8 @@ object SparkEntry {
     * constants into each other's texts. */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
     oracleTexts(embedBitsFor(spark, dir), semNlistFor(spark, dir),
-      bpeMergesFor(spark, dir).map(m => (m.left, m.right)))
+      bpeMergesFor(spark, dir).map(m => (m.left, m.right)),
+      phashChunksFor(spark, dir))
 
   /** Shared recursive delete for the streaming entries' temp trees
     * (q162/q172/q176) and Verify's stale-dump removal. Null-safe:
@@ -475,6 +476,22 @@ object SparkEntry {
       s"FROM pairs WHERE bit_count(xor(sa, sb)) <= 3$extraWhere " +
       "ORDER BY id_a, id_b LIMIT 100"
   }
+
+  /** q219's self-sized MIH chunk count — the Norouzi-rule analogue of
+    * embedBitsFor: m ≈ 64/log₂(n) over the ASCII image corpus keeps
+    * posting lists O(1) as n grows (fixed m measured 18.5× wall at 10×);
+    * the exactness radius chunks − 1 narrows with scale accordingly.
+    * Entry and DuckDB text interpolate the SAME dir-derived value. */
+  private val phashChunksCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def phashChunksFor(spark: SparkSession, dir: String): Int =
+    phashChunksCache.computeIfAbsent(dir, d => {
+      Tables.register(spark, d)
+      Multimodal.recommendedHammingChunks(math.max(1L,
+        spark.table("documents")
+          .filter(col("doc_id") % 3 === 0 &&
+            length(col("text")) === octet_length(col("text")))
+          .count()))
+    })
 
   /** The q83 32-bit simhash replay (token md5 → sign fold → combination
     * banding → cap → min-combo → hamming), parameterized for the
@@ -2812,7 +2829,8 @@ object SparkEntry {
             .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
               org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
         .select(col("media_id").as("query_id"), col("phash"))
-      Multimodal.phashTopK(corpus, queries, k = 3)
+      Multimodal.phashTopK(corpus, queries, k = 3,
+          chunks = phashChunksFor(spark, dir))
         .orderBy("query_id", "rank").limit(100)
     },
     // Incremental SimHash near-dup (round 14): an incoming batch checked
@@ -3460,10 +3478,11 @@ object SparkEntry {
     * merge list → pure character segmentation). Specs use it for
     * keys/sizes only; every gate path that RUNS the texts goes through
     * `oracleSqlFor(spark, dir)`. */
-  def oracleSql: Map[String, String] = oracleTexts(6, 16, Nil)
+  def oracleSql: Map[String, String] = oracleTexts(6, 16, Nil, 4)
 
   private def oracleTexts(embedBits: Int, semNlist: Int,
-                          bpeMerges: Seq[(String, String)]): Map[String, String] = {
+                          bpeMerges: Seq[(String, String)],
+                          phashChunks: Int): Map[String, String] = {
     // round 13, q207/q208 (one text — streaming ≡ batch on closed
     // input): the q186 semantic-cluster replay restricted to CROSS pairs
     // (existing < split ≤ incoming). The cap keys on the EXISTING-side
@@ -4348,12 +4367,14 @@ object SparkEntry {
       // (hamming, media_id) row_number ranking.
       "q219_phash_topk" -> {
         val cap = graft.operators.TextDedup.DefaultMaxBucketSize
+        val cb = 64 / phashChunks                 // substring width
+        val cm = (BigInt(1) << cb) - 1            // substring mask (fits BIGINT: cb <= 32)
         (s"WITH $phashImgCte, " +
           s"ph0 AS (SELECT doc_id AS media_id, $phashExprSql AS phash FROM img), " +
           s"q AS (SELECT media_id + $PhashVariantOffset AS query_id, phash FROM ph0), " +
-          "ck AS (SELECT media_id, phash, t.c AS c, (phash >> (8 * t.c)) & 255 AS v FROM ph0, range(0, 8) t(c)), " +
+          s"ck AS (SELECT media_id, phash, t.c AS c, (phash >> ($cb * t.c)) & $cm AS v FROM ph0, range(0, $phashChunks) t(c)), " +
           "bsz AS (SELECT c, v, COUNT(*) AS n FROM ck GROUP BY c, v), " +
-          "qk AS (SELECT query_id, phash, t.c AS c, (phash >> (8 * t.c)) & 255 AS v FROM q, range(0, 8) t(c)), " +
+          s"qk AS (SELECT query_id, phash, t.c AS c, (phash >> ($cb * t.c)) & $cm AS v FROM q, range(0, $phashChunks) t(c)), " +
           "cand AS (SELECT DISTINCT qk.query_id, ck.media_id FROM qk " +
           "JOIN ck ON qk.c = ck.c AND qk.v = ck.v " +
           s"JOIN bsz ON bsz.c = ck.c AND bsz.v = ck.v WHERE bsz.n <= $cap), " +
@@ -4361,7 +4382,7 @@ object SparkEntry {
           "CAST(bit_count(xor(q.phash, p.phash)) AS BIGINT) AS hamming " +
           "FROM cand JOIN q ON q.query_id = cand.query_id JOIN ph0 p ON p.media_id = cand.media_id), " +
           s"r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, media_id) AS rnk " +
-          s"FROM scored WHERE hamming <= ${graft.operators.TextDedup.SimhashChunks - 1}) " +
+          s"FROM scored WHERE hamming <= ${phashChunks - 1}) " +
           "SELECT query_id, media_id, hamming, CAST(rnk AS BIGINT) AS rank " +
           "FROM r WHERE rnk <= 3 ORDER BY query_id, rank LIMIT 100")
       },

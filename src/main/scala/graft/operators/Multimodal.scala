@@ -790,14 +790,18 @@ object Multimodal {
   /** Hamming TOP-K similarity search over a 64-bit perceptual-hash
     * corpus (multi-index hashing — Norouzi & Punjani & Fleet 2012,
     * "Fast Search in Hamming Space with Multi-Index Hashing"): the hash
-    * splits into 8 disjoint 8-bit chunks indexed separately; candidates
-    * = corpus rows sharing AT LEAST ONE chunk (position AND value) with
-    * the query. By pigeonhole every corpus row within hamming ≤ 7
-    * shares a chunk, so the returned top-k is EXACT whenever the true
-    * k-th neighbor sits at hamming ≤ SimhashChunks − 1 — the regime a
+    * splits into `chunks` disjoint 64/chunks-bit substrings indexed
+    * separately; candidates = corpus rows sharing AT LEAST ONE chunk
+    * (position AND value) with the query. By pigeonhole every corpus
+    * row within hamming ≤ chunks − 1 shares a chunk, so the returned
+    * top-k is EXACTLY "the k nearest within that radius" — the regime a
     * near-dup search runs in; farther rows are out of contract. Ranked
     * by exact hamming with (hamming, id) tie-break — fully
-    * deterministic, so the pipeline hash-checks (q219).
+    * deterministic, so the pipeline hash-checks (q219). Size `chunks`
+    * with [[recommendedHammingChunks]]: a FIXED chunk count makes
+    * posting lists grow linearly with n and the candidate volume
+    * quadratically (measured 18.5× wall at 10× under m=8 before the
+    * rule; m=4 at that n restores linear candidates).
     *
     * Scale shape: the chunk index is a keys-only (chunk, value, id)
     * exchange — hashes join back AFTER the candidate pairs form; the
@@ -806,15 +810,36 @@ object Multimodal {
     * hashing alike — otherwise multiplies every query landing on it;
     * the cap is mirrored in the q219 replay, so drops agree
     * cross-engine). Output: (query_id, media_id, hamming, rank ≤ k). */
+  /** MIH substring-count rule (Norouzi et al. 2012 §search cost): with
+    * m chunks of 64/m bits over n items, expected posting-list length is
+    * n/2^(64/m) — the paper's optimum is m ≈ 64/log₂(n), which keeps
+    * lists O(1) as n grows (a FIXED m makes them grow linearly with n
+    * and the candidate volume quadratically — measured: q219 at 10×
+    * went 18.5× wall under fixed m=8 before this rule). The exactness
+    * radius is the price: pigeonhole guarantees the top-k only within
+    * hamming ≤ m − 1, so scale narrows the exact radius (64-bit
+    * near-dup search wants small radii anyway — the q210 banding covers
+    * radius-3 pair generation at any scale). Clamped to the divisors of
+    * 64 in [2, 8]: the largest m with 2^(64/m) ≥ n·targetOccupancy⁻¹…
+    * concretely the largest divisor ≤ 64/log₂(n), floor 2. */
+  def recommendedHammingChunks(n: Long): Int = {
+    require(n > 0)
+    val rule = 64.0 / math.max(1.0, math.log(math.max(2L, n).toDouble) / math.log(2.0))
+    Seq(8, 4, 2).find(_ <= rule).getOrElse(2)
+  }
+
   def phashTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "media_id", hashCol: String = "phash",
                 queryIdCol: String = "query_id",
+                chunks: Int = TextDedup.SimhashChunks,
                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
-    val chunkBits = 64 / TextDedup.SimhashChunks
-    val mask = (1L << chunkBits) - 1
+    require(64 % chunks == 0 && chunks >= 2,
+      s"chunk count $chunks must divide 64 (radius = chunks - 1)")
+    val chunkBits = 64 / chunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     def chunkKeys(df: DataFrame, id: String): DataFrame =
       df.select(col(id),
-        posexplode(array((0 until TextDedup.SimhashChunks).map(c =>
+        posexplode(array((0 until chunks).map(c =>
           shiftrightunsigned(col(hashCol).cast("long"), chunkBits * c).bitwiseAND(lit(mask))): _*))
           .as(Seq("__c", "__v")))
     val corpusKeys = chunkKeys(corpus, idCol)
@@ -835,12 +860,13 @@ object Multimodal {
       .withColumn("hamming",
         expr("bit_count(__ch ^ __qh)").cast("long"))
       // the search RADIUS is the exactness bound: sharing a chunk is
-      // necessary for hamming ≤ 7 but not sufficient — unfiltered,
-      // ranks past the true neighbors would be chunk-coincidence
-      // artifacts (found) competing with unseen equally-near rows (not
-      // found). Restricting to the radius makes the result exactly
-      // "the k nearest within hamming ≤ 7", fully deterministic.
-      .filter(col("hamming") <= TextDedup.SimhashChunks - 1)
+      // necessary for hamming ≤ chunks−1 but not sufficient —
+      // unfiltered, ranks past the true neighbors would be
+      // chunk-coincidence artifacts (found) competing with unseen
+      // equally-near rows (not found). Restricting to the radius makes
+      // the result exactly "the k nearest within hamming ≤ chunks−1",
+      // fully deterministic.
+      .filter(col("hamming") <= chunks - 1)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("hamming"), col("rank"))

@@ -39,7 +39,7 @@ object ScaleTenX {
     // incremental + streaming twins
     "q210_phash_pairs", "q213_ahash_pairs", "q214_vhash_pairs",
     "q215_incremental_simhash", "q216_stream_simhash",
-    "q217_incremental_phash", "q218_stream_phash")
+    "q217_incremental_phash", "q218_stream_phash", "q219_phash_topk")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10

@@ -151,6 +151,28 @@ class PhashSpec extends AnyFunSuite {
     val top1 = got.filter(_._4 == 1L)
     assert(top1.nonEmpty && top1.forall { case (qid, id, d, _) => id == qid - 1000000L && d == 0L },
       "a resize variant's nearest neighbor was not its original at hamming 0")
+    // the scale form: wider substrings (chunks=4 -> 16-bit indexes,
+    // radius 3) must ALSO equal brute force at their own radius
+    val got4 = Multimodal.phashTopK(corpus, queries, k, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val brute4 = (for ((qid, qh) <- qs) yield {
+      val ranked = cs.map { case (id, h) => (id, ham(qh, h)) }
+        .filter(_._2 <= 3)
+        .sortBy { case (id, d) => (d, id) }.take(k)
+      ranked.zipWithIndex.map { case ((id, d), i) => (qid, id, d.toLong, (i + 1).toLong) }
+    }).flatten.toSet
+    assert(got4 == brute4, s"chunks=4 top-k diverged: missing=${(brute4 -- got4).take(3)}")
+  }
+
+  test("recommendedHammingChunks follows the MIH m ~ 64/log2(n) rule (q219 self-sizing)") {
+    // fixed m makes posting lists grow with n (measured 18.5x wall at
+    // 10x); the rule keeps them O(1) by widening substrings with scale,
+    // narrowing the exact radius chunks-1 accordingly
+    assert(Multimodal.recommendedHammingChunks(167) == 8, "sf0.01 images: radius-7 regime")
+    assert(Multimodal.recommendedHammingChunks(1667) == 4, "sf0.1 images: 16-bit substrings, radius 3")
+    assert(Multimodal.recommendedHammingChunks(16667) == 4, "10x: still 16-bit")
+    assert(Multimodal.recommendedHammingChunks(1L << 30) == 2, "10^9: 32-bit substrings, radius 1")
+    assert(Multimodal.recommendedHammingChunks(1) == 8, "degenerate floor")
   }
 
   test("phashFeatures hashes exactly the image rows (audio/video skipped, not failed)") {
