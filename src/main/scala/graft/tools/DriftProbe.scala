@@ -48,6 +48,20 @@ object DriftProbe {
         .agg(sum(when(col("n") > cap, col("n")).otherwise(lit(0L))), sum("n"), max("n")).head()
       println(s"$d phash img=${pc.getLong(0)} ascii=${pc.getLong(1)} maxId=${pc.getLong(2)} " +
         s"dropped=${pAg.getLong(0)} tot=${pAg.getLong(1)} maxBucket=${pAg.getLong(2)}")
+      // ahash/vhash (q211-q218): preconditions + doubled-frame occupancy
+      // (the q209/q210 probe's audio/video analogue)
+      val media = graft.operators.Multimodal.syntheticMedia(spark, d)
+      for ((lbl, feats, hc) <- Seq(
+        ("ahash", graft.operators.Multimodal.ahashFeatures(media), "ahash"),
+        ("vhash", graft.operators.Multimodal.vhashFeatures(media), "vhash"))) {
+        val ag2 = graft.operators.Multimodal.phashBucketSizes(
+            feats.unionAll(feats.select(
+              col("media_id") + graft.SparkEntry.PhashVariantOffset, col(hc))),
+            hashCol = hc)
+          .agg(sum(when(col("n") > cap, col("n")).otherwise(lit(0L))), sum("n"), max("n")).head()
+        println(s"$d $lbl rows=${feats.count()} dropped=${ag2.getLong(0)} " +
+          s"tot=${ag2.getLong(1)} maxBucket=${ag2.getLong(2)}")
+      }
       for ((lbl,k) <- Seq("prefix"->TextDedup.prefixKey(col("text"),TextDedup.EditPrefixLen),
                           "suffix"->TextDedup.suffixKey(col("text"),TextDedup.EditPrefixLen))) {
         val mx = docs.select(k.as("k")).groupBy("k").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)

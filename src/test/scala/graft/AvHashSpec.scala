@@ -155,6 +155,27 @@ class AvHashSpec extends AnyFunSuite {
     assert(vr >= 0.6, f"vhash recall $vf/$vt = $vr%.3f < 0.6")
   }
 
+  test("phashCrossPairs is modality-generic: audio cross pairs equal the symmetric restriction") {
+    // q217 pins the image identity; this pins the same machinery over
+    // the audio hash column (transcode variants arriving against the
+    // stored originals — the incremental contract for every modality)
+    val auds = Multimodal.syntheticMedia(spark, TestSpark.sf0001)
+      .filter(col("media_type") === "audio")
+    val offset = 1000000L
+    val orig = Multimodal.ahashFeatures(auds)
+    val vars = Multimodal.ahashFeatures(Multimodal.transcodeWav16(auds))
+      .select(col("media_id") + offset as "media_id", col("ahash"))
+    val sym = Multimodal.phashPairs(orig.unionAll(vars), hashCol = "ahash")
+      .filter(col("id_a") < offset && col("id_b") >= offset)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cross = Multimodal.phashCrossPairs(orig, vars, hashCol = "ahash")
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cross == sym, s"cross=${cross.size} sym=${sym.size}")
+    assert(cross.nonEmpty, "fixture must contain audio original-variant pairs")
+  }
+
   test("feature stages hash exactly their modality's rows (others skipped, not failed)") {
     val media = Multimodal.syntheticMedia(spark, TestSpark.sf0001)
     // the aHash lattice needs >= 65 PCM samples (WAV header is 44
