@@ -484,6 +484,10 @@ object Multimodal {
       while (i + 8 <= bytes.length && dataOff < 0) {
         val id = new String(bytes, i, 4, "US-ASCII")
         val len = b.getInt(i + 4)
+        // negative/overrunning lengths must THROW, not wedge the walk
+        // (a negative len makes i += 8 + len non-advancing — an infinite
+        // loop inside an executor task; cf. decodeAviFramePixels)
+        require(len >= 0 && i + 8 + len <= bytes.length, s"chunk $id overruns container")
         if (id == "data") { dataOff = i + 8; dataLen = len }
         else i += 8 + len + (len & 1)
       }
@@ -907,15 +911,21 @@ object Multimodal {
     * SimHash combination-banding machinery applies unchanged. Needs at
     * least 65 samples (shorter streams have empty lattice windows — the
     * q211 entries filter on byte length, mirrored in the oracle CTE). */
-  def aHash64(bytes: Array[Byte]): Long = {
-    val s = RealCodec.decodeWavSamples(bytes)
+  def aHash64(bytes: Array[Byte]): Long =
+    aHash64Samples(RealCodec.decodeWavSamples(bytes))
+
+  /** [[aHash64]] over already-decoded samples — the scan-stage hot loop
+    * (`ahashFeatures`) decodes each blob ONCE and hashes the array. */
+  def aHash64Samples(s: Array[Int]): Long = {
     val n = s.length
     require(n >= 65, s"aHash64 needs >= 65 samples, got $n")
     val sums = new Array[Long](65)
     var k = 0
     while (k < 65) {
-      var i = k * n / 65
-      val end = (k + 1) * n / 65
+      // window bounds in Long: k·n overflows Int past ~33.5M samples
+      // (~70 min at 8 kHz), silently corrupting the floor lattice
+      var i = (k.toLong * n / 65).toInt
+      val end = ((k + 1).toLong * n / 65).toInt
       var acc = 0L
       while (i < end) { acc += s(i); i += 1 }
       sums(k) = acc
@@ -974,10 +984,15 @@ object Multimodal {
   def ahashFeatures(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.collect {
-      case r if isAudio(r.content) &&
-        RealCodec.decodeWavSamples(r.content).length >= 65 =>
-        (r.media_id, aHash64(r.content))
+    media.mapPartitions(_.flatMap { r =>
+      // decode ONCE per row (the guard + hash sharing one decode): the
+      // collect-guard form paid the full blob decode twice per row
+      if (!isAudio(r.content)) Iterator.empty
+      else {
+        val samples = RealCodec.decodeWavSamples(r.content)
+        if (samples.length >= 65) Iterator((r.media_id, aHash64Samples(samples)))
+        else Iterator.empty
+      }
     }).toDF("media_id", "ahash")
   }
 
