@@ -2833,6 +2833,41 @@ object SparkEntry {
           chunks = phashChunksFor(spark, dir))
         .orderBy("query_id", "rank").limit(100)
     },
+    // Portable LSH ANN top-k (round 15): the hash-checkable twin of q45
+    // (the q44/q53 integer-twin pattern applied to the last rows-only
+    // ANN entry) — quantized vectors, ±1 integer hyperplane buckets,
+    // query-side full-XOR multi-probe at the DECLARED q45 operating
+    // point (4 tables × 4 bits + 4 probes), BIGINT dot ranking with
+    // ties to the lower vec_id. DuckDB replays the identical pipeline:
+    // bucketing, probe fan-out, candidate join and ranking all
+    // hash-match (float-cosine lshTopK stays the production scorer,
+    // recall-pinned in RecallSpec).
+    "q220_ann_lsh_portable" -> { (spark, dir) =>
+      val emb = Tables.table(spark, dir, "embeddings")
+      Similarity.lshTopKInt(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5, numTables = 4, bitsPerTable = 4, probes = 4)
+        .orderBy("query_id", "rank").limit(100)
+    },
+    // Portable approx-distinct (round 15): q52's APPROX_COUNT_DISTINCT
+    // re-expressed over the portable HLL registers (the q148 machinery)
+    // so the estimator itself replays bit-identically in DuckDB —
+    // string-wise leading-zero ranks, exact-BIGINT harmonic sum, one
+    // FLOOR'd double division (the q85/q116 rule). Register exchange is
+    // ≤ |custkeys|·1024 (source-bounded, never order-stream-bounded) —
+    // the same fixed-size-sketch scale contract as q148; Spark's HLL++
+    // q52 stays the production rows-only form (values engine-specific).
+    "q221_approx_distinct_portable" -> { (spark, dir) =>
+      val o = Tables.table(spark, dir, "orders")
+      val keyed = o.select(col("o_custkey"),
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      val regs = graft.operators.Sketches.hllBuild(keyed, Seq("o_custkey"), "h")
+      graft.operators.Sketches.hllEstimate(regs, Seq("o_custkey"))
+        .drop("est_corrected")
+        .orderBy(col("est_hll").desc, col("o_custkey")).limit(100)
+    },
     // Incremental SimHash near-dup (round 14): an incoming batch checked
     // against the existing corpus — completes the simhash family's
     // {batch q83, incremental, streaming} matrix row (the q124/q125
@@ -4495,6 +4530,46 @@ object SparkEntry {
           "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM cand) " +
           "SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5 " +
           "ORDER BY query_id, rank LIMIT 100"),
+      // round 15: the q45 LSH ANN twin replayed literally — the SAME
+      // ±1 hyperplanes as VALUES (one source of truth:
+      // portableHyperplanes at the declared 4×4 point, seed 11),
+      // bucketing via sign-bit sums, query-side full-XOR probe fan-out
+      // (search shape: only the query probes — xor, not the pair-gen
+      // path's directional 0→1 flips), integer-dot ranking
+      "q220_ann_lsh_portable" -> {
+        val planes = graft.operators.Similarity.portableHyperplanes(64, 4, 4, 11L)
+        val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
+          tbl.zipWithIndex.map { case (p, b) =>
+            s"($t, $b, ${p.mkString("[", ", ", "]")})"
+          }
+        }.mkString(", ")
+        s"WITH ${quantEmbCte("c", "qv")}, " +
+          s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
+          "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
+          "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
+          "qb AS (SELECT vec_id AS query_id, t, unnest(list_prepend(bkt, list_transform(range(0, 4), j -> xor(bkt, 1::BIGINT << j)))) AS bkt " +
+          "FROM bk WHERE vec_id < 5), " +
+          "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM qb JOIN bk ON bk.t = qb.t AND bk.bkt = qb.bkt AND bk.vec_id <> qb.query_id), " +
+          "sv AS (SELECT cand.query_id, cand.vec_id, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
+          "FROM cand JOIN c ca ON ca.vec_id = cand.query_id JOIN c cb ON cb.vec_id = cand.vec_id), " +
+          "ranked AS (SELECT query_id, vec_id, score, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM sv) " +
+          "SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5 " +
+          "ORDER BY query_id, rank LIMIT 100"
+      },
+      // round 15: portable approx-distinct — the q148 register chain
+      // grouped by customer; estimator arithmetic replayed exactly
+      // (string-wise ranks, BIGINT harmonic sum, one FLOOR'd division)
+      "q221_approx_distinct_portable" ->
+        ("WITH sh AS (SELECT o_custkey, CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM orders), " +
+          s"r AS (${graft.operators.Sketches.hllRegSql("sh", "o_custkey")}), " +
+          "s AS (SELECT o_custkey, COUNT(*) AS nb, " +
+          "SUM(1::BIGINT << CAST(32 - reg AS INTEGER)) AS sp FROM r GROUP BY o_custkey) " +
+          "SELECT o_custkey, CAST(nb AS BIGINT) AS n_buckets, " +
+          s"CAST(sp + (${graft.operators.Sketches.HllM} - nb) * 4294967296 AS BIGINT) AS s_scaled, " +
+          s"CAST(FLOOR(${graft.operators.Sketches.HllNumerator} / " +
+          s"CAST(sp + (${graft.operators.Sketches.HllM} - nb) * 4294967296 AS DOUBLE)) AS BIGINT) AS est_hll " +
+          "FROM s ORDER BY est_hll DESC, o_custkey LIMIT 100"),
       // promoted round 2: the langId CASE-ladder argmax is deterministic
       // integer arithmetic — expressible in DuckDB (same stopword lists,
       // same lexicographic-first tie-break, 'und' when nothing matches)

@@ -338,6 +338,48 @@ object Similarity {
       .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"), col("score"), col("rank"))
   }
 
+  /** LSH-bucketed approximate top-k with PORTABLE integer scoring end to
+    * end — the hash-checkable twin of `lshTopK` (the q44/q53 twin
+    * pattern applied to the last rows-only ANN entry): quantized
+    * vectors, ±1 integer hyperplane buckets (sign decisions exact
+    * cross-engine), query-side full-XOR multi-probe (search has no
+    * second orientation — only the broadcast-small query side fans
+    * out), BIGINT dot scoring, ties to the lower vec_id. Same keys-only
+    * candidate plan as `lshTopK`: the corpus never shuffles; only
+    * (query_id, vec_id) candidate ids do. */
+  def lshTopKInt(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                 k: Int, numTables: Int = 4, bitsPerTable: Int = 4,
+                 dim: Int = 64, seed: Long = 11L, probes: Int = 4,
+                 scale: Int = 10000): DataFrame = {
+    require(probes <= bitsPerTable,
+      s"probes ($probes) beyond the $bitsPerTable-bit signature flip bits no bucket key carries")
+    val planes = portableHyperplanes(dim, numTables, bitsPerTable, seed)
+    val cq = portableQuantized(corpus, idCol, vecCol, scale)
+    val qq = queries.select(col(queryIdCol).as("query_id"),
+      quantize(col(queryVecCol), scale).as("__qq"))
+    val cKeys = portableBucketKeys(cq, idCol, planes)
+    val qHome = portableBucketKeys(
+      qq.select(col("query_id"), col("__qq").as("__qv")), "query_id", planes)
+    val qKeys =
+      if (probes <= 0) qHome
+      else qHome.select(col("query_id"), col("__t"),
+        explode(array((col("__bkt") +: (0 until probes).map(j =>
+          col("__bkt").bitwiseXOR(lit(1L << j)))): _*)).as("__bkt"))
+    val candidates = cKeys.join(broadcast(qKeys), Seq("__t", "__bkt"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("vec_id"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    candidates
+      .join(cq.select(col(idCol).as("vec_id"), col("__qv").as("__cv")), Seq("vec_id"))
+      .join(broadcast(qq), Seq("query_id"))
+      .withColumn("score", intDot(col("__cv"), col("__qq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+
   /** IVF top-k with quantized integer scoring end to end (assignment,
     * probe, and final rank all on BIGINT dot products) — the
     * hash-checkable twin of `ivfTopK`, replicable exactly in any SQL

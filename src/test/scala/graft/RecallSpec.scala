@@ -49,6 +49,23 @@ class RecallSpec extends AnyFunSuite {
       f"probed recall $recall%.3f fell >0.10 under the 16x4 home-only point's $homeRecall%.3f")
   }
 
+  test("lshTopKInt (the q220 oracle twin) holds recall@10 vs the integer brute force") {
+    // same operating point as the declared q220 entry (4x4 + 4 probes,
+    // portable ±1 planes); ground truth from the SAME integer scorer so
+    // the floor isolates BANDING loss, not quantization drift
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = pairs(Similarity.bruteForceTopKInt(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10))
+    val got = pairs(Similarity.lshTopKInt(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10, numTables = 4, bitsPerTable = 4, probes = 4))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.70,
+      f"lshTopKInt(4x4+4probes) recall@10 = $recall%.3f < 0.70 — the portable-plane " +
+        "operating point no longer suits the regenerated embeddings (re-tune via graft.tools.Recall)")
+  }
+
   test("adaptiveBits widens past the count rule on a clustered corpus, fits the occupancy bound") {
     import spark.implicits._
     // 4 tight clusters × 200 members: the count rule sees n=800 →
