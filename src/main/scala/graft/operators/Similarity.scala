@@ -645,13 +645,20 @@ object Similarity {
     * alone). Home lists of size 1 stay eligible: a singleton bucket can
     * still receive probes from neighbors. */
   private[graft] def probedRawPairs(keys: DataFrame, idCol: String,
-                             maxBucketSize: Int, probes: Int): DataFrame = {
+                             maxBucketSize: Int, probes: Int,
+                             broadcastHome: Boolean = false): DataFrame = {
     val home = keys
       .groupBy("__t", "__bkt")
       .agg(collect_list(col(idCol)).as("__ids"))
       .filter(size(col("__ids")) <= maxBucketSize)
+    // broadcastHome: in the bounded regime the capped home lists carry
+    // ≤ n×L ids total (metadata-sized by the regime bound) — forcing the
+    // broadcast keeps the candidate join map-side at data sizes where
+    // AQE's post-aggregate size estimate would fall back to a shuffle
+    // join (measured at 10×: the probe stream then flows through ONE
+    // codegen stage from probe-key explode to verified score)
     probedBucketKeys(keys, idCol, probes)
-      .join(home, Seq("__t", "__bkt"))
+      .join(if (broadcastHome) broadcast(home) else home, Seq("__t", "__bkt"))
       .select(col(idCol).as("__pid"), explode(col("__ids")).as("__hid"))
       .filter(col("__pid") =!= col("__hid"))
       .select(least(col("__pid"), col("__hid")).as("id_a"),
@@ -689,12 +696,40 @@ object Similarity {
     if (probes <= 0)
       verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
     else {
-      if (corpusRowsHint >= 0 && corpusRowsHint <= broadcastVerifyMaxRows(dim))
-        // broadcast regime: verify the duplicates map-side, dedup the
-        // (tiny) survivor set — see broadcastVerifyMaxRows
-        verify(probedRawPairs(keys, idCol, maxBucketSize, probes),
-          useBroadcast = true).distinct()
-      else {
+      if (corpusRowsHint >= 0 && corpusRowsHint <= broadcastVerifyMaxRows(dim)) {
+        // broadcast regime (rebuilt round 15): verify the duplicates
+        // map-side through the FUSED broadcast-lookup expression
+        // (graft.functions.IntDotLookup) and dedup the (tiny) survivor
+        // set. The former two-BroadcastHashJoin verify shipped the
+        // quantized frame TWICE and materialized two 64-long arrays
+        // into every candidate row; now ONE broadcast of the regime-
+        // bounded frame (collected exactly the way a BroadcastHashJoin
+        // build side is) feeds two hash lookups + a fused dot per
+        // candidate inside whole-stage codegen. The signature subtree
+        // is cut once (it feeds both the home buckets and the probe
+        // stream — the q82 lineage rule, formerly shuffle-regime-only),
+        // and the capped home lists are force-broadcast, so the whole
+        // candidate path is: one keys-only exchange (the home groupBy),
+        // one map-side probe join, verify in the same stage, and one
+        // survivor-sized distinct. ProfileQ84 receipts in BASELINE.md.
+        val cutKeys = Checkpoints.cut(keys, eager = true)
+        val qMap = new java.util.HashMap[java.lang.Long, Array[Long]]()
+        q.collect().foreach { r =>
+          qMap.put(r.getLong(0), r.getSeq[Long](1).toArray)
+        }
+        val bc = corpus.sparkSession.sparkContext.broadcast(qMap)
+        // registration captures THIS call's broadcast; analysis is eager
+        // at frame creation, so the resolved expression instance (and
+        // its broadcast handle) is baked into the plan — a later
+        // replacement cannot retarget an existing frame (the IntDot
+        // register idiom, closure-parameterized)
+        graft.functions.IntDotLookup.register(corpus.sparkSession, bc)
+        probedRawPairs(cutKeys, idCol, maxBucketSize, probes, broadcastHome = true)
+          .select(col("id_a"), col("id_b"),
+            call_function("int_dot_lookup", col("id_a"), col("id_b")).as("score"))
+          .filter(col("score") >= minScore)
+          .distinct()
+      } else {
         // shuffle regime: the pre-verify distinct is load-bearing (it
         // minimizes the payload-carrying join intermediate) and its
         // partition count is chosen by code from a keys-only size
