@@ -132,6 +132,32 @@ object NaiveBayes {
             maxVocab: Int = DefaultVocab): NbModel =
     modelFromCounts(counts(labeled, textCol, labelCol), maxVocab)
 
+  /** Driver-resident model artifact — the three bounded frames collected
+    * (vocab ≤ maxVocab, deltas ≤ maxVocab × |labels|, labelStats =
+    * |labels| rows; a few tens of KB). The deployment shape of a trained
+    * model is persisted DATA, not live executor blocks: a block-backed
+    * NbModel dies with any blanket unpersist (the Bench inter-entry
+    * discipline) while this survives a JVM's whole session and rebuilds
+    * into LocalRelation frames on demand — what lets the gate-ensemble
+    * entries (q201/q203/q204/q206) and the NB family share ONE training
+    * pass per corpus dir (round 15). */
+  final case class NbModelData(vocab: Seq[String],
+                               deltas: Seq[(String, String, Long)],
+                               labelStats: Seq[(String, Long, Long)])
+
+  def collectModel(m: NbModel): NbModelData = NbModelData(
+    m.vocab.collect().map(_.getString(0)).toSeq,
+    m.deltas.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq,
+    m.labelStats.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+
+  def modelFromData(spark: org.apache.spark.sql.SparkSession, d: NbModelData): NbModel = {
+    import spark.implicits._
+    NbModel(
+      d.vocab.toDF("__tok"),
+      d.deltas.toDF("__lab", "__tok", "__delta"),
+      d.labelStats.toDF("__lab", "__bits0", "__prior"))
+  }
+
   /** Score docs against the model: per (doc, label), total surprisal =
     * m · bits0(label) + prior(label) − Σ_seen cnt · delta(label, tok),
     * where m = the doc's in-vocab token instances. Lower = more likely;

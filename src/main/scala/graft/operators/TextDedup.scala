@@ -742,99 +742,37 @@ object TextDedup {
     *     count is fused into the pass, not a second job (which also makes
     *     an every-round convergence check free, so no every-2nd-round
     *     staleness is needed). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          contractionMinEdges: Long = ContractionMinEdges): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = Checkpoints.cut(
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(),
       eager = false)
-    // counting materializes the lazy cut (the pass the eager labels cut
-    // formerly paid inside its own job — same total work) AND decides
-    // the contraction regime below
-    val nEdges = sym.count()
-    // materializing the labels checkpoint reads `sym`'s blocks — one
-    // setup job for both cuts
+    // materializing the labels checkpoint computes `sym`'s lazy checkpoint
+    // in the same job — one setup job for both cuts
     val labels0 = Checkpoints.cut(
       sym.select(col("src").as("id")).distinct()
         .withColumn("cluster", col("id")),
       eager = true)
-    if (nEdges < contractionMinEdges) {
-      // small/sparse regime: the flat loop — the contraction prelude's
-      // extra passes are pure overhead here (ProfileQ97: +0.4 s at 18k
-      // pairs, neutral at 2.9M — BASELINE.md round 15)
-      val out = hashMinLoop(sym, labels0, maxIter)
-      Checkpoints.free(sym)
-      out
-    } else contractedCc(sym, labels0, maxIter)
-  }
-
-  /** Edge count past which [[connectedComponents]] quotients the graph
-    * after round 1 instead of re-joining every edge per round: measured
-    * +0.4 s overhead at 18k pairs, a slight win at 2.9M symmetric edges
-    * (the 10× q97 point: min-of-5 4.60 s vs the flat loop's 4.77 —
-    * ProfileQ97), and a structural win once rounds × |E| joins dominate
-    * (the 33×+ band, where the verified near-dup pair set grows
-    * ~quadratically at a 2σ threshold). */
-  val ContractionMinEdges = 1000000L
-
-  /** ROUND 1 over the full edge set, then CONTRACTION (round 15): a
-    * verified near-dup graph is DENSE (q97 at 10×: 1.46M pairs over
-    * ≤ 20k vertices — avg degree ~146), and the flat loop re-joins ALL
-    * edges every round. Quotienting the graph by the round-1 labels
-    * collapses each dense cluster to a handful of contracted vertices,
-    * so every later round joins an edge set orders of magnitude
-    * smaller. Exact: labels1(v) is reachable from v, quotient edges
-    * preserve connectivity, and a component's MIN vertex m keeps
-    * label1(m) = m (no neighbor is smaller), so the contracted
-    * component's min label IS the original component's min — composing
-    * comp ∘ labels1 reproduces the uncontracted result vertex for
-    * vertex (TierESpec pins the equality against union-find on random
-    * graphs). */
-  private def contractedCc(sym: DataFrame, labels0: DataFrame,
-                           maxIter: Int): DataFrame = {
-    val (labels1, changed1) = ccRound(sym, labels0)
-    if (changed1 == 0) {
-      Checkpoints.free(sym)
-      labels1.select("id", "cluster")
-    } else {
-      val contracted = Checkpoints.cut(
-        sym.join(labels1.select(col("id").as("__sa"), col("cluster").as("__ca")),
-            sym("src") === col("__sa"))
-          .join(labels1.select(col("id").as("__sb"), col("cluster").as("__cb")),
-            sym("dst") === col("__sb"))
-          .filter(col("__ca") =!= col("__cb"))
-          .select(col("__ca").as("src"), col("__cb").as("dst"))
-          .distinct(),
-        eager = false)
-      val compLabels0 = Checkpoints.cut(
-        contracted.select(col("src").as("id")).distinct()
-          .withColumn("cluster", col("id")),
-        eager = true)
-      val comp = hashMinLoop(contracted, compLabels0, maxIter - 1)
-      Checkpoints.free(sym)
-      Checkpoints.free(contracted)
-      // compose, cut ONCE (eagerly — the inputs' blocks die next and a
-      // lazy local cut could not recompute from freed block-backed
-      // frames), and release both label generations: callers see ONE
-      // persisted generation at return, the pre-contraction contract
-      // (CheckpointsSpec pins it)
-      val composed = labels1.as("l")
-        .join(comp.select(col("id").as("__ci"), col("cluster").as("__cc")),
-          col("l.cluster") === col("__ci"), "left")
-        .select(col("l.id").as("id"),
-          coalesce(col("__cc"), col("l.cluster")).as("cluster"))
-      val out = Checkpoints.cut(composed, eager = true)
-      Checkpoints.free(composed)
-      out
-    }
+    // Round-15 NEGATIVE receipt (ProfileQ97, min-of-reps): a round-1
+    // graph CONTRACTION (quotient by the first hash-min labels, iterate
+    // on the contracted edge set) was built, spec-pinned exact, and
+    // measured a LOSS at every scale — +0.4 s at 18k pairs, neutral at
+    // 2.9M symmetric edges (4.60 vs 4.77 s), 11.88 vs 9.70 s at 32M —
+    // because hash-min + pointer jumping converges in a handful of
+    // rounds on dense near-dup graphs, so rounds × |E| never dominates
+    // the contraction's own two full-edge passes + distinct. The flat
+    // loop stays; the A/B harness is graft.tools.ProfileQ97.
+    val out = hashMinLoop(sym, labels0, maxIter)
+    Checkpoints.free(sym)
+    out
   }
 
   /** One hash-min + pointer-jumping round: returns the new (checkpointed,
     * materialized) labels and the changed count. Frees the caller's
     * labels and the round's intermediate — the one-job-per-round cost
     * discipline of the former inline loop, unchanged. */
-  private def ccRound(sym: DataFrame, labels: DataFrame): (DataFrame, Long) = {
+  private[graft] def ccRound(sym: DataFrame, labels: DataFrame): (DataFrame, Long) = {
     // min label over the neighborhood, then combined with the vertex's
     // own label via join+least (a union of a frame with its own
     // derivation trips Catalyst's constraint rewriting)

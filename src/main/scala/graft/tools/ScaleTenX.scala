@@ -108,7 +108,12 @@ object ScaleTenX {
     // timing table above already reflects rule-derived occupancy at 10× —
     // no separate "sized" run needed (r10's pinned-bits 13.7× point was
     // the motivation). Print the widths used for the record.
-    if (queries.contains("q84_embedlsh_portable")) {
+    // recall/occupancy footer collects the FOUND pair set — fine at ≤10×
+    // (1.5M pairs) but a multi-GB driver collect at the 33×+ band, where
+    // the verified pair set grows ~quadratically (2σ threshold); the 10×
+    // run stays the quality receipt, larger factors are wall/stage
+    // receipts (ProfileQ84/ProfileQ97 take the scaled dir directly)
+    if (factor <= 10 && queries.contains("q84_embedlsh_portable")) {
       val b0 = graft.operators.Similarity.recommendedBits(
         spark.read.parquet(s"$srcDir/embeddings.parquet").count(), 32)
       val b1 = graft.operators.Similarity.recommendedBits(ne, 32)

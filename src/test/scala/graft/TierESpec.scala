@@ -897,12 +897,12 @@ class TierESpec extends AnyFunSuite {
     assert(got(4L) == 1L && got(13L) == 10L)
   }
 
-  test("connectedComponents round-1 contraction matches union-find on random graphs") {
+  test("connectedComponents matches union-find on random graphs") {
+    // shapes that exercise the loop hard: long chains (many rounds),
+    // dense cliques, bridges, singleton pairs — randomized so no
+    // planted shape hides a propagation bug (added round 15 while the
+    // contraction experiment was live; kept as the stronger guard)
     import spark.implicits._
-    // the round-15 contraction prelude must stay exact on shapes that
-    // exercise the inner loop hard: long chains (many contracted
-    // rounds), dense cliques (heavy contraction), bridges, singleton
-    // pairs — randomized so no planted shape hides a quotient bug
     val rng = new scala.util.Random(19L)
     for (trial <- 1 to 3) {
       val chain = (0 until 120).map(i => (trial * 10000L + i, trial * 10000L + i + 1))
@@ -915,10 +915,7 @@ class TierESpec extends AnyFunSuite {
         (trial * 10000L + rng.nextInt(2000), trial * 10000L + rng.nextInt(2000))
       }.filter { case (a, b) => a != b }
       val all = chain ++ cliques ++ randEdges
-      // contractionMinEdges = 0 forces the quotient path (the default
-      // regime gate would route these small graphs to the flat loop)
-      val got = TextDedup.connectedComponents(all.toDF("src", "dst"),
-          contractionMinEdges = 0L)
+      val got = TextDedup.connectedComponents(all.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
@@ -926,7 +923,7 @@ class TierESpec extends AnyFunSuite {
       all.foreach { case (a, b) => parent(find(a)) = find(b) }
       val expect = parent.keys.groupBy(find).flatMap { case (_, vs) =>
         val m = vs.min; vs.map(_ -> m) }
-      assert(got == expect, s"trial $trial: contraction diverged from union-find")
+      assert(got == expect, s"trial $trial: CC diverged from union-find")
     }
   }
 
