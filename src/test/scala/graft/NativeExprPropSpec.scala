@@ -64,6 +64,35 @@ class NativeExprPropSpec extends AnyFunSuite {
     }, "int_dot")
   }
 
+  test("int_dot_lookup agrees with int_dot over the broadcast frame (incl. codegen path)") {
+    // the round-15 fused verify primitive: for ids resolved through the
+    // broadcast map, int_dot_lookup(a, b) must equal int_dot of the
+    // looked-up arrays; unknown ids must NULL out (the dropped-row join
+    // semantics). Evaluated through a real distributed plan so the
+    // doGenCode path (addReferenceObj + lazily-initialized map state)
+    // is what runs.
+    graft.functions.IntDot.register(spark)
+    val vecGen = Gen.listOfN(8, Gen.choose(-10000L, 10000L))
+    check(forAll(Gen.listOfN(6, vecGen), Gen.choose(0L, 9L), Gen.choose(0L, 9L)) {
+      (vecs, ia, ib) =>
+        val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+        vecs.zipWithIndex.foreach { case (v, i) => m.put(i.toLong, v.toArray) }
+        val bc = spark.sparkContext.broadcast(m)
+        graft.functions.IntDotLookup.register(spark, bc)
+        val r = Seq((ia, ib)).toDF("id_a", "id_b")
+          .select(call_function("int_dot_lookup", col("id_a"), col("id_b")).as("s"))
+          .head()
+        val expected =
+          if (ia >= vecs.size || ib >= vecs.size) None
+          else Some(vecs(ia.toInt).zip(vecs(ib.toInt)).map { case (x, y) => x * y }.sum)
+        (expected, if (r.isNullAt(0)) None else Some(r.getLong(0))) match {
+          case (None, None) => true
+          case (Some(e), Some(g)) => e == g
+          case _ => false
+        }
+    }, "int_dot_lookup")
+  }
+
   test("cosine_sim agrees with scalar reference on arbitrary float vectors") {
     CosineSim.register(spark)
     val vecGen = Gen.choose(1, 16).flatMap(n =>
