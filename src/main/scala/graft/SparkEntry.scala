@@ -2868,6 +2868,39 @@ object SparkEntry {
           "qid", "qvec", k = 5, numTables = 4, bitsPerTable = 4, probes = 4)
         .orderBy("query_id", "rank").limit(100)
     },
+    // Streaming ANN serving (round 15): query vectors arrive as a STREAM
+    // and are answered per micro-batch against a STATIC prebuilt LSH
+    // index (Similarity.lshAnnIndex, lineage-cut once — the persisted-
+    // index deployment shape: signatures are never re-derived per
+    // trigger). Completes the similarity-search tier's matrix
+    // {batch q44/q45/q53/q219/q220 → streaming}: the online-retrieval
+    // form a training-data pipeline runs at ingest (rank incoming
+    // vectors against the curated corpus). ZERO streaming state — a
+    // query's top-k depends only on the static corpus, so per-batch
+    // answers ≡ the batch answer on the closed input, and the oracle is
+    // the q220 replay with corpus/query sides split at the incremental
+    // boundary.
+    "q222_stream_ann" -> { (spark, dir) =>
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val (cq0, cKeys0) = Similarity.lshAnnIndex(
+        vecs.filter(col("vec_id") < IncrementalSplitId), "vec_id", "embedding")
+      val cq = Checkpoints.cut(cq0, eager = false)
+      val cKeys = Checkpoints.cut(cKeys0, eager = false)
+      val stream = graft.streaming.StreamOps
+        .tableSource(spark, dir, "embeddings", vecs.schema)
+        .filter(col("vec_id") >= IncrementalSplitId)
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_q222")
+      val out = Checkpoints.cut(
+        graft.streaming.StreamOps.runBatchesToParquet(
+            spark, stream, s"$tmpPath/topk") { b =>
+          Similarity.lshTopKIntAgainstIndex(cq, cKeys,
+            b.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+            "qid", "qvec", k = 5)
+        }.select("query_id", "vec_id", "score", "rank"),
+        eager = true)
+      rmTree(tmpPath.toFile)
+      out.orderBy("query_id", "rank").limit(100)
+    },
     // Portable approx-distinct (round 15): q52's APPROX_COUNT_DISTINCT
     // re-expressed over the portable HLL registers (the q148 machinery)
     // so the estimator itself replays bit-identically in DuckDB —
@@ -4567,6 +4600,33 @@ object SparkEntry {
           "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
           "qb AS (SELECT vec_id AS query_id, t, unnest(list_prepend(bkt, list_transform(range(0, 4), j -> xor(bkt, 1::BIGINT << j)))) AS bkt " +
           "FROM bk WHERE vec_id < 5), " +
+          "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM qb JOIN bk ON bk.t = qb.t AND bk.bkt = qb.bkt AND bk.vec_id <> qb.query_id), " +
+          "sv AS (SELECT cand.query_id, cand.vec_id, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
+          "FROM cand JOIN c ca ON ca.vec_id = cand.query_id JOIN c cb ON cb.vec_id = cand.vec_id), " +
+          "ranked AS (SELECT query_id, vec_id, score, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM sv) " +
+          "SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5 " +
+          "ORDER BY query_id, rank LIMIT 100"
+      },
+      // round 15: streaming ANN — the q220 replay with corpus/query
+      // sides split at the incremental boundary (streaming ≡ batch on
+      // the closed input: zero cross-query state, static corpus)
+      "q222_stream_ann" -> {
+        val planes = graft.operators.Similarity.portableHyperplanes(64, 4, 4, 11L)
+        val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
+          tbl.zipWithIndex.map { case (p, b) =>
+            s"($t, $b, ${p.mkString("[", ", ", "]")})"
+          }
+        }.mkString(", ")
+        s"WITH ${quantEmbCte("c", "qv")}, " +
+          s"cor AS (SELECT * FROM c WHERE vec_id < $IncrementalSplitId), " +
+          s"qs AS (SELECT * FROM c WHERE vec_id >= $IncrementalSplitId), " +
+          s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
+          "sc AS (SELECT cor.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> cor.qv[i] * hp.h[i])) AS BIGINT) AS s FROM cor, hp), " +
+          "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
+          "qsc AS (SELECT qs.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> qs.qv[i] * hp.h[i])) AS BIGINT) AS s FROM qs, hp), " +
+          "qbk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM qsc GROUP BY vec_id, t), " +
+          "qb AS (SELECT vec_id AS query_id, t, unnest(list_prepend(bkt, list_transform(range(0, 4), j -> xor(bkt, 1::BIGINT << j)))) AS bkt FROM qbk), " +
           "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM qb JOIN bk ON bk.t = qb.t AND bk.bkt = qb.bkt AND bk.vec_id <> qb.query_id), " +
           "sv AS (SELECT cand.query_id, cand.vec_id, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
           "FROM cand JOIN c ca ON ca.vec_id = cand.query_id JOIN c cb ON cb.vec_id = cand.vec_id), " +

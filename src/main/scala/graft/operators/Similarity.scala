@@ -352,13 +352,46 @@ object Similarity {
                  k: Int, numTables: Int = 4, bitsPerTable: Int = 4,
                  dim: Int = 64, seed: Long = 11L, probes: Int = 4,
                  scale: Int = 10000): DataFrame = {
-    require(probes <= bitsPerTable,
-      s"probes ($probes) beyond the $bitsPerTable-bit signature flip bits no bucket key carries")
+    val (cq, cKeys) = lshAnnIndex(corpus, idCol, vecCol, numTables,
+      bitsPerTable, dim, seed, scale)
+    lshTopKIntAgainstIndex(cq, cKeys, queries, queryIdCol, queryVecCol,
+      k, numTables, bitsPerTable, dim, seed, probes, scale)
+  }
+
+  /** The CORPUS side of the portable LSH ANN, factored as a persisted
+    * index: (quantized frame (vec_id, __qv), bucket keys (vec_id, __t,
+    * __bkt)). A deployment builds this once per corpus snapshot (and
+    * lineage-cuts / persists it); the streaming twin (q222) serves every
+    * query micro-batch against the SAME materialized frames instead of
+    * re-deriving signatures per trigger. */
+  def lshAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                  numTables: Int = 4, bitsPerTable: Int = 4,
+                  dim: Int = 64, seed: Long = 11L,
+                  scale: Int = 10000): (DataFrame, DataFrame) = {
     val planes = portableHyperplanes(dim, numTables, bitsPerTable, seed)
     val cq = portableQuantized(corpus, idCol, vecCol, scale)
+      .select(col(idCol).as("vec_id"), col("__qv"))
+    (cq, portableBucketKeys(cq, "vec_id", planes))
+  }
+
+  /** Query-side top-k against a prebuilt [[lshAnnIndex]]: query
+    * signatures + full-XOR probes (broadcast-small by contract), the
+    * keys-only candidate join, integer-dot ranking. Per-query output is
+    * independent of how queries are batched (the corpus side is static
+    * and no cross-query state exists), so a streaming caller scoring
+    * each micro-batch gets exactly the batch answer — the q222
+    * streaming ≡ batch contract. */
+  def lshTopKIntAgainstIndex(cq: DataFrame, cKeys: DataFrame,
+                             queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                             k: Int, numTables: Int = 4, bitsPerTable: Int = 4,
+                             dim: Int = 64, seed: Long = 11L, probes: Int = 4,
+                             scale: Int = 10000): DataFrame = {
+    require(probes <= bitsPerTable,
+      s"probes ($probes) beyond the $bitsPerTable-bit signature flip bits no bucket key carries")
+    registerIntDot(queries)
+    val planes = portableHyperplanes(dim, numTables, bitsPerTable, seed)
     val qq = queries.select(col(queryIdCol).as("query_id"),
       quantize(col(queryVecCol), scale).as("__qq"))
-    val cKeys = portableBucketKeys(cq, idCol, planes)
     val qHome = portableBucketKeys(
       qq.select(col("query_id"), col("__qq").as("__qv")), "query_id", planes)
     val qKeys =
@@ -367,12 +400,12 @@ object Similarity {
         explode(array((col("__bkt") +: (0 until probes).map(j =>
           col("__bkt").bitwiseXOR(lit(1L << j)))): _*)).as("__bkt"))
     val candidates = cKeys.join(broadcast(qKeys), Seq("__t", "__bkt"))
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("vec_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     candidates
-      .join(cq.select(col(idCol).as("vec_id"), col("__qv").as("__cv")), Seq("vec_id"))
+      .join(cq.select(col("vec_id"), col("__qv").as("__cv")), Seq("vec_id"))
       .join(broadcast(qq), Seq("query_id"))
       .withColumn("score", intDot(col("__cv"), col("__qq")))
       .withColumn("rank", row_number().over(w))
