@@ -69,11 +69,17 @@ object ScaleTenX {
     }.reduce(_ unionByName _)
     val dim = embs.select(max(size(col("embedding")))).head().getInt(0)
     val scaledEmbs = (0 until factor).map { r =>
-      if (r == 0) embs
+      // rotation index wraps at dim (factor > dim would otherwise feed
+      // slice a negative length); replicas r and r+dim then SHARE a
+      // rotation — their cross dots are preserved, so factors > dim are
+      // valid for the doc-banded band only, never for q84-family
+      // measurements (whose recall footer is ≤10×-gated anyway)
+      val rot = r % dim
+      if (rot == 0) embs.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
       else embs
         .withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
         .withColumn("embedding",
-          concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r)))
+          concat(slice(col("embedding"), rot + 1, dim - rot), slice(col("embedding"), 1, rot)))
     }.reduce(_ unionByName _)
     scaledDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaledEmbs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
