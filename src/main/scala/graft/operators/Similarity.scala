@@ -581,7 +581,12 @@ object Similarity {
     * is identical in both regimes (dedup before or after exact
     * verification commutes), so oracles and recall receipts are
     * regime-independent. */
-  val BroadcastVerifyBudgetBytes = 100000L * 64 * 8 // = the r13-measured 100k-rows-at-dim-64 point
+  // Round 15: the fused IntDotLookup verify broadcasts the frame ONCE
+  // where the former two-join shape shipped it TWICE, so the SAME
+  // measured r13 memory envelope (2 × 100k rows × 64 dims × 8 B ≈
+  // 106 MB peak) now admits 200k rows — the regime bound doubles with
+  // zero new memory exposure (receipt: ProfileQ84 at 100×, BASELINE.md)
+  val BroadcastVerifyBudgetBytes = 200000L * 64 * 8
 
   /** The row bound DERIVED from the vector dimension (round-14 verdict
     * #5: the former flat 100000L silently encoded dim=64 — at dim=512

@@ -185,11 +185,13 @@ class RecallSpec extends AnyFunSuite {
   test("broadcast-verify row bound derives from the vector dimension (round 14)") {
     // the former flat 100000L silently encoded dim=64 (53 MB of
     // array<long> payload); the bound now scales as budget/(dim*8) so a
-    // dim change moves the regime switch proportionally
-    assert(Similarity.broadcastVerifyMaxRows(64) == 100000L,
-      "dim=64 must reproduce the r13-measured 100k-row point")
-    assert(Similarity.BroadcastVerifyMaxRows == 100000L)
-    assert(Similarity.broadcastVerifyMaxRows(512) == 12500L,
+    // dim change moves the regime switch proportionally. Round 15: the
+    // fused single-broadcast verify admits 2x the rows of the r13
+    // two-broadcast point at the SAME measured peak memory.
+    assert(Similarity.broadcastVerifyMaxRows(64) == 200000L,
+      "dim=64 must reproduce the r13 memory envelope at the fused (single-broadcast) shape")
+    assert(Similarity.BroadcastVerifyMaxRows == 200000L)
+    assert(Similarity.broadcastVerifyMaxRows(512) == 25000L,
       "8x the dimension must shrink the broadcastable row bound 8x")
     assertThrows[IllegalArgumentException](Similarity.broadcastVerifyMaxRows(0))
   }
