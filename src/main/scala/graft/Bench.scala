@@ -49,6 +49,9 @@ object Bench {
         // persisted and squat on block-manager memory during every LATER
         // entry's timed window — release them outside the timer
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // explicit data broadcasts (embed-LSH lookup maps) likewise
+        // accumulate across serial entries — destroy outside the timer
+        operators.Broadcasts.destroyAll()
         if (ok) sec else -1.0
       }
       // any failed rep marks the query failed (-1): a flaky failure must

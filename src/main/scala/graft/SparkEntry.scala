@@ -93,6 +93,16 @@ object SparkEntry {
     graft.operators.Similarity.recommendedTablesProbed(bits)
   private def embedProbesFor(bits: Int): Int = bits
 
+  /** Self-sized (tables, bits, probes) for the ANN SEARCH family
+    * (q45/q220/q222) — round 16, verdict #4: replaces the hardcoded
+    * 4×4+4 with the dir-derived rule the pair family already uses
+    * (Similarity.recommendedSearchPoint: occupancy-8 bits, probes =
+    * bits, tables holding the declared base point's collision
+    * probability). Entries AND the q220/q222 DuckDB texts interpolate
+    * the SAME dir-derived triple — the embedBitsFor pattern. */
+  private def annSearchPointFor(spark: SparkSession, dir: String): (Int, Int, Int) =
+    graft.operators.Similarity.recommendedSearchPoint(embedCountFor(spark, dir))
+
   /** q186/q187's semantic-cluster count — self-sized like the LSH width:
     * k targets ~125 vectors per cluster (SemDeDup's k ≪ n regime; the
     * in-cluster pair term is then occupancy-bounded, not corpus-bounded),
@@ -133,7 +143,7 @@ object SparkEntry {
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
     oracleTexts(embedBitsFor(spark, dir), semNlistFor(spark, dir),
       bpeMergesFor(spark, dir).map(m => (m.left, m.right)),
-      phashChunksFor(spark, dir))
+      phashChunksFor(spark, dir), annSearchPointFor(spark, dir))
 
   /** Shared recursive delete for the streaming entries' temp trees
     * (q162/q172/q176) and Verify's stale-dump removal. Null-safe:
@@ -565,10 +575,19 @@ object SparkEntry {
     * dependence (the bpeMergesFor pattern). */
   private val nbModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, NaiveBayes.NbModelData]()
+  /** Cache key carries a cheap DATA fingerprint (documents.parquet
+    * length + mtime), not the dir path alone (round-15 advice): testdata
+    * is regenerated between rounds and tests reuse tmp paths, so a
+    * path-only key within one JVM session could silently serve a stale
+    * model to q188/q189/q201/q203/q204/q206. */
+  private def nbCacheKey(dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    s"$dir:${f.length}:${f.lastModified}"
+  }
   private def trainSplitNbModel(spark: SparkSession, dir: String): NaiveBayes.NbModel =
-    NaiveBayes.modelFromData(spark, nbModelCache.computeIfAbsent(dir, d =>
+    NaiveBayes.modelFromData(spark, nbModelCache.computeIfAbsent(nbCacheKey(dir), _ =>
       NaiveBayes.collectModel(NaiveBayes.model(
-        Tables.table(spark, d, "documents").filter(col("doc_id") < IncrementalSplitId),
+        Tables.table(spark, dir, "documents").filter(col("doc_id") < IncrementalSplitId),
         "text", "lang"))))
 
   /** Shared q188/q189 classifier pipeline: Naive Bayes trained on the
@@ -1295,16 +1314,18 @@ object SparkEntry {
         .orderBy("query_id", "rank").limit(100)
     },
     // LSH-bucketed approximate top-k — rows-only. Round 13: query-side
-    // multi-probe — 4 tables × 4 bits + 4 probes measures recall@10 =
-    // 0.940 at sf0.1 vs the former 16×4 home-only point's 0.916
-    // (graft.tools.Recall): same recall class at 4× fewer tables, and
-    // tables are the CORPUS side's cost (n×L bucket keys) while the
-    // probe fan-out rides the broadcast-small query side.
+    // multi-probe (tables are the CORPUS side's cost — n×L bucket keys —
+    // while the probe fan-out rides the broadcast-small query side).
+    // Round 16: the operating point is SELF-SIZED from the corpus count
+    // (annSearchPointFor) instead of the hardcoded 4×4+4, which
+    // under-buckets at 100× corpus; the rule reproduces 4×4+4 exactly
+    // at n ≤ 128 and holds its collision probability as bits grow.
     "q45_ann_lsh" -> { (spark, dir) =>
       val emb = Tables.table(spark, dir, "embeddings")
+      val (t, b, p) = annSearchPointFor(spark, dir)
       Similarity.lshTopK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-          "qid", "qvec", k = 5, numTables = 4, bitsPerTable = 4, probes = 4)
+          "qid", "qvec", k = 5, numTables = t, bitsPerTable = b, probes = p)
         .orderBy("query_id", "rank").limit(100)
     },
     // IVF coarse-quantizer ANN (the nprobe/nlist alternative to LSH) —
@@ -2854,18 +2875,20 @@ object SparkEntry {
     // Portable LSH ANN top-k (round 15): the hash-checkable twin of q45
     // (the q44/q53 integer-twin pattern applied to the last rows-only
     // ANN entry) — quantized vectors, ±1 integer hyperplane buckets,
-    // query-side full-XOR multi-probe at the DECLARED q45 operating
-    // point (4 tables × 4 bits + 4 probes), BIGINT dot ranking with
+    // query-side full-XOR multi-probe at the SELF-SIZED search point
+    // (round 16: annSearchPointFor, the dir-derived rule — entry and
+    // DuckDB text interpolate the same triple), BIGINT dot ranking with
     // ties to the lower vec_id. DuckDB replays the identical pipeline:
     // bucketing, probe fan-out, candidate join and ranking all
     // hash-match (float-cosine lshTopK stays the production scorer,
     // recall-pinned in RecallSpec).
     "q220_ann_lsh_portable" -> { (spark, dir) =>
       val emb = Tables.table(spark, dir, "embeddings")
+      val (t, b, p) = annSearchPointFor(spark, dir)
       Similarity.lshTopKInt(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-          "qid", "qvec", k = 5, numTables = 4, bitsPerTable = 4, probes = 4)
+          "qid", "qvec", k = 5, numTables = t, bitsPerTable = b, probes = p)
         .orderBy("query_id", "rank").limit(100)
     },
     // Streaming ANN serving (round 15): query vectors arrive as a STREAM
@@ -2882,8 +2905,12 @@ object SparkEntry {
     // boundary.
     "q222_stream_ann" -> { (spark, dir) =>
       val vecs = Tables.table(spark, dir, "embeddings")
+      // self-sized from the DIR's corpus count (round 16) — entry and
+      // DuckDB text interpolate the same triple
+      val (t, b, p) = annSearchPointFor(spark, dir)
       val (cq0, cKeys0) = Similarity.lshAnnIndex(
-        vecs.filter(col("vec_id") < IncrementalSplitId), "vec_id", "embedding")
+        vecs.filter(col("vec_id") < IncrementalSplitId), "vec_id", "embedding",
+        numTables = t, bitsPerTable = b)
       val cq = Checkpoints.cut(cq0, eager = false)
       val cKeys = Checkpoints.cut(cKeys0, eager = false)
       val stream = graft.streaming.StreamOps
@@ -2892,10 +2919,10 @@ object SparkEntry {
       val tmpPath = java.nio.file.Files.createTempDirectory("graft_q222")
       val out = Checkpoints.cut(
         graft.streaming.StreamOps.runBatchesToParquet(
-            spark, stream, s"$tmpPath/topk") { b =>
+            spark, stream, s"$tmpPath/topk") { batch =>
           Similarity.lshTopKIntAgainstIndex(cq, cKeys,
-            b.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-            "qid", "qvec", k = 5)
+            batch.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+            "qid", "qvec", k = 5, numTables = t, bitsPerTable = b, probes = p)
         }.select("query_id", "vec_id", "score", "rank"),
         eager = true)
       rmTree(tmpPath.toFile)
@@ -3561,14 +3588,18 @@ object SparkEntry {
 
   /** Driver-contract surface: texts at the sf0.1 default constants
     * (embed bits 6 = recommendedBits at 2,000 vectors, nlist 16, empty
-    * merge list → pure character segmentation). Specs use it for
-    * keys/sizes only; every gate path that RUNS the texts goes through
-    * `oracleSqlFor(spark, dir)`. */
-  def oracleSql: Map[String, String] = oracleTexts(6, 16, Nil, 4)
+    * merge list → pure character segmentation, ANN search point at the
+    * 2,000-vector rule value). Specs use it for keys/sizes only; every
+    * gate path that RUNS the texts goes through `oracleSqlFor(spark,
+    * dir)`. */
+  def oracleSql: Map[String, String] =
+    oracleTexts(6, 16, Nil, 4, graft.operators.Similarity.recommendedSearchPoint(2000))
 
   private def oracleTexts(embedBits: Int, semNlist: Int,
                           bpeMerges: Seq[(String, String)],
-                          phashChunks: Int): Map[String, String] = {
+                          phashChunks: Int,
+                          annPoint: (Int, Int, Int)): Map[String, String] = {
+    val (annTables, annBits, annProbes) = annPoint
     // round 13, q207/q208 (one text — streaming ≡ batch on closed
     // input): the q186 semantic-cluster replay restricted to CROSS pairs
     // (existing < split ≤ incoming). The cap keys on the EXISTING-side
@@ -4583,12 +4614,13 @@ object SparkEntry {
           "ORDER BY query_id, rank LIMIT 100"),
       // round 15: the q45 LSH ANN twin replayed literally — the SAME
       // ±1 hyperplanes as VALUES (one source of truth:
-      // portableHyperplanes at the declared 4×4 point, seed 11),
+      // portableHyperplanes at the SELF-SIZED search point, seed 11 —
+      // round 16: the triple is dir-derived, annSearchPointFor),
       // bucketing via sign-bit sums, query-side full-XOR probe fan-out
       // (search shape: only the query probes — xor, not the pair-gen
       // path's directional 0→1 flips), integer-dot ranking
       "q220_ann_lsh_portable" -> {
-        val planes = graft.operators.Similarity.portableHyperplanes(64, 4, 4, 11L)
+        val planes = graft.operators.Similarity.portableHyperplanes(64, annTables, annBits, 11L)
         val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
           tbl.zipWithIndex.map { case (p, b) =>
             s"($t, $b, ${p.mkString("[", ", ", "]")})"
@@ -4598,7 +4630,7 @@ object SparkEntry {
           s"hp AS (SELECT * FROM (VALUES $vals) AS x(t, b, h)), " +
           "sc AS (SELECT c.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * hp.h[i])) AS BIGINT) AS s FROM c, hp), " +
           "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
-          "qb AS (SELECT vec_id AS query_id, t, unnest(list_prepend(bkt, list_transform(range(0, 4), j -> xor(bkt, 1::BIGINT << j)))) AS bkt " +
+          s"qb AS (SELECT vec_id AS query_id, t, unnest(list_prepend(bkt, list_transform(range(0, $annProbes), j -> xor(bkt, 1::BIGINT << j)))) AS bkt " +
           "FROM bk WHERE vec_id < 5), " +
           "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM qb JOIN bk ON bk.t = qb.t AND bk.bkt = qb.bkt AND bk.vec_id <> qb.query_id), " +
           "sv AS (SELECT cand.query_id, cand.vec_id, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
@@ -4612,7 +4644,7 @@ object SparkEntry {
       // sides split at the incremental boundary (streaming ≡ batch on
       // the closed input: zero cross-query state, static corpus)
       "q222_stream_ann" -> {
-        val planes = graft.operators.Similarity.portableHyperplanes(64, 4, 4, 11L)
+        val planes = graft.operators.Similarity.portableHyperplanes(64, annTables, annBits, 11L)
         val vals = planes.zipWithIndex.flatMap { case (tbl, t) =>
           tbl.zipWithIndex.map { case (p, b) =>
             s"($t, $b, ${p.mkString("[", ", ", "]")})"
@@ -4626,7 +4658,7 @@ object SparkEntry {
           "bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM sc GROUP BY vec_id, t), " +
           "qsc AS (SELECT qs.vec_id, hp.t, hp.b, CAST(list_sum(list_transform(range(1, 65), i -> qs.qv[i] * hp.h[i])) AS BIGINT) AS s FROM qs, hp), " +
           "qbk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt FROM qsc GROUP BY vec_id, t), " +
-          "qb AS (SELECT vec_id AS query_id, t, unnest(list_prepend(bkt, list_transform(range(0, 4), j -> xor(bkt, 1::BIGINT << j)))) AS bkt FROM qbk), " +
+          s"qb AS (SELECT vec_id AS query_id, t, unnest(list_prepend(bkt, list_transform(range(0, $annProbes), j -> xor(bkt, 1::BIGINT << j)))) AS bkt FROM qbk), " +
           "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM qb JOIN bk ON bk.t = qb.t AND bk.bkt = qb.bkt AND bk.vec_id <> qb.query_id), " +
           "sv AS (SELECT cand.query_id, cand.vec_id, CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS score " +
           "FROM cand JOIN c ca ON ca.vec_id = cand.query_id JOIN c cb ON cb.vec_id = cand.vec_id), " +

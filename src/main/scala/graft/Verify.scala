@@ -36,6 +36,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // serial-harness hygiene (mirrors Bench): drop lineage-cut blocks
+      // and explicit data broadcasts from the finished entry
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      operators.Broadcasts.destroyAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

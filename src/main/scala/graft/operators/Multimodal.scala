@@ -449,6 +449,10 @@ object Multimodal {
       while (i + 8 <= bytes.length && dataOff < 0) {
         val id = new String(bytes, i, 4, "US-ASCII")
         val len = b.getInt(i + 4)
+        // same guard as decodeWavSamples: a negative len makes the walk
+        // non-advancing (infinite loop inside an executor task) — THROW,
+        // which error-as-value callers catch like any hostile input
+        require(len >= 0 && i + 8 + len <= bytes.length, s"chunk $id overruns container")
         if (id == "data") { dataOff = i + 8; dataLen = len }
         else i += 8 + len + (len & 1) // chunks are word-aligned
       }

@@ -103,14 +103,43 @@ object Similarity {
     * single table — one bad table would be the whole pair stream); cap
     * 128 as in the base rule. */
   def recommendedTablesProbed(bits: Int, baseBits: Int = 6, baseTables: Int = 8,
-                              pBit: Double = 1.0 - math.acos(0.25) / math.Pi): Int = {
+                              pBit: Double = 1.0 - math.acos(0.25) / math.Pi,
+                              baseProbed: Boolean = false): Int = {
     require(bits >= 1 && baseTables >= 1 && pBit > 0 && pBit < 1)
-    val baseCollide = 1.0 - math.pow(1.0 - math.pow(pBit, baseBits.toDouble), baseTables.toDouble)
-    val pTable = math.pow(pBit, bits.toDouble) +
-      bits * math.pow(pBit, (bits - 1).toDouble) * (1.0 - pBit)
+    def pT(b: Int): Double = math.pow(pBit, b.toDouble) +
+      b * math.pow(pBit, (b - 1).toDouble) * (1.0 - pBit)
+    // baseProbed: the base operating point itself ran multi-probe (the
+    // search family's declared 4×4+4 — recommendedSearchPoint), so the
+    // collision probability to hold is the PROBED one; the pair family's
+    // base (6×8 home-only) keeps the home-only default
+    val basePerTable = if (baseProbed) pT(baseBits) else math.pow(pBit, baseBits.toDouble)
+    val baseCollide = 1.0 - math.pow(1.0 - basePerTable, baseTables.toDouble)
     val l = math.ceil(
-      math.log1p(-baseCollide) / math.log1p(-pTable) - 1e-9).toInt
+      math.log1p(-baseCollide) / math.log1p(-pT(bits)) - 1e-9).toInt
     math.max(2, math.min(128, l))
+  }
+
+  /** Self-sizing operating point (tables, bits, probes) for the ANN
+    * SEARCH family (q45/q220/q222) — the round-16 application of the
+    * pair family's recommendedBits/recommendedTablesProbed pattern to
+    * the last hardcoded point (round-15 verdict #4: a fixed 4×4+4
+    * under-buckets at 100× corpus).
+    *
+    * bits: occupancy-driven at the SEARCH target (~8 candidates per
+    * bucket — per-query candidate cost is L·(1+probes)·n/2^bits, so
+    * bits must grow with log₂(n) to keep a query's verify work flat).
+    * probes = bits: the full 1-flip XOR neighborhood, query-side only —
+    * fan-out rides the broadcast-small query frame, never the corpus.
+    * tables: minimal L holding the DECLARED r15 base point's collision
+    * probability (4 tables × 4 bits + 4 probes — recall@10 0.940
+    * measured at r13, RecallSpec floor 0.70) under multi-probe, i.e.
+    * recommendedTablesProbed at the search base. The 128-table cap is
+    * the same shard-first contract as the pair family. */
+  def recommendedSearchPoint(corpusSize: Long): (Int, Int, Int) = {
+    val bits = recommendedBits(corpusSize, targetOccupancy = 8)
+    val tables = recommendedTablesProbed(bits, baseBits = 4, baseTables = 4,
+      baseProbed = true)
+    (tables, bits, bits)
   }
 
   /** Deterministic unit-free hyperplanes: numTables × bitsPerTable × dim. */
@@ -751,20 +780,26 @@ object Similarity {
         // one map-side probe join, verify in the same stage, and one
         // survivor-sized distinct. ProfileQ84 receipts in BASELINE.md.
         val cutKeys = Checkpoints.cut(keys, eager = true)
+        // Driver-heap budget at the regime bound (round-16 receipt in
+        // BASELINE.md): the map is built from toLocalIterator — the
+        // driver holds the HashMap plus ONE partition of rows at a time,
+        // never a full collect()'d Array[Row] copy of the frame — and
+        // the broadcast's serialized copy is the one unavoidable
+        // transient double (TorrentBroadcast writes blocks then drops
+        // the reference). The broadcast is TRACKED: serial harnesses
+        // destroy it between entries (Broadcasts.destroyAll), so
+        // finished entries don't pin ~100 MB maps for the session.
         val qMap = new java.util.HashMap[java.lang.Long, Array[Long]]()
-        q.collect().foreach { r =>
+        q.toLocalIterator().forEachRemaining { r =>
           qMap.put(r.getLong(0), r.getSeq[Long](1).toArray)
         }
-        val bc = corpus.sparkSession.sparkContext.broadcast(qMap)
-        // registration captures THIS call's broadcast; analysis is eager
-        // at frame creation, so the resolved expression instance (and
-        // its broadcast handle) is baked into the plan — a later
-        // replacement cannot retarget an existing frame (the IntDot
-        // register idiom, closure-parameterized)
-        graft.functions.IntDotLookup.register(corpus.sparkSession, bc)
+        val bc = Broadcasts.track(corpus.sparkSession.sparkContext.broadcast(qMap))
+        // the broadcast handle is baked into the expression instance
+        // directly (IntDotLookup.column) — no session-global registry
+        // mutation, no analysis-ordering invariant (round-15 advice)
         probedRawPairs(cutKeys, idCol, maxBucketSize, probes, broadcastHome = true)
           .select(col("id_a"), col("id_b"),
-            call_function("int_dot_lookup", col("id_a"), col("id_b")).as("score"))
+            graft.functions.IntDotLookup.column(col("id_a"), col("id_b"), bc).as("score"))
           .filter(col("score") >= minScore)
           .distinct()
       } else {

@@ -36,8 +36,11 @@ object Recall {
       println(f"[recall] L=$tables%2d bits=$bits: recall@$k=${recall}%.3f time=$sec%.2f s")
     }
     // query-side multi-probe (round 13): fewer tables — the corpus-side
-    // cost — at the same recall; probe fan-out rides the broadcast side
-    for ((tables, bits, probes) <- Seq((4, 4, 4), (8, 4, 4), (4, 6, 6), (8, 6, 6), (2, 4, 4))) {
+    // cost — at the same recall; probe fan-out rides the broadcast side.
+    // round 16: the rule point (recommendedSearchPoint — what q45/q220
+    // ship for THIS corpus) leads the sweep.
+    val rulePoint = Similarity.recommendedSearchPoint(emb.count())
+    for ((tables, bits, probes) <- Seq(rulePoint, (4, 4, 4), (8, 4, 4), (4, 6, 6), (8, 6, 6), (2, 4, 4))) {
       val t1 = System.nanoTime()
       val got = pairs(Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k,
         numTables = tables, bitsPerTable = bits, probes = probes))

@@ -185,10 +185,13 @@ object ScaleTenX {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val bf = pairSet(Similarity.bruteForceTopK(
         emb10, "vec_id", "embedding", qs, "qid", "qvec", k))
+      // round 16: the search point self-sizes from the corpus count —
+      // measure the scaled corpus at ITS rule point (what q45/q220 run)
+      val (st, sb, sp) = Similarity.recommendedSearchPoint(emb10.count())
       val got = pairSet(Similarity.lshTopK(
         emb10, "vec_id", "embedding", qs, "qid", "qvec", k,
-        numTables = 4, bitsPerTable = 4, probes = 4))
-      println(f"[scale10x] lshTopK recall@$k at ${factor}x (declared point L=4, bits=4, probes=4): " +
+        numTables = st, bitsPerTable = sb, probes = sp))
+      println(f"[scale10x] lshTopK recall@$k at ${factor}x (rule point L=$st, bits=$sb, probes=$sp): " +
         f"${got.intersect(bf).size.toDouble / bf.size}%.3f")
     }
     spark.stop()

@@ -58,6 +58,28 @@ class AvHashSpec extends AnyFunSuite {
     }
   }
 
+  test("negative/overrunning chunk lengths THROW in BOTH wav walks (never a non-advancing loop)") {
+    // a RIFF/WAVE container whose first chunk declares a NEGATIVE length:
+    // without the guard, i += 8 + len never advances — an infinite loop
+    // inside an executor task (round-15 advice: the guard existed only in
+    // decodeWavSamples; decodeWav is reachable from RealCodec.decode for
+    // any hostile RIFF non-AVI blob)
+    val s = Array.tabulate(100)(samp(3L))
+    val wav = RealCodec.encodeWav(8000, s.map(_.toByte))
+    val hostile = wav.clone()
+    // first chunk header starts at offset 12; its length field at 16
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -12)
+    intercept[IllegalArgumentException](RealCodec.decodeWav(hostile))
+    intercept[IllegalArgumentException](RealCodec.decodeWavSamples(hostile))
+    // and an overrunning (positive but past-the-end) length
+    val overrun = wav.clone()
+    java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, wav.length)
+    intercept[IllegalArgumentException](RealCodec.decodeWav(overrun))
+    intercept[IllegalArgumentException](RealCodec.decodeWavSamples(overrun))
+  }
+
   test("the 16-bit transcode rewrites every data byte but round-trips the samples exactly") {
     val s = Array.tabulate(200)(samp(5L))
     val wav8 = RealCodec.encodeWav(8000, s.map(_.toByte))

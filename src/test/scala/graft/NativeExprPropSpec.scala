@@ -78,9 +78,11 @@ class NativeExprPropSpec extends AnyFunSuite {
         val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
         vecs.zipWithIndex.foreach { case (v, i) => m.put(i.toLong, v.toArray) }
         val bc = spark.sparkContext.broadcast(m)
-        graft.functions.IntDotLookup.register(spark, bc)
+        // the production spelling (direct Column, no registry); the
+        // registry form stays available for SQL-text consumers and is
+        // exercised once below
         val r = Seq((ia, ib)).toDF("id_a", "id_b")
-          .select(call_function("int_dot_lookup", col("id_a"), col("id_b")).as("s"))
+          .select(graft.functions.IntDotLookup.column(col("id_a"), col("id_b"), bc).as("s"))
           .head()
         val expected =
           if (ia >= vecs.size || ib >= vecs.size) None
@@ -91,6 +93,14 @@ class NativeExprPropSpec extends AnyFunSuite {
           case _ => false
         }
     }, "int_dot_lookup")
+    // registry form smoke: one resolution through SQL-text binding
+    val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    m.put(0L, Array(2L, 3L)); m.put(1L, Array(5L, 7L))
+    val bc = spark.sparkContext.broadcast(m)
+    graft.functions.IntDotLookup.register(spark, bc)
+    assert(Seq((0L, 1L)).toDF("id_a", "id_b")
+      .select(call_function("int_dot_lookup", col("id_a"), col("id_b")).as("s"))
+      .head().getLong(0) == 2L * 5L + 3L * 7L)
   }
 
   test("cosine_sim agrees with scalar reference on arbitrary float vectors") {

@@ -29,17 +29,24 @@ class RecallSpec extends AnyFunSuite {
     (emb, queries, truth)
   }
 
-  test("lshTopK at the declared q45 operating point (4 tables x 4 bits + 4 probes) holds recall@10") {
+  /** The self-sized search point at the FIXTURE's corpus size — the same
+    * rule the q45/q220/q222 entries interpolate (round 16, verdict #4). */
+  private def searchPoint(emb: DataFrame): (Int, Int, Int) =
+    Similarity.recommendedSearchPoint(emb.count())
+
+  test("lshTopK at the SELF-SIZED q45 operating point holds recall@10") {
     val (emb, queries, truth) = fixtures(k = 10, nQ = 50)
-    // round 13: q45 ships query-side multi-probe — r13 measured 0.940 at
-    // sf0.1 (vs the former 16×4 home-only point's 0.916) with 4× fewer
-    // corpus-side tables (graft.tools.Recall)
+    // round 13 measured 0.940 at the then-declared 4×4+4 point; round 16
+    // self-sizes (tables, bits, probes) from the corpus count
+    // (recommendedSearchPoint — holds the 4×4+4 collision probability by
+    // construction, so the floor carries over)
+    val (t, b, p) = searchPoint(emb)
     val got = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
-      queries, "qid", "qvec", k = 10, numTables = 4, bitsPerTable = 4, probes = 4))
+      queries, "qid", "qvec", k = 10, numTables = t, bitsPerTable = b, probes = p))
     val recall = got.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.70,
-      f"lshTopK(4x4+4probes) recall@10 = $recall%.3f < 0.70 — regenerated embeddings distribution " +
-        "no longer suits the declared q45 parameters (re-tune via graft.tools.Recall)")
+      f"lshTopK(${t}x$b+${p}probes) recall@10 = $recall%.3f < 0.70 — regenerated embeddings distribution " +
+        "no longer suits the self-sized q45 point (re-tune via graft.tools.Recall)")
     // the probed point must not UNDERPERFORM the former home-only point:
     // probing trades table count for probe fan-out, never recall
     val home = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
@@ -50,20 +57,45 @@ class RecallSpec extends AnyFunSuite {
   }
 
   test("lshTopKInt (the q220 oracle twin) holds recall@10 vs the integer brute force") {
-    // same operating point as the declared q220 entry (4x4 + 4 probes,
-    // portable ±1 planes); ground truth from the SAME integer scorer so
+    // same SELF-SIZED operating point as the declared q220 entry
+    // (portable ±1 planes); ground truth from the SAME integer scorer so
     // the floor isolates BANDING loss, not quantization drift
     val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
     val queries = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val truth = pairs(Similarity.bruteForceTopKInt(emb, "vec_id", "embedding",
       queries, "qid", "qvec", k = 10))
+    val (t, b, p) = searchPoint(emb)
     val got = pairs(Similarity.lshTopKInt(emb, "vec_id", "embedding",
-      queries, "qid", "qvec", k = 10, numTables = 4, bitsPerTable = 4, probes = 4))
+      queries, "qid", "qvec", k = 10, numTables = t, bitsPerTable = b, probes = p))
     val recall = got.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.70,
-      f"lshTopKInt(4x4+4probes) recall@10 = $recall%.3f < 0.70 — the portable-plane " +
-        "operating point no longer suits the regenerated embeddings (re-tune via graft.tools.Recall)")
+      f"lshTopKInt(${t}x$b+${p}probes) recall@10 = $recall%.3f < 0.70 — the portable-plane " +
+        "self-sized point no longer suits the regenerated embeddings (re-tune via graft.tools.Recall)")
+  }
+
+  test("recommendedSearchPoint: landmarks, base-point reproduction, collision invariant (round 16)") {
+    // at n ≤ 8·2^4 the occupancy rule floors at 4 bits and the table rule
+    // must reproduce the DECLARED r15 base point exactly — 4×4+4
+    assert(Similarity.recommendedSearchPoint(100) == ((4, 4, 4)),
+      "small corpus must reproduce the declared 4x4+4 base point")
+    // the two gate SFs (DriftGuard pins the corpus sizes): these are the
+    // values the q220/q222 oracle texts interpolate this round
+    assert(Similarity.recommendedSearchPoint(500) == ((11, 6, 6)))
+    assert(Similarity.recommendedSearchPoint(2000) == ((26, 8, 8)))
+    // collision-probability invariant: every point the rule emits (until
+    // the 128-table shard-first cap) holds the base point's PROBED
+    // threshold collision probability
+    val pBit = 1.0 - math.acos(0.25) / math.Pi
+    def pT(b: Int) = math.pow(pBit, b) + b * math.pow(pBit, b - 1) * (1 - pBit)
+    val base = 1.0 - math.pow(1.0 - pT(4), 4)
+    Seq(1L, 500L, 2000L, 20000L, 200000L).foreach { n =>
+      val (t, b, p) = Similarity.recommendedSearchPoint(n)
+      assert(p == b, "probes must equal bits (full 1-flip neighborhood)")
+      if (t < 128)
+        assert(1.0 - math.pow(1.0 - pT(b), t) >= base - 1e-9,
+          s"n=$n point ($t, $b): collision fell below the base point's")
+    }
   }
 
   test("adaptiveBits widens past the count rule on a clustered corpus, fits the occupancy bound") {
