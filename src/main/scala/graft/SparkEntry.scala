@@ -463,17 +463,21 @@ object SparkEntry {
   private def phashBandingReplaySql: String = phashBandingReplaySql("")
   private def phashBandingReplaySql(extraWhere: String): String =
     phashBandingReplaySql("COUNT(*) OVER (PARTITION BY j, ckey)", extraWhere)
-  private def phashBandingReplaySql(bszExpr: String, extraWhere: String): String = {
+  private def phashBandingReplaySql(bszExpr: String, extraWhere: String): String =
+    phashBandingReplaySql(bszExpr, extraWhere,
+      graft.operators.TextDedup.SimhashIntact, maxHamming = 3)
+  private def phashBandingReplaySql(bszExpr: String, extraWhere: String,
+                                    intact: Int, maxHamming: Int): String = {
     val chunkBits = 64 / graft.operators.TextDedup.SimhashChunks
     val nChunks = graft.operators.TextDedup.SimhashChunks
     val mask = (1L << chunkBits) - 1
-    val comboVals = graft.operators.TextDedup.simhashCombos.zipWithIndex
+    val comboVals = graft.operators.TextDedup.simhashCombosOf(intact).zipWithIndex
       .map { case (cs, j) => s"($j, ${cs.mkString("[", ", ", "]")})" }.mkString(", ")
-    val minCombo = graft.operators.TextDedup.simhashMinComboByMask
+    val minCombo = graft.operators.TextDedup.simhashMinComboByMaskOf(intact)
       .mkString("[", ", ", "]")
     s"combos AS (SELECT * FROM (VALUES $comboVals) AS x(j, cs)), " +
       "chunks0 AS (SELECT media_id, phash, j, " +
-      s"CAST(list_sum(list_transform(range(0, ${graft.operators.TextDedup.SimhashIntact}), " +
+      s"CAST(list_sum(list_transform(range(0, $intact), " +
       s"i -> ((phash >> ($chunkBits * cs[i+1])) & $mask) * (1::BIGINT << ($chunkBits * i)))) AS BIGINT) AS ckey " +
       "FROM ph, combos), " +
       s"chunks AS (SELECT *, $bszExpr AS bsz FROM chunks0), " +
@@ -483,7 +487,7 @@ object SparkEntry {
       s"AND a.j = ($minCombo)[CAST(list_sum(list_transform(range(0, $nChunks), " +
       s"c -> CASE WHEN ((xor(a.phash, b.phash) >> ($chunkBits * c)) & $mask) = 0 THEN (1 << c) ELSE 0 END)) AS INT) + 1]) " +
       "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
-      s"FROM pairs WHERE bit_count(xor(sa, sb)) <= 3$extraWhere " +
+      s"FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxHamming$extraWhere " +
       "ORDER BY id_a, id_b LIMIT 100"
   }
 
@@ -2843,14 +2847,18 @@ object SparkEntry {
     },
     // Video perceptual near-dup pairs (round 14): originals ∪ planted
     // per-frame 18×16 integer-lattice resizes (the dHash floor identity
-    // applied frame-wise ⇒ vHash-invariant), banded identically.
+    // applied frame-wise ⇒ vHash-invariant). Round 16: banded at the
+    // VIDEO point — 3-of-8 combos (same 56-combo fan-out), hamming ≤ 5
+    // with exact pigeonhole completeness — the ham-≤3 radius measured
+    // 0.72 noise-pair recall (Multimodal.VhashIntact scaladoc).
     "q214_vhash_pairs" -> { (spark, dir) =>
       val vid = vhashAsciiVideo(spark, dir)
       val variants = Multimodal.resizeVideo(vid, 18, 16)
         .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
           org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
       Multimodal.phashPairs(
-          Multimodal.vhashFeatures(vid.unionAll(variants)), hashCol = "vhash")
+          Multimodal.vhashFeatures(vid.unionAll(variants)), hashCol = "vhash",
+          maxHamming = Multimodal.VhashMaxHamming, intact = Multimodal.VhashIntact)
         .orderBy("id_a", "id_b").limit(100)
     },
     // Perceptual similarity SEARCH (round 14): hamming top-k over the
@@ -4514,12 +4522,16 @@ object SparkEntry {
           phashBandingReplaySql),
       // round 14, q214: q212's hash duplicated at the variant offset
       // (the per-frame 18×16 integer-lattice resize is vHash-invariant),
-      // then the shared banding replay.
+      // then the shared banding replay AT THE VIDEO POINT (round 16:
+      // 3-of-8 combos, hamming ≤ 5 — Multimodal.VhashIntact, moved in
+      // lockstep with the entry).
       "q214_vhash_pairs" ->
         (s"WITH $vhashVidCte, " +
           s"ph0 AS (SELECT doc_id AS media_id, $vhashExprSql AS phash FROM vid), " +
           s"ph AS (SELECT media_id, phash FROM ph0 UNION ALL SELECT media_id + $PhashVariantOffset, phash FROM ph0), " +
-          phashBandingReplaySql),
+          phashBandingReplaySql("COUNT(*) OVER (PARTITION BY j, ckey)", "",
+            graft.operators.Multimodal.VhashIntact,
+            graft.operators.Multimodal.VhashMaxHamming)),
       // round 5: the merge replayed with a version-desc window (DuckDB's
       // spelling of keep-latest); versions are unique per key by
       // construction so both forms agree

@@ -758,16 +758,31 @@ object Multimodal {
     * longs, never pixels or blobs. Output: (id_a, id_b, hamming).
     * Verified end-to-end by the q210 DuckDB replay (dHash → banding →
     * cap → hamming, all integer arithmetic). */
+  /** The vhash family's banding point (round 16): 3-of-8 combos — the
+    * SAME C(8,3) = C(8,5) = 56-combo fan-out as the default point, with
+    * 24-bit keys and pigeonhole completeness for hamming ≤ 5. The video
+    * hash samples ONE pixel per lattice cell per ≤5 frames, so ±2 noise
+    * flips ~4–5 % of bits per pair — the ham-≤3 radius measured recall
+    * 0.72 (round-15 verdict #6); ham ≤ 5 at exact completeness measures
+    * 0.81/0.83 at the two gate SFs (BASELINE.md round-16 table; majority/
+    * median/trimmed per-frame statistics all measured at-or-below the
+    * summed-lattice hash, so the hash stays and the radius moves).
+    * Interpolated into the q214 DuckDB text — move BOTH together. */
+  val VhashIntact = 3
+  val VhashMaxHamming = 5
+
   def phashPairs(features: DataFrame, idCol: String = "media_id",
                  hashCol: String = "phash", maxHamming: Int = 3,
-                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
-    require(maxHamming <= TextDedup.SimhashChunks - TextDedup.SimhashIntact,
-      s"${TextDedup.SimhashChunks} chunks with ${TextDedup.SimhashIntact} intact only guarantee " +
-        s"hamming <= ${TextDedup.SimhashChunks - TextDedup.SimhashIntact}")
+                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                 intact: Int = TextDedup.SimhashIntact): DataFrame = {
+    require(maxHamming <= TextDedup.SimhashChunks - intact,
+      s"${TextDedup.SimhashChunks} chunks with $intact intact only guarantee " +
+        s"hamming <= ${TextDedup.SimhashChunks - intact}")
     val chunkBits = 64 / TextDedup.SimhashChunks
     val sigs = features.select(col(idCol), col(hashCol).cast("long").as("__sim"))
     TextDedup.simhashEmitPairs(
-      TextDedup.simhashComboKeys(sigs, chunkBits), chunkBits, maxHamming, maxBucketSize)
+      TextDedup.simhashComboKeys(sigs, chunkBits, intact), chunkBits, maxHamming,
+      maxBucketSize, intact)
   }
 
   /** Incremental perceptual near-dup: pairs between an EXISTING
@@ -784,15 +799,16 @@ object Multimodal {
                       idCol: String = "media_id", hashCol: String = "phash",
                       maxHamming: Int = 3,
                       maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
-                      combinedCap: Boolean = true): DataFrame = {
-    require(maxHamming <= TextDedup.SimhashChunks - TextDedup.SimhashIntact,
-      s"${TextDedup.SimhashChunks} chunks with ${TextDedup.SimhashIntact} intact only guarantee " +
-        s"hamming <= ${TextDedup.SimhashChunks - TextDedup.SimhashIntact}")
+                      combinedCap: Boolean = true,
+                      intact: Int = TextDedup.SimhashIntact): DataFrame = {
+    require(maxHamming <= TextDedup.SimhashChunks - intact,
+      s"${TextDedup.SimhashChunks} chunks with $intact intact only guarantee " +
+        s"hamming <= ${TextDedup.SimhashChunks - intact}")
     val chunkBits = 64 / TextDedup.SimhashChunks
     def keys(df: DataFrame) = TextDedup.simhashComboKeys(
-      df.select(col(idCol), col(hashCol).cast("long").as("__sim")), chunkBits)
+      df.select(col(idCol), col(hashCol).cast("long").as("__sim")), chunkBits, intact)
     TextDedup.simhashCrossEmitPairs(keys(existing), keys(incoming),
-      chunkBits, maxHamming, maxBucketSize, combinedCap)
+      chunkBits, maxHamming, maxBucketSize, combinedCap, intact)
   }
 
   /** Hamming TOP-K similarity search over a 64-bit perceptual-hash
@@ -884,10 +900,11 @@ object Multimodal {
     * DriftGuardSpec's margin probe for the q209/q210 fixture (cf.
     * `TextDedup.portableSimhashBucketSizes`). */
   def phashBucketSizes(features: DataFrame, idCol: String = "media_id",
-                       hashCol: String = "phash"): DataFrame =
+                       hashCol: String = "phash",
+                       intact: Int = TextDedup.SimhashIntact): DataFrame =
     TextDedup.simhashComboKeys(
         features.select(col(idCol), col(hashCol).cast("long").as("__sim")),
-        64 / TextDedup.SimhashChunks)
+        64 / TextDedup.SimhashChunks, intact)
       .groupBy(col("__combo").as("combo"), col("__ckey").as("ckey"))
       .agg(count(lit(1)).as("n"))
 

@@ -903,8 +903,17 @@ object TextDedup {
 
   /** All C(SimhashChunks, SimhashIntact) chunk-index subsets, in
     * deterministic lexicographic order (mirrored into the q83 text). */
-  def simhashCombos: Seq[Seq[Int]] =
-    (0 until SimhashChunks).combinations(SimhashIntact).map(_.toSeq).toSeq
+  def simhashCombos: Seq[Seq[Int]] = simhashCombosOf(SimhashIntact)
+
+  /** Combo subsets at an explicit intact count (round 16): the video
+    * perceptual family bands on 3-of-8 combos — SAME C(8,3) = C(8,5) =
+    * 56-combo fan-out as the text point, 24-bit keys, pigeonhole-complete
+    * for hamming ≤ 8 − intact = 5 (the vHash noise envelope needs the
+    * wider radius — BASELINE.md round-16 recall table). */
+  def simhashCombosOf(intact: Int): Seq[Seq[Int]] = {
+    require(intact >= 1 && intact <= SimhashChunks)
+    (0 until SimhashChunks).combinations(intact).map(_.toSeq).toSeq
+  }
 
   /** Minimal combo index whose chunk subset is fully inside the
     * intact-chunk mask, per 8-bit mask (−1 when fewer than SimhashIntact
@@ -917,8 +926,12 @@ object TextDedup {
     * text so the bucket cap's drop semantics stay aligned across engines
     * (a pair whose min-combo bucket is oversize is dropped in both, even
     * if another combo's bucket survived). */
-  def simhashMinComboByMask: Seq[Int] = {
-    val combos = simhashCombos
+  def simhashMinComboByMask: Seq[Int] = simhashMinComboByMaskOf(SimhashIntact)
+
+  /** [[simhashMinComboByMask]] at an explicit intact count (the vhash
+    * family's 3-of-8 point). */
+  def simhashMinComboByMaskOf(intact: Int): Seq[Int] = {
+    val combos = simhashCombosOf(intact)
     (0 until (1 << SimhashChunks)).map { m =>
       combos.indexWhere(cs => cs.forall(c => (m & (1 << c)) != 0))
     }
@@ -978,12 +991,13 @@ object TextDedup {
     * Combo key = the SimhashIntact chunk values packed into one long
     * (integer keys shuffle 4-8× narrower than strings; the q83/q210
     * DuckDB texts spell the identical arithmetic with a range lambda). */
-  private[graft] def simhashComboKeys(sigs: DataFrame, chunkBits: Int): DataFrame = {
+  private[graft] def simhashComboKeys(sigs: DataFrame, chunkBits: Int,
+                                      intact: Int = SimhashIntact): DataFrame = {
     val idCol = sigs.columns.filterNot(_.startsWith("__")).head
     val mask = (1L << chunkBits) - 1
     sigs.select(
       col(idCol), col("__sim"),
-      posexplode(array(simhashCombos.map { cs =>
+      posexplode(array(simhashCombosOf(intact).map { cs =>
         cs.zipWithIndex.map { case (c, i) =>
           shiftrightunsigned(col("__sim"), chunkBits * c).bitwiseAND(lit(mask)) * lit(1L << (chunkBits * i))
         }.reduce(_ + _)
@@ -1007,7 +1021,8 @@ object TextDedup {
     * stream is unique by construction, no distinct), exact-hamming
     * verification. `chunks` = (__combo, __ckey, id-col, __sim). */
   private[graft] def simhashEmitPairs(chunks: DataFrame, chunkBits: Int,
-                                          maxHamming: Int, maxBucketSize: Int): DataFrame = {
+                                          maxHamming: Int, maxBucketSize: Int,
+                                          intact: Int = SimhashIntact): DataFrame = {
     val idCol = chunks.columns.filterNot(c => c.startsWith("__")).head
     val mask = (1L << chunkBits) - 1
     val intactMask = (0 until SimhashChunks).map { c =>
@@ -1030,7 +1045,7 @@ object TextDedup {
         explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("b"))
       .withColumn("__xor", col("a.sim").bitwiseXOR(col("b.sim")))
       .filter(col("__combo") ===
-        element_at(typedLit(simhashMinComboByMask), intactMask + 1))
+        element_at(typedLit(simhashMinComboByMaskOf(intact)), intactMask + 1))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("bit_count(__xor)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -1058,7 +1073,8 @@ object TextDedup {
   private[graft] def simhashCrossEmitPairs(chunksOld: DataFrame, chunksNew: DataFrame,
                                            chunkBits: Int, maxHamming: Int,
                                            maxBucketSize: Int,
-                                           combinedCap: Boolean = true): DataFrame = {
+                                           combinedCap: Boolean = true,
+                                           intact: Int = SimhashIntact): DataFrame = {
     val idOld = chunksOld.columns.filterNot(_.startsWith("__")).head
     val idNew = chunksNew.columns.filterNot(_.startsWith("__")).head
     val mask = (1L << chunkBits) - 1
@@ -1083,7 +1099,7 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("__xor", col("__sa").bitwiseXOR(col("__sb")))
       .filter(col("__combo") ===
-        element_at(typedLit(simhashMinComboByMask), intactMask + 1))
+        element_at(typedLit(simhashMinComboByMaskOf(intact)), intactMask + 1))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(__xor)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -363,7 +363,8 @@ object DedupQuality {
       out
     }
     val video = recallOf(plantedVid, vidEnvelope,
-      ds => Multimodal.phashPairs(Multimodal.vhashFeatures(ds), hashCol = "vhash"))
+      ds => Multimodal.phashPairs(Multimodal.vhashFeatures(ds), hashCol = "vhash",
+        maxHamming = Multimodal.VhashMaxHamming, intact = Multimodal.VhashIntact))
     (audio, video)
   }
 

@@ -147,34 +147,38 @@ class AvHashSpec extends AnyFunSuite {
   }
 
   test("planted video resize pairs at hamming 0; inversion does not pair") {
+    // at the round-16 video banding point (3-of-8 combos, hamming <= 5)
     val (w, h, nf) = (13, 9, 4)
     def inverted(x: Int, y: Int, f: Int): Int = 255 - pix(31L)(x, y, f)
-    assert(ham(refVHash(w, h, nf, pix(31L)), refVHash(w, h, nf, inverted)) > 3)
+    assert(ham(refVHash(w, h, nf, pix(31L)), refVHash(w, h, nf, inverted)) >
+      Multimodal.VhashMaxHamming)
     val base = MediaRow(1L, "video", RealCodec.encodeAvi(w, h, nf, pix(31L)), "s")
     val rows = Seq(
       base,
       base.copy(media_id = 2L, content = RealCodec.resizeAvi(base.content, 18, 16)),
       MediaRow(3L, "video", RealCodec.encodeAvi(w, h, nf, inverted), "s"))
     val pairs = Multimodal.phashPairs(
-        Multimodal.vhashFeatures(spark.createDataset(rows)), hashCol = "vhash")
+        Multimodal.vhashFeatures(spark.createDataset(rows)), hashCol = "vhash",
+        maxHamming = Multimodal.VhashMaxHamming, intact = Multimodal.VhashIntact)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 0L)),
       s"expected exactly the planted resize pair at hamming 0, got $pairs")
   }
 
   test("ahash/vhash recall vs exact envelope/lattice truth holds the floors (DedupQuality receipt)") {
-    // r14 measured ahash 0.992 sf0.01 / 0.991 sf0.1 and vhash 0.719 /
-    // 0.721 on planted transcode/resize + ±2-noise variants; the vhash
-    // misses are noise pairs flipping low-gradient summed-lattice bits
-    // over few frames — the signature's documented fidelity limit (the
-    // phash 0.89 class), not a banding loss (machinery shared with the
-    // pigeonhole-complete q83/q210 band). Floors leave regen noise room
-    // while catching a codec/lattice regression.
+    // r14 measured ahash 0.992 sf0.01 / 0.991 sf0.1; vhash at the ham-≤3
+    // radius measured 0.72 (the ±2 noise flips ~4–5 % of single-pixel-
+    // sampled bits — a fidelity limit of the radius, not the hash:
+    // majority/median/trimmed per-frame statistics all measured at or
+    // below the sum form). Round 16 moves the video family to 3-of-8
+    // banding with hamming ≤ 5 at EXACT pigeonhole completeness —
+    // measured 0.811 sf0.01 / 0.832 sf0.1. Floors leave regen noise room
+    // while catching a codec/lattice/banding regression.
     val ((af, at, ar), (vf, vt, vr)) =
       graft.tools.DedupQuality.measureAvHash(spark, TestSpark.sf01)
     assert(at > 0 && vt > 0, "planted av-hash truth degenerated")
     assert(ar >= 0.9, f"ahash recall $af/$at = $ar%.3f < 0.9")
-    assert(vr >= 0.6, f"vhash recall $vf/$vt = $vr%.3f < 0.6")
+    assert(vr >= 0.75, f"vhash recall $vf/$vt = $vr%.3f < 0.75")
   }
 
   test("phashCrossPairs is modality-generic: audio cross pairs equal the symmetric restriction") {

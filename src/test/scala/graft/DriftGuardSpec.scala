@@ -183,18 +183,24 @@ class DriftGuardSpec extends AnyFunSuite {
       // flat/monotone envelopes hashing alike are this family's
       // boilerplate. r14 measured 0 dropped at every SF for both.
       val media = graft.operators.Multimodal.syntheticMedia(spark, d)
-      def overcap(feats: org.apache.spark.sql.DataFrame, hashCol: String): (Long, Long) = {
+      // each family audited at ITS shipped banding point (round 16:
+      // vhash bands on 3-of-8 combos — 24-bit keys, coarser buckets)
+      def overcap(feats: org.apache.spark.sql.DataFrame, hashCol: String,
+                  intact: Int): (Long, Long) = {
         val doubled = feats.unionAll(feats.select(
           col("media_id") + SparkEntry.PhashVariantOffset, col(hashCol)))
-        val agg = graft.operators.Multimodal.phashBucketSizes(doubled, hashCol = hashCol)
+        val agg = graft.operators.Multimodal.phashBucketSizes(doubled,
+            hashCol = hashCol, intact = intact)
           .agg(sum(when(col("n") > Cap, col("n")).otherwise(lit(0L))).as("dropped"),
             sum("n").as("tot")).head()
         (agg.getLong(0), agg.getLong(1))
       }
-      val (ad, at) = overcap(graft.operators.Multimodal.ahashFeatures(media), "ahash")
+      val (ad, at) = overcap(graft.operators.Multimodal.ahashFeatures(media), "ahash",
+        graft.operators.TextDedup.SimhashIntact)
       assert(ad * 2 <= at,
         s"$d: $ad/$at of ahash combo-bucket weight is over-cap — the audio corpus collapsed to one perceptual cluster")
-      val (vd, vt) = overcap(graft.operators.Multimodal.vhashFeatures(media), "vhash")
+      val (vd, vt) = overcap(graft.operators.Multimodal.vhashFeatures(media), "vhash",
+        graft.operators.Multimodal.VhashIntact)
       assert(vd * 2 <= vt,
         s"$d: $vd/$vt of vhash combo-bucket weight is over-cap — the video corpus collapsed to one perceptual cluster")
     }
