@@ -507,20 +507,22 @@ object Similarity {
 
   /** One integer bucket id per table from the ±1 hyperplane sign bits of
     * a quantized frame's __qv column. */
-  private def portableBucketCols(planes: Seq[Seq[Array[Long]]]): Seq[Column] =
-    planes.map { tbl =>
-      tbl.zipWithIndex.map { case (p, b) =>
-        when(intDot(col("__qv"), typedLit(p.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-
   /** (table, bucket) key stream of the portable embedding-LSH bucketing —
     * the EXACT keys `portableEmbedPairs` pairs on, factored out so the
-    * occupancy audit below and the pair generator can never drift. */
+    * occupancy audit below and the pair generator can never drift.
+    * Round 16: the signature is ONE native expression
+    * (graft.functions.PortableBuckets — the constant plane matrix loops
+    * inside compiled code) instead of tables × bits inlined
+    * `when(intDot ≥ 0)` sums: the composed form's generated method
+    * outgrew janino's 64 KB limit at the 100× rule point (bits 13 ×
+    * tables 36), dropping the whole signature pass out of whole-stage
+    * codegen exactly where it matters. Value-identical, incl. the
+    * null/length-mismatch → key-0 edge (NativeExprPropSpec pins it). */
   private[graft] def portableBucketKeys(q: DataFrame, idCol: String,
                                  planes: Seq[Seq[Array[Long]]]): DataFrame =
     q.select(col(idCol),
-      posexplode(array(portableBucketCols(planes): _*)).as(Seq("__t", "__bkt")))
+      posexplode(graft.functions.PortableBuckets.column(col("__qv"), planes))
+        .as(Seq("__t", "__bkt")))
 
   /** Occupancy-ADAPTIVE sizing — the clustered-corpus guard the
     * size-only rule lacks (round-11 verdict: `recommendedBits` keys on
@@ -833,19 +835,27 @@ object Similarity {
     * for surviving pairs only. Pair set equals `portableEmbedPairs` on
     * the concatenated corpus restricted to cross pairs (the q125 oracle).
     * Output: (id_a ∈ existing, id_b ∈ incoming, score BIGINT). */
+  /** `combinedRowsHint` ≥ 0 and ≤ `broadcastVerifyMaxRows(dim)` routes
+    * the verify through the fused broadcast lookup over ONE map of both
+    * sides (the q84 broadcast-regime shape, round 16): candidates stay
+    * raw (dedup commutes to the survivor set) and no payload-carrying
+    * join or global pre-verify distinct forms — the branch the sharded
+    * operator's cross jobs need to stay inside the per-job memory
+    * envelope. Pair set identical either way (CrossRegimeSpec pins it). */
   def portableCrossEmbedPairs(existing: DataFrame, incoming: DataFrame,
                               idCol: String, vecCol: String,
                               minScore: Long, tables: Int = 8, bits: Int = 6,
                               dim: Int = 64, seed: Long = 11L,
                               scale: Int = 10000,
                               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
-                              probes: Int = 0): DataFrame = {
+                              probes: Int = 0,
+                              combinedRowsHint: Long = -1L): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
     val qOld = portableQuantized(existing, idCol, vecCol, scale)
     val qNew = portableQuantized(incoming, idCol, vecCol, scale)
     val bOld = portableBucketKeys(qOld, idCol, planes)
     val bNew = portableBucketKeys(qNew, idCol, planes)
-    val cands =
+    val candsRaw =
       if (probes <= 0) {
         val eligible = bOld.groupBy("__t", "__bkt").agg(count(lit(1)).as("__no"))
           .join(bNew.groupBy("__t", "__bkt").agg(count(lit(1)).as("__nn")), Seq("__t", "__bkt"))
@@ -855,7 +865,6 @@ object Similarity {
           .select(col("__t"), col("__bkt"), col(idCol).as("id_a"))
           .join(bNew.select(col("__t"), col("__bkt"), col(idCol).as("id_b")), Seq("__t", "__bkt"))
           .select("id_a", "id_b")
-          .distinct()
       } else {
         // Multi-probe cross form — pair-set-equal BY CONSTRUCTION to the
         // probed symmetric pipeline on the concatenated corpus restricted
@@ -878,13 +887,94 @@ object Similarity {
           .select(col("__t"), col("__bkt"), col(idCol).as("id_b"))
         prNew.join(okOld, Seq("__t", "__bkt")).select("id_a", "id_b")
           .unionAll(prOld.join(okNew, Seq("__t", "__bkt")).select("id_a", "id_b"))
-          .distinct()
       }
-    cands
-      .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
-      .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
-      .filter(col("score") >= minScore)
+    // dedup commutes with exact verification (the q84 two-regime rule),
+    // so both branches return the identical pair SET: the default
+    // dedups candidates first (minimizes the payload-join intermediate);
+    // the hinted branch verifies raw candidates map-side through ONE
+    // combined broadcast map and dedups the (tiny) survivor set.
+    if (combinedRowsHint >= 0 && combinedRowsHint <= broadcastVerifyMaxRows(dim)) {
+      val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      qOld.select(col(idCol), col("__qv")).toLocalIterator().forEachRemaining { r =>
+        m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+      }
+      qNew.select(col(idCol), col("__qv")).toLocalIterator().forEachRemaining { r =>
+        m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+      }
+      val bc = Broadcasts.track(existing.sparkSession.sparkContext.broadcast(m))
+      candsRaw
+        .select(col("id_a"), col("id_b"),
+          graft.functions.IntDotLookup.column(col("id_a"), col("id_b"), bc).as("score"))
+        .filter(col("score") >= minScore)
+        .distinct()
+    } else
+      candsRaw.distinct()
+        .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
+        .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
+        .filter(col("score") >= minScore)
+  }
+
+  /** SHARD-FIRST portable embedding near-dup (round 16, verdict #3 —
+    * the documented 100-TB policy as code): past
+    * `broadcastVerifyMaxRows` the monolithic shuffle regime's
+    * distinct-first plan pays one global exchange of the ~n^1.79 raw
+    * candidate stream (measured: 1.85B raw rows at 200k vectors). This
+    * operator decomposes the SAME pair set into bounded-memory
+    * broadcast-regime jobs: the corpus splits into S = ⌈n/shardRows⌉
+    * hash-shards (deterministic xxhash64 of the id), every shard runs
+    * the symmetric pipeline on itself and the cross pipeline against
+    * each later shard, and the union is returned — a pair (a, b) lands
+    * in EXACTLY the (shard(a), shard(b)) job, so coverage is exact and
+    * no global candidate exchange or global distinct ever forms.
+    *
+    * Cost shape: S(S+1)/2 independent jobs (embarrassingly parallel on
+    * a cluster), each bounded by two shards' broadcast envelope; each
+    * shard's signatures are re-derived ~S times — at the S where that
+    * dominates, a deployment persists the signature table once
+    * (PLANS.md) and the jobs re-read keys only. Candidate volume is the
+    * LSH law's, merely partitioned.
+    *
+    * Cap semantics (the one delta vs the monolithic operator,
+    * documented honestly): the bucket-size cap fires on PER-JOB
+    * occupancy, so a bucket globally over cap can stay under it inside
+    * every job — the sharded form then emits EXTRA exact-verified true
+    * pairs the monolithic cap dropped. Recall is one-sided UP; on
+    * corpora whose occupancy sits under the cap (DriftGuard pins the
+    * gate fixtures there) the pair set is IDENTICAL — ShardedPairsSpec
+    * asserts exact set equality at a forced S=3. */
+  def shardedEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        minScore: Long, tables: Int = 8, bits: Int = 6,
+                        dim: Int = 64, seed: Long = 11L, scale: Int = 10000,
+                        maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                        probes: Int = 0,
+                        shardRows: Long = -1L): DataFrame = {
+    // shard at HALF the broadcast bound: a cross job's combined map
+    // (both shards) then fits the same per-job memory envelope as the
+    // monolithic broadcast regime's single map
+    val bound = if (shardRows > 0) shardRows else broadcastVerifyMaxRows(dim) / 2
+    val n = corpus.count()
+    if (n <= broadcastVerifyMaxRows(dim) && shardRows <= 0)
+      return portableEmbedPairs(corpus, idCol, vecCol, minScore, tables, bits,
+        dim, seed, scale, maxBucketSize, probes, corpusRowsHint = n)
+    val s = math.max(1, math.ceil(n.toDouble / bound).toInt)
+    if (s == 1)
+      return portableEmbedPairs(corpus, idCol, vecCol, minScore, tables, bits,
+        dim, seed, scale, maxBucketSize, probes, corpusRowsHint = n)
+    val shards = (0 until s).map(i =>
+      corpus.filter(pmod(xxhash64(col(idCol)), lit(s)) === i))
+    val within = shards.map(sh =>
+      portableEmbedPairs(sh, idCol, vecCol, minScore, tables, bits,
+        dim, seed, scale, maxBucketSize, probes, corpusRowsHint = bound))
+    val cross = for (i <- 0 until s; j <- (i + 1) until s) yield
+      portableCrossEmbedPairs(shards(i), shards(j), idCol, vecCol, minScore,
+          tables, bits, dim, seed, scale, maxBucketSize, probes,
+          combinedRowsHint = 2 * bound)
+        // the cross form's (existing, incoming) orientation is shard
+        // order, not id order — normalize to the symmetric contract
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("score"))
+    (within ++ cross).reduce(_ unionAll _)
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature

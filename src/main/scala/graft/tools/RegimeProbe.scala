@@ -1,0 +1,147 @@
+package graft.tools
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-16 receipts for the embedding-LSH verification regimes at the
+  * 100× corpus (200k vectors — exactly `BroadcastVerifyMaxRows` at
+  * dim 64), dev tool backing BASELINE.md:
+  *
+  *  1. DRIVER-HEAP envelope of the broadcast regime at the doubled
+  *     bound (round-15 verdict #2): the whole q84 entry runs under a
+  *     BOUNDED -Xmx (set SPARK_DRIVER_MEM before launching) and the
+  *     probe reports the JVM heap-pool PEAKS across the run — the map
+  *     build (toLocalIterator, round 16) + broadcast transient included.
+  *  2. SHUFFLE regime at 100× (round-15 verdict #3 — the one unmeasured
+  *     scale cell): the same corpus forced past the bound (no row hint)
+  *     with the r14-wired `dedupPartitionsFor` sizing; prints the
+  *     keys-only estimate and the chosen partition count alongside the
+  *     wall.
+  *
+  * Usage: runMain graft.tools.RegimeProbe [factor] [dir] [stages]
+  *   stages ⊆ {build, broadcast, shuffle} (default all three).
+  * Env: SPARK_GRAFT_SF_DIR (source, default sf0.1), SPARK_GRAFT_CPUS,
+  *      SPARK_DRIVER_MEM (the -Xmx bound under test, via build.sbt). */
+object RegimeProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 100
+    val dir = if (args.length > 1) args(1) else s"/tmp/graft_scale${factor}x"
+    val stages = if (args.length > 2) args(2).split(',').toSet
+                 else Set("build", "map", "broadcast", "shuffle")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"[regime] -Xmx=${Runtime.getRuntime.maxMemory() / (1 << 20)} MB " +
+      s"cpus=$cpus factor=$factor dir=$dir")
+
+    if (stages("build")) {
+      // embeddings-only replication (the ScaleTenX rotation fixture —
+      // one spelling, docs not needed for the q84 family)
+      val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val dim = embs.select(max(size(col("embedding")))).head().getInt(0)
+      (0 until factor).map { r =>
+        val rot = r % dim
+        if (rot == 0) embs.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+        else embs
+          .withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), rot + 1, dim - rot), slice(col("embedding"), 1, rot)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val bits = Similarity.recommendedBits(n, 32)
+    val tables = Similarity.recommendedTablesProbed(bits)
+    println(s"[regime] n=$n bits=$bits tables=$tables probes=$bits " +
+      s"broadcastBound=${Similarity.broadcastVerifyMaxRows(64)}")
+
+    def heapPools() = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asInstanceOf[java.util.List[java.lang.management.MemoryPoolMXBean]]
+    def resetPeaks(): Unit = heapPools().forEach(p =>
+      if (p.getType == java.lang.management.MemoryType.HEAP) p.resetPeakUsage())
+    def peakMb(): Long = {
+      var t = 0L
+      heapPools().forEach(p =>
+        if (p.getType == java.lang.management.MemoryType.HEAP) t += p.getPeakUsage.getUsed)
+      t / (1 << 20)
+    }
+    def heapUsedMb(): Long = {
+      val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      m.getUsed / (1 << 20)
+    }
+    def run(label: String, hint: Long): Unit = {
+      System.gc()
+      resetPeaks()
+      val t0 = System.nanoTime()
+      val found = Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
+        minScore = graft.SparkEntry.EmbedMinScore,
+        tables = tables, bits = bits, probes = bits,
+        corpusRowsHint = hint).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[regime] $label: $sec%.1f s, $found pairs, heap-pool peak ${peakMb()} MB")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.operators.Broadcasts.destroyAll()
+    }
+    if (stages("map")) {
+      // ISOLATED driver-side envelope of the broadcast-regime lookup
+      // build (the round-15 advice's transient-double-copy question):
+      // quantized frame → toLocalIterator → HashMap → broadcast, heap
+      // deltas reported at each step. In local mode the full-entry run
+      // below conflates executor task memory into the same heap; this
+      // stage is the driver-only number a cluster driver would pay.
+      System.gc(); resetPeaks()
+      val before = heapUsedMb()
+      val q = Similarity.portableQuantized(emb, "vec_id", "embedding", 10000)
+        .select(col("vec_id"), col("__qv"))
+      val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      q.toLocalIterator().forEachRemaining { r =>
+        m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+      }
+      System.gc()
+      val afterMap = heapUsedMb()
+      val bc = spark.sparkContext.broadcast(m)
+      bc.value // materialize the local block
+      System.gc()
+      val afterBc = heapUsedMb()
+      println(s"[regime] map stage: rows=${m.size} heap before=$before MB " +
+        s"after-map=$afterMap MB after-broadcast=$afterBc MB " +
+        s"pool-peak=${peakMb()} MB (map ≈ ${afterMap - before} MB, " +
+        s"broadcast block ≈ ${afterBc - afterMap} MB)")
+      bc.destroy()
+    }
+    if (stages("broadcast")) run("broadcast regime (hint=n, heap-metered)", n)
+    if (stages("sharded")) {
+      // the shard-first operator at the first past-bound point: forced
+      // S=2 at exactly the bound (what a corpus of 2×bound rows runs)
+      System.gc(); resetPeaks()
+      val t0 = System.nanoTime()
+      val found = Similarity.shardedEmbedPairs(emb, "vec_id", "embedding",
+        minScore = graft.SparkEntry.EmbedMinScore,
+        tables = tables, bits = bits, probes = bits,
+        shardRows = n / 2).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[regime] sharded (forced S=2): $sec%.1f s, $found pairs, heap-pool peak ${peakMb()} MB")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.operators.Broadcasts.destroyAll()
+    }
+    if (stages("shuffle")) {
+      // print the sizing decision the shuffle path will make (same code)
+      val planes = Similarity.portableHyperplanes(64, tables, bits)
+      val q = Similarity.portableQuantized(emb, "vec_id", "embedding", 10000)
+      val keys = Similarity.portableBucketKeys(q, "vec_id", planes)
+      val est = Similarity.estimatedRawCandidates(keys, bits,
+        graft.operators.TextDedup.DefaultMaxBucketSize)
+      val parts = Similarity.dedupPartitionsFor(est, cpus.toInt)
+      println(s"[regime] shuffle sizing: estRaw=$est -> $parts dedup partitions")
+      run("shuffle regime (forced, no hint)", -1L)
+    }
+    spark.stop()
+  }
+}

@@ -64,6 +64,34 @@ class NativeExprPropSpec extends AnyFunSuite {
     }, "int_dot")
   }
 
+  test("portable_buckets agrees with the composed when(intDot>=0) form (incl. mismatch edge)") {
+    import graft.operators.Similarity
+    graft.functions.IntDot.register(spark)
+    // random small operating points + random vectors, INCLUDING wrong-
+    // length vectors (the composed form's intDot-null → key-0 edge)
+    val pointGen = for {
+      tables <- Gen.choose(1, 5); bits <- Gen.choose(1, 8)
+      seed <- Gen.choose(1L, 99L)
+    } yield (tables, bits, seed)
+    val vecGen = Gen.oneOf(Gen.const(8), Gen.const(7), Gen.const(0))
+      .flatMap(n => Gen.listOfN(n, Gen.choose(-10000L, 10000L)))
+    check(forAll(pointGen, vecGen) { case ((tables, bits, seed), v) =>
+      val dim = 8
+      val planes = Similarity.portableHyperplanes(dim, tables, bits, seed)
+      val df = Seq(Tuple1(v)).toDF("__qv")
+      val composed = df.select(array(planes.map { tbl =>
+        tbl.zipWithIndex.map { case (p, b) =>
+          when(Similarity.intDot(col("__qv"), typedLit(p.toSeq)) >= 0, lit(1L << b))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*).as("k")).as[Seq[Long]].head()
+      val native = df.select(
+        graft.functions.PortableBuckets.column(col("__qv"), planes).as("k"))
+        .as[Seq[Long]].head()
+      composed == native
+    }, "portable_buckets")
+  }
+
   test("int_dot_lookup agrees with int_dot over the broadcast frame (incl. codegen path)") {
     // the round-15 fused verify primitive: for ids resolved through the
     // broadcast map, int_dot_lookup(a, b) must equal int_dot of the

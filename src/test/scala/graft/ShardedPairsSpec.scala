@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 shard-first operator (verdict #3): the blocked decomposition
+  * of the portable embedding near-dup into bounded broadcast-regime jobs
+  * must reproduce the monolithic operator's pair set EXACTLY on a
+  * fixture whose bucket occupancy sits under the cap (DriftGuard pins
+  * the gate fixtures there — the cap is the one documented delta). */
+class ShardedPairsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def found(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("shardedEmbedPairs at forced S=3 equals the monolithic operator (multi-probe point)") {
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val mono = found(Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 2, bits = 6, probes = 6,
+      corpusRowsHint = emb.count()))
+    val sharded = found(Similarity.shardedEmbedPairs(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 2, bits = 6, probes = 6,
+      shardRows = emb.count() / 3 + 1))
+    assert(mono.nonEmpty, "fixture degenerated: no pairs")
+    assert(sharded == mono,
+      s"sharded != monolithic: only-sharded=${(sharded -- mono).take(3)}, " +
+        s"only-mono=${(mono -- sharded).take(3)}")
+  }
+
+  test("cross pair set is verify-regime-invariant (combined-map broadcast vs payload joins)") {
+    // the q125 shape at both verify regimes: dedup-before vs dedup-after
+    // exact verification commutes, so the hinted (fused combined-map)
+    // branch must return the identical (id_a, id_b, score) SET
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val split = 250L
+    val old = emb.filter(org.apache.spark.sql.functions.col("vec_id") < split)
+    val inc = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= split)
+    def cross(hint: Long) = found(Similarity.portableCrossEmbedPairs(
+      old, inc, "vec_id", "embedding", minScore = SparkEntry.EmbedMinScore,
+      tables = 2, bits = 6, probes = 6, combinedRowsHint = hint))
+    val joins = cross(-1L)
+    val fused = cross(emb.count())
+    assert(joins.nonEmpty, "cross fixture degenerated: no pairs")
+    assert(fused == joins,
+      s"regimes diverged: only-fused=${(fused -- joins).take(3)}, only-joins=${(joins -- fused).take(3)}")
+  }
+
+  test("shardedEmbedPairs at S=1 short-circuits to the monolithic operator (home-only point)") {
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val mono = found(Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 4, bits = 6))
+    val one = found(Similarity.shardedEmbedPairs(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 4, bits = 6))
+    assert(one == mono)
+  }
+}
