@@ -148,16 +148,23 @@ object Similarity {
     Seq.fill(numTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rng.nextGaussian())))
   }
 
-  /** Bucket id of `vec` in one table: Σ (dot(vec, plane_b) >= 0) << b. */
+  /** Bucket id of `vec` in one table: Σ (dot(vec, plane_b) >= 0) << b —
+    * the composed REFERENCE form (HOF dot per plane); hot paths go
+    * through [[allBuckets]]'s native expression, whose sign decisions
+    * NativeExprPropSpec pins against this spelling. */
   def bucketFor(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
       when(dot(vec, typedLit(p.toSeq)) >= 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** (table, bucket) pairs for a vector across all tables, as array<long>
-    * indexed by table. */
+    * indexed by table. Round 16: ONE native expression
+    * (graft.functions.GaussianBuckets) — the composed per-plane HOF form
+    * allocated two arrays per plane per row (measured 4.26 s vs 0.32 s
+    * against the portable twin at the self-sized q45 point) and
+    * outgrows the 64 KB codegen method limit at wide rule points. */
   def allBuckets(vec: Column, planes: Seq[Seq[Array[Double]]]): Column =
-    array(planes.map(bucketFor(vec, _)): _*)
+    graft.functions.GaussianBuckets.column(vec, planes)
 
   /** Exact cosine top-k of `corpus` for each row of `queries`.
     * Output: (query_id, vec_id, sim, rank), rank 1..k per query. */

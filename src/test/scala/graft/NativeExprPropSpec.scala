@@ -92,6 +92,31 @@ class NativeExprPropSpec extends AnyFunSuite {
     }, "portable_buckets")
   }
 
+  test("gaussian_buckets agrees with the composed HOF bucketFor (float and double, incl. edges)") {
+    import graft.operators.Similarity
+    val pointGen = for {
+      tables <- Gen.choose(1, 4); bits <- Gen.choose(1, 6)
+      seed <- Gen.choose(1L, 99L)
+    } yield (tables, bits, seed)
+    val vecGen = Gen.oneOf(Gen.const(8), Gen.const(7), Gen.const(0))
+      .flatMap(n => Gen.listOfN(n, Gen.choose(-5.0, 5.0)))
+    check(forAll(pointGen, vecGen, Gen.oneOf(true, false)) {
+      case ((tables, bits, seed), v, asFloat) =>
+        val dim = 8
+        val planes = Similarity.hyperplanes(dim, tables, bits, seed)
+        val df =
+          if (asFloat) Seq(Tuple1(v.map(_.toFloat))).toDF("__v")
+          else Seq(Tuple1(v)).toDF("__v")
+        val composed = df.select(array(planes.map(
+            Similarity.bucketFor(col("__v"), _)): _*).as("k"))
+          .as[Seq[Long]].head()
+        val native = df.select(
+          graft.functions.GaussianBuckets.column(col("__v"), planes).as("k"))
+          .as[Seq[Long]].head()
+        composed == native
+    }, "gaussian_buckets")
+  }
+
   test("int_dot_lookup agrees with int_dot over the broadcast frame (incl. codegen path)") {
     // the round-15 fused verify primitive: for ids resolved through the
     // broadcast map, int_dot_lookup(a, b) must equal int_dot of the
