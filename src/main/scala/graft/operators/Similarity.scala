@@ -197,7 +197,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, numTables: Int = 4, bitsPerTable: Int = 8,
-              dim: Int = 64, seed: Long = 42L, probes: Int = 0): DataFrame = {
+              dim: Int = 64, seed: Long = 42L, probes: Int = 0,
+              maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     require(probes <= bitsPerTable,
       s"probes ($probes) beyond the $bitsPerTable-bit signature flip bits no bucket key carries")
     val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
@@ -206,10 +207,18 @@ object Similarity {
     // discipline of embeddingNearDupPairs). The query side is small by
     // contract → broadcast at both the bucket join and the re-rank join,
     // so the corpus never shuffles; only candidate ids do.
+    // Round 16: corpus-side posting lists are CAPPED per (table, bucket)
+    // — the phashTopK discipline: a degenerate bucket (near-identical
+    // vectors keying together) otherwise multiplies EVERY query probing
+    // it; its members remain reachable through their other tables.
     def withBuckets(df: DataFrame, id: String, vec: String, aId: String) =
       df.select(col(id).as(aId),
           posexplode(allBuckets(col(vec), planes)).as(Seq("__table", "__bucket")))
-    val c = withBuckets(corpus, idCol, vecCol, "vec_id")
+    val cAll = withBuckets(corpus, idCol, vecCol, "vec_id")
+    val eligible = cAll.groupBy("__table", "__bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select("__table", "__bucket")
+    val c = cAll.join(eligible, Seq("__table", "__bucket"))
     val qHome = withBuckets(queries, queryIdCol, queryVecCol, "query_id")
     val q =
       if (probes <= 0) qHome
@@ -387,9 +396,10 @@ object Similarity {
                  queries: DataFrame, queryIdCol: String, queryVecCol: String,
                  k: Int, numTables: Int = 4, bitsPerTable: Int = 4,
                  dim: Int = 64, seed: Long = 11L, probes: Int = 4,
-                 scale: Int = 10000): DataFrame = {
+                 scale: Int = 10000,
+                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val (cq, cKeys) = lshAnnIndex(corpus, idCol, vecCol, numTables,
-      bitsPerTable, dim, seed, scale)
+      bitsPerTable, dim, seed, scale, maxBucketSize)
     lshTopKIntAgainstIndex(cq, cKeys, queries, queryIdCol, queryVecCol,
       k, numTables, bitsPerTable, dim, seed, probes, scale)
   }
@@ -403,11 +413,21 @@ object Similarity {
   def lshAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
                   numTables: Int = 4, bitsPerTable: Int = 4,
                   dim: Int = 64, seed: Long = 11L,
-                  scale: Int = 10000): (DataFrame, DataFrame) = {
+                  scale: Int = 10000,
+                  maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): (DataFrame, DataFrame) = {
     val planes = portableHyperplanes(dim, numTables, bitsPerTable, seed)
     val cq = portableQuantized(corpus, idCol, vecCol, scale)
       .select(col(idCol).as("vec_id"), col("__qv"))
-    (cq, portableBucketKeys(cq, "vec_id", planes))
+    // capped at BUILD time (round 16 — the phashTopK posting-list
+    // discipline): an over-cap bucket's keys never enter the index, so
+    // no query can fan out on a degenerate cluster; its members stay
+    // reachable through their other tables. Mirrored in the q220/q222
+    // DuckDB texts so drops agree cross-engine when the cap fires.
+    val keys = portableBucketKeys(cq, "vec_id", planes)
+    val eligible = keys.groupBy("__t", "__bkt")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select("__t", "__bkt")
+    (cq, keys.join(eligible, Seq("__t", "__bkt")))
   }
 
   /** Query-side top-k against a prebuilt [[lshAnnIndex]]: query

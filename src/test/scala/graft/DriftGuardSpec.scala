@@ -86,6 +86,27 @@ class DriftGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN search-index posting lists under cap with margin at the rule point (q45/q220/q222)") {
+    // round 16: lshAnnIndex caps corpus posting lists per (t, bkt) at
+    // build time (the phashTopK discipline, mirrored in the q220/q222
+    // texts). At the SELF-SIZED search point (occupancy target 8) the
+    // cap must sit far away on real data — a regen that clusters the
+    // vectors would silently shrink the reachable index.
+    dirs.foreach { d =>
+      val emb = Tables.table(spark, d, "embeddings")
+      val (t, b, _) = Similarity.recommendedSearchPoint(emb.count())
+      val planes = Similarity.portableHyperplanes(64, t, b, 11L)
+      val mx = Similarity.portableBucketKeys(
+          Similarity.portableQuantized(emb, "vec_id", "embedding", 10000)
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("__qv")), "vec_id", planes)
+        .groupBy("__t", "__bkt").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      assert(mx <= Cap / 2,
+        s"$d: max search posting list $mx > cap/2=${Cap / 2} at rule point ($t, $b) — the capped index would drop reachable neighbors silently")
+    }
+  }
+
   test("minhash band occupancy under cap with margin (q82/q124/q126)") {
     dirs.foreach { d =>
       val docs = Tables.table(spark, d, "documents")
