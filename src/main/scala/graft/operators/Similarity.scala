@@ -1006,7 +1006,16 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
     * collision in any table) verified by exact cosine ≥ threshold.
-    * Output: (id_a, id_b, sim), id_a < id_b. */
+    * Output: (id_a, id_b, sim), id_a < id_b.
+    *
+    * Scale contract: past `broadcastVerifyMaxRows` this float form keeps
+    * the distinct-first shuffle shape — at corpus sizes where that plan's
+    * candidate exchange exceeds the cluster's shuffle budget (measured as
+    * a DISK cliff at 200k×dim-64, BASELINE.md round 16), deploy through
+    * [[shardedEmbedPairs]] on the quantized representation instead: the
+    * blocked decomposition is the shipped past-bound path, and quantized
+    * verification at the 10⁴ scale is the production representation the
+    * oracle family already proves (q84 ≡ q43's pair structure). */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, numTables: Int = 4,
                             bitsPerTable: Int = 8, dim: Int = 64,
@@ -1283,7 +1292,19 @@ object Similarity {
     * nlist near the 4096 clamp prefer the batch `semAssignTo`
     * broadcast-join form; SemDedupSpec pins streaming ≡ batch at
     * nlist = 64 on top of the small-nlist cases. */
-  def semAssignExpr(vec: Column, cents: Seq[(Long, Seq[Long])]): Column = {
+  def semAssignExpr(vec: Column, cents: Seq[(Long, Seq[Long])]): Column =
+    // round 16: ONE native expression over the baked centroid matrix —
+    // the composed array_max over nlist inlined intDot structs outgrows
+    // the 64 KB codegen method limit once semNlistFor's n/125 rule
+    // passes a few hundred centroids (the portableBucketCols failure
+    // class); value-identical for non-null vectors incl. the
+    // length-mismatch edge (NativeExprPropSpec pins it vs the composed
+    // reference below)
+    graft.functions.ArgmaxIntDot.column(vec, cents)
+
+  /** The composed array_max spelling — kept as the cross-check
+    * reference for [[semAssignExpr]]'s native expression. */
+  private[graft] def semAssignExprComposed(vec: Column, cents: Seq[(Long, Seq[Long])]): Column = {
     require(cents.nonEmpty, "semAssignExpr needs at least one centroid")
     val entries = cents.map { case (cid, cv) =>
       struct(intDot(vec, typedlit(cv)).as("s"), lit(-cid).as("negcid"))

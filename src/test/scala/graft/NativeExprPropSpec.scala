@@ -117,6 +117,27 @@ class NativeExprPropSpec extends AnyFunSuite {
     }, "gaussian_buckets")
   }
 
+  test("argmax_int_dot agrees with the composed array_max assignment (incl. mismatch edge)") {
+    import graft.operators.Similarity
+    graft.functions.IntDot.register(spark)
+    val centGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 50L), Gen.listOfN(8, Gen.choose(-100L, 100L)))))
+    val vecGen = Gen.oneOf(Gen.const(8), Gen.const(7))
+      .flatMap(n => Gen.listOfN(n, Gen.choose(-100L, 100L)))
+    check(forAll(centGen, vecGen) { (centsRaw, v) =>
+      // distinct cids (duplicate centroid ids can't occur — collectCentroids
+      // reads a grouped frame) — dedup keeps the generator honest
+      val cents = centsRaw.distinctBy(_._1).map { case (c, cv) => (c, cv: Seq[Long]) }
+      val df = Seq(Tuple1(v)).toDF("__v")
+      def read(c: org.apache.spark.sql.Column) = {
+        val r = df.select(c.as("a")).select(col("a.cid"), col("a.s")).head()
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }
+      read(Similarity.semAssignExpr(col("__v"), cents)) ==
+        read(Similarity.semAssignExprComposed(col("__v"), cents))
+    }, "argmax_int_dot")
+  }
+
   test("int_dot_lookup agrees with int_dot over the broadcast frame (incl. codegen path)") {
     // the round-15 fused verify primitive: for ids resolved through the
     // broadcast map, int_dot_lookup(a, b) must equal int_dot of the
