@@ -117,20 +117,24 @@ object RegimeProbe {
       bc.destroy()
     }
     if (stages("broadcast")) run("broadcast regime (hint=n, heap-metered)", n)
-    if (stages("sharded")) {
-      // the shard-first operator at the first past-bound point: forced
-      // S=2 at exactly the bound (what a corpus of 2×bound rows runs)
+    def runSharded(label: String, rows: Long): Unit = {
       System.gc(); resetPeaks()
       val t0 = System.nanoTime()
       val found = Similarity.shardedEmbedPairs(emb, "vec_id", "embedding",
         minScore = graft.SparkEntry.EmbedMinScore,
         tables = tables, bits = bits, probes = bits,
-        shardRows = n / 2).count()
+        shardRows = rows).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[regime] sharded (forced S=2): $sec%.1f s, $found pairs, heap-pool peak ${peakMb()} MB")
+      println(f"[regime] $label: $sec%.1f s, $found pairs, heap-pool peak ${peakMb()} MB")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       graft.operators.Broadcasts.destroyAll()
     }
+    // the shard-first operator at the first past-bound point: forced
+    // S=2 at exactly the bound (what a corpus of 2×bound rows runs)
+    if (stages("sharded")) runSharded("sharded (forced S=2)", n / 2)
+    // default sizing (bound/2 shards — what a past-bound caller runs)
+    if (stages("sharded-auto")) runSharded(
+      s"sharded (auto, S=${math.ceil(n / (Similarity.broadcastVerifyMaxRows(64) / 2.0)).toInt})", -1L)
     if (stages("shuffle")) {
       // print the sizing decision the shuffle path will make (same code)
       val planes = Similarity.portableHyperplanes(64, tables, bits)
