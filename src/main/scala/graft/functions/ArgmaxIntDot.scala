@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   * embeddings are non-null by fixture contract (DriftGuard pins it),
   * and null-in → null-out is the saner consumer contract. */
 case class ArgmaxIntDot(child: Expression, cids: Array[Long],
-                        matrix: Array[Long], n: Int, dim: Int)
+                        matrix: Array[Int], n: Int, dim: Int)
   extends UnaryExpression {
 
   require(n > 0 && cids.length == n && matrix.length == n * dim,
@@ -46,7 +46,7 @@ case class ArgmaxIntDot(child: Expression, cids: Array[Long],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cidsRef = ctx.addReferenceObj("argmaxCids", cids, "long[]")
-    val matRef = ctx.addReferenceObj("argmaxMatrix", matrix, "long[]")
+    val matRef = ctx.addReferenceObj("argmaxMatrix", matrix, "int[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"""
          |${ev.value} = graft.functions.ArgmaxIntDot.compute($cidsRef, $matRef, $n, $dim, $v);
@@ -68,10 +68,13 @@ object ArgmaxIntDot {
     val n = cents.length
     val dim = cents.head._2.length
     val cids = cents.map(_._1).toArray
-    val flat = new Array[Long](n * dim)
+    // packed Int matrix (round 17, the IntDotLookup.pack rule): ±10⁴-
+    // scaled components are lossless in 4 B, halving the baked-in
+    // reference object the generated code carries per centroid set
+    val flat = new Array[Int](n * dim)
     cents.zipWithIndex.foreach { case ((_, cv), i) =>
       require(cv.length == dim, "ragged centroid matrix")
-      cv.copyToArray(flat, i * dim)
+      IntDotLookup.pack(cv).copyToArray(flat, i * dim)
     }
     GraftColumnBridge.column(
       ArgmaxIntDot(GraftColumnBridge.expression(vec), cids, flat, n, dim))
@@ -79,7 +82,7 @@ object ArgmaxIntDot {
 
   /** Called from generated code. Length mismatch → (lowest cid, null s),
     * the composed array_max's null-first struct ordering. */
-  def compute(cids: Array[Long], matrix: Array[Long], n: Int, dim: Int,
+  def compute(cids: Array[Long], matrix: Array[Int], n: Int, dim: Int,
               vec: ArrayData): InternalRow = {
     if (vec.numElements() != dim) {
       var mn = cids(0)

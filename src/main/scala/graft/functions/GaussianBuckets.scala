@@ -20,10 +20,14 @@ import org.apache.spark.sql.types._
   * Sign decisions replicate the HOF exactly: the dot is the SAME
   * sequential left-to-right double fold (`0.0 + v₀p₀ + v₁p₁ + …`, each
   * element cast to double first), so every IEEE rounding step matches.
-  * Edges replicate too: a NULL vector, a length mismatch (zip_with pads
-  * with null → null fold), or a null element each nulled the composed
-  * dot, whose `when` then contributed 0 per bit — every table's key is
-  * 0. NativeExprPropSpec pins the equivalence. */
+  * Non-null edges replicate too: a length mismatch (zip_with pads with
+  * null → null fold) or a null element each nulled the composed dot,
+  * whose `when` then contributed 0 per bit — every table's key is 0.
+  * ONE intentional delta (ADVICE r16, pinned in NativeExprPropSpec): a
+  * NULL vector propagates NULL (standard UnaryExpression nullSafeEval)
+  * where the composed form emitted all-zero keys; a null vector can
+  * never survive exact verification, so no pair or search result moves.
+  * NativeExprPropSpec pins the non-null equivalence. */
 case class GaussianBuckets(child: Expression, planes: Array[Double],
                            tables: Int, bits: Int, dim: Int)
   extends UnaryExpression {

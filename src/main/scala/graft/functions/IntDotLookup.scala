@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   * row; droppability is the caller's filter on the NULL score).
   */
 case class IntDotLookup(left: Expression, right: Expression,
-                        vectors: Broadcast[java.util.HashMap[java.lang.Long, Array[Long]]])
+                        vectors: Broadcast[java.util.HashMap[java.lang.Long, Array[Int]]])
   extends BinaryExpression {
 
   private def idOk(dt: DataType): Boolean = dt == LongType
@@ -56,7 +56,7 @@ case class IntDotLookup(left: Expression, right: Expression,
     // the broadcast manager, and cached in a lazily-initialized mutable
     // state slot so the per-row path is two hash lookups + the dot loop
     val bcRef = ctx.addReferenceObj("vectorsBc", vectors,
-      classOf[Broadcast[java.util.HashMap[java.lang.Long, Array[Long]]]].getName)
+      classOf[Broadcast[java.util.HashMap[java.lang.Long, Array[Int]]]].getName)
     val mapVar = ctx.addMutableState("java.util.HashMap", "intDotLookupMap",
       v => s"$v = (java.util.HashMap) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, (a, b) =>
@@ -83,7 +83,7 @@ object IntDotLookup {
     * call would silently bind the wrong broadcast). The broadcast handle
     * is baked into this expression instance at construction. */
   def column(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-             vectors: Broadcast[java.util.HashMap[java.lang.Long, Array[Long]]]): org.apache.spark.sql.Column = {
+             vectors: Broadcast[java.util.HashMap[java.lang.Long, Array[Int]]]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(
       IntDotLookup(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), vectors))
@@ -96,12 +96,37 @@ object IntDotLookup {
     * Scala callers should prefer [[column]], which has no registry
     * ordering invariant. */
   def register(spark: org.apache.spark.sql.SparkSession,
-               vectors: Broadcast[java.util.HashMap[java.lang.Long, Array[Long]]]): Unit =
+               vectors: Broadcast[java.util.HashMap[java.lang.Long, Array[Int]]]): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int_dot_lookup", exprs => IntDotLookup(exprs(0), exprs(1), vectors), "built-in")
 
-  /** Called from generated code. Boxed NULL when either id is absent. */
-  def compute(m: java.util.HashMap[java.lang.Long, Array[Long]],
+  /** Pack one quantized vector into the Int map representation with a
+    * losslessness check: ±10⁴-scaled unit-norm components are ≤ 10⁴ in
+    * magnitude by contract, so Int (4 B) carries them exactly — half the
+    * former Array[Long] footprint, which is what doubles
+    * `Similarity.broadcastVerifyMaxRows` at the same measured byte
+    * budget (round 17, verdict #5). A component outside Int range fails
+    * fast rather than silently truncating the dot. */
+  def pack(v: Seq[Long]): Array[Int] = {
+    val a = new Array[Int](v.length)
+    var i = 0
+    val it = v.iterator
+    while (it.hasNext) {
+      val l = it.next()
+      val x = l.toInt
+      require(x.toLong == l,
+        s"quantized component $l overflows the packed Int verify representation")
+      a(i) = x
+      i += 1
+    }
+    a
+  }
+
+  /** Called from generated code. Boxed NULL when either id is absent.
+    * Products and the accumulator stay in Long: two ±10⁴ Ints multiply
+    * to ≤ 10⁸ and 64 such terms reach 6.4×10⁹ — past Int, well inside
+    * Long. */
+  def compute(m: java.util.HashMap[java.lang.Long, Array[Int]],
               a: Long, b: Long): java.lang.Long = {
     val va = m.get(a)
     if (va == null) return null
@@ -109,7 +134,7 @@ object IntDotLookup {
     if (vb == null || va.length != vb.length) return null
     var dot = 0L
     var i = 0
-    while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+    while (i < va.length) { dot += va(i).toLong * vb(i); i += 1 }
     java.lang.Long.valueOf(dot)
   }
 }

@@ -20,10 +20,15 @@ import org.apache.spark.sql.types._
   * inside whole-stage codegen at ANY rule-derived width (the CosineSim/
   * IntDot native-expression precedent).
   *
-  * Semantics replicate the composed form exactly, including its edges: a
-  * NULL or non-`dim`-length vector contributed 0 per bit there (intDot's
-  * null on length mismatch → `when`'s otherwise-0), so every table's key
-  * is 0 — same here. Output is never null for a non-null input row.
+  * Semantics replicate the composed form for every NON-NULL input,
+  * including the mismatch edge: a non-`dim`-length vector contributed 0
+  * per bit there (intDot's null on length mismatch → `when`'s
+  * otherwise-0), so every table's key is 0 — same here. ONE intentional
+  * delta (ADVICE r16, pinned in NativeExprPropSpec): a NULL vector
+  * propagates NULL (standard UnaryExpression nullSafeEval — posexplode
+  * then drops the row) where the composed form emitted all-zero keys;
+  * a null vector can never survive exact verification, so no pair or
+  * search result moves.
   *
   * `planes` is the flattened tables × bits × dim matrix (row-major) —
   * `Similarity.portableHyperplanes` order. */

@@ -643,17 +643,23 @@ object Similarity {
   // where the former two-join shape shipped it TWICE, so the SAME
   // measured r13 memory envelope (2 × 100k rows × 64 dims × 8 B ≈
   // 106 MB peak) now admits 200k rows — the regime bound doubles with
-  // zero new memory exposure (receipt: ProfileQ84 at 100×, BASELINE.md)
+  // zero new memory exposure (receipt: ProfileQ84 at 100×, BASELINE.md).
+  // The budget is BYTES of packed vector payload, representation-
+  // independent; the per-row cost is what the representation sets.
   val BroadcastVerifyBudgetBytes = 200000L * 64 * 8
 
   /** The row bound DERIVED from the vector dimension (round-14 verdict
     * #5: the former flat 100000L silently encoded dim=64 — at dim=512
     * the same row count is 8× the broadcast payload). rows ≈ budget /
-    * (dim × 8 bytes per quantized long); at dim=64 this is exactly the
-    * measured 100k-row / ≈53 MB point. */
+    * (dim × 4 bytes per PACKED component): round 17 (verdict #5) stores
+    * the verify maps as Array[Int] — ±10⁴-scaled components are
+    * lossless in 4 B (`IntDotLookup.pack` guards it) — so the SAME
+    * measured byte envelope admits 2× the rows of the r15 Array[Long]
+    * representation: 400k at dim 64 (RegimeProbe re-measured, see
+    * BASELINE.md round 17). */
   def broadcastVerifyMaxRows(dim: Int): Long = {
     require(dim > 0, s"dim must be positive, got $dim")
-    BroadcastVerifyBudgetBytes / (dim * 8L)
+    BroadcastVerifyBudgetBytes / (dim * 4L)
   }
 
   /** The dim=64 point of [[broadcastVerifyMaxRows]] (the corpus'
@@ -818,9 +824,9 @@ object Similarity {
         // the reference). The broadcast is TRACKED: serial harnesses
         // destroy it between entries (Broadcasts.destroyAll), so
         // finished entries don't pin ~100 MB maps for the session.
-        val qMap = new java.util.HashMap[java.lang.Long, Array[Long]]()
+        val qMap = new java.util.HashMap[java.lang.Long, Array[Int]]()
         q.toLocalIterator().forEachRemaining { r =>
-          qMap.put(r.getLong(0), r.getSeq[Long](1).toArray)
+          qMap.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
         }
         val bc = Broadcasts.track(corpus.sparkSession.sparkContext.broadcast(qMap))
         // the broadcast handle is baked into the expression instance
@@ -921,12 +927,12 @@ object Similarity {
     // the hinted branch verifies raw candidates map-side through ONE
     // combined broadcast map and dedups the (tiny) survivor set.
     if (combinedRowsHint >= 0 && combinedRowsHint <= broadcastVerifyMaxRows(dim)) {
-      val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
       qOld.select(col(idCol), col("__qv")).toLocalIterator().forEachRemaining { r =>
-        m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+        m.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
       }
       qNew.select(col(idCol), col("__qv")).toLocalIterator().forEachRemaining { r =>
-        m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+        m.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
       }
       val bc = Broadcasts.track(existing.sparkSession.sparkContext.broadcast(m))
       candsRaw

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *     wall.
   *
   * Usage: runMain graft.tools.RegimeProbe [factor] [dir] [stages]
-  *   stages ⊆ {build, broadcast, shuffle} (default all three).
+  *   stages ⊆ {build, map, broadcast, shuffle, sharded, sharded-auto,
+  *   persisted, cc} (default {build, map, broadcast, shuffle}; the
+  *   sharded/persisted/cc stages back the past-bound receipts and run
+  *   only when named — they need a factor whose corpus crosses the
+  *   bound to be meaningful).
   * Env: SPARK_GRAFT_SF_DIR (source, default sf0.1), SPARK_GRAFT_CPUS,
   *      SPARK_DRIVER_MEM (the -Xmx bound under test, via build.sbt). */
 object RegimeProbe {
@@ -100,9 +104,9 @@ object RegimeProbe {
       val before = heapUsedMb()
       val q = Similarity.portableQuantized(emb, "vec_id", "embedding", 10000)
         .select(col("vec_id"), col("__qv"))
-      val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
       q.toLocalIterator().forEachRemaining { r =>
-        m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+        m.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
       }
       System.gc()
       val afterMap = heapUsedMb()

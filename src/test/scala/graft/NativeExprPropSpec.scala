@@ -149,8 +149,9 @@ class NativeExprPropSpec extends AnyFunSuite {
     val vecGen = Gen.listOfN(8, Gen.choose(-10000L, 10000L))
     check(forAll(Gen.listOfN(6, vecGen), Gen.choose(0L, 9L), Gen.choose(0L, 9L)) {
       (vecs, ia, ib) =>
-        val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
-        vecs.zipWithIndex.foreach { case (v, i) => m.put(i.toLong, v.toArray) }
+        val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
+        vecs.zipWithIndex.foreach { case (v, i) =>
+          m.put(i.toLong, graft.functions.IntDotLookup.pack(v)) }
         val bc = spark.sparkContext.broadcast(m)
         // the production spelling (direct Column, no registry); the
         // registry form stays available for SQL-text consumers and is
@@ -168,13 +169,46 @@ class NativeExprPropSpec extends AnyFunSuite {
         }
     }, "int_dot_lookup")
     // registry form smoke: one resolution through SQL-text binding
-    val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
-    m.put(0L, Array(2L, 3L)); m.put(1L, Array(5L, 7L))
+    val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    m.put(0L, Array(2, 3)); m.put(1L, Array(5, 7))
     val bc = spark.sparkContext.broadcast(m)
     graft.functions.IntDotLookup.register(spark, bc)
     assert(Seq((0L, 1L)).toDF("id_a", "id_b")
       .select(call_function("int_dot_lookup", col("id_a"), col("id_b")).as("s"))
       .head().getLong(0) == 2L * 5L + 3L * 7L)
+  }
+
+  test("IntDotLookup.pack is lossless in range and fails fast past Int (round 17)") {
+    // the packed verify representation's guard: the bound doubling is
+    // only sound because components provably round-trip
+    check(forAll(Gen.listOf(Gen.choose(Int.MinValue.toLong, Int.MaxValue.toLong))) { v =>
+      graft.functions.IntDotLookup.pack(v).toSeq.map(_.toLong) == v
+    }, "pack round-trip")
+    assertThrows[IllegalArgumentException](
+      graft.functions.IntDotLookup.pack(Seq(Int.MaxValue.toLong + 1)))
+    assertThrows[IllegalArgumentException](
+      graft.functions.IntDotLookup.pack(Seq(Int.MinValue.toLong - 1)))
+  }
+
+  test("native bucket expressions NULL out on a NULL vector (documented composed-form delta)") {
+    // ADVICE r16: as UnaryExpressions with nullSafeEval the natives
+    // return NULL for a NULL input vector where the composed forms
+    // emitted all-zero keys (posexplode then DROPS the row) — the saner
+    // contract, impossible to observe through the pair/search operators
+    // (a null vector can never pass exact verification), and now pinned
+    // instead of undocumented. Scaladocs state the same delta.
+    import graft.operators.Similarity
+    val dPlanes = Similarity.hyperplanes(4, 2, 3, 7L)
+    val qPlanes = Similarity.portableHyperplanes(4, 2, 3, 7L)
+    val gRow = Seq(Tuple1(null: Seq[Double])).toDF("__v")
+      .select(graft.functions.GaussianBuckets.column(col("__v"), dPlanes).as("k")).head()
+    assert(gRow.isNullAt(0), "gaussian_buckets(NULL) must be NULL")
+    val pRow = Seq(Tuple1(null: Seq[Long])).toDF("__qv")
+      .select(graft.functions.PortableBuckets.column(col("__qv"), qPlanes).as("k")).head()
+    assert(pRow.isNullAt(0), "portable_buckets(NULL) must be NULL")
+    val aRow = Seq(Tuple1(null: Seq[Long])).toDF("__v")
+      .select(Similarity.semAssignExpr(col("__v"), Seq((1L, Seq(1L, 2L, 3L, 4L)))).as("a")).head()
+    assert(aRow.isNullAt(0), "argmax_int_dot(NULL) must be NULL")
   }
 
   test("cosine_sim agrees with scalar reference on arbitrary float vectors") {
