@@ -2712,6 +2712,25 @@ object SparkEntry {
           corpusRowsHint = embedCountFor(spark, dir))
         .orderBy("id_a", "id_b").limit(100)
     },
+    // Sharded past-bound embedding near-dup (round 17, verdict #1): the
+    // shipped 100-TB policy promoted into the oracle gate. shardRows is
+    // FORCED to n/3+1 so the gate fixture runs S = 3 (3 within-shard +
+    // 3 cross-shard broadcast-regime jobs over xxhash64 id-shards) —
+    // the decomposition a past-bound corpus runs, exercised end-to-end
+    // at sf0.01 AND sf0.1. Under the fixtures' pinned occupancy (the
+    // DriftGuard margin) the per-job cap never fires differently from
+    // the global one, so the union is provably the monolithic pair set
+    // (ShardedPairsSpec asserts exact set equality) and the oracle is
+    // the q84 replay VERBATIM — hash-equality proves the sharded plan
+    // finds exactly the monolithic pairs.
+    "q223_sharded_embedlsh" -> { (spark, dir) =>
+      val b = embedBitsFor(spark, dir)
+      Similarity.shardedEmbedPairs(Tables.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", minScore = EmbedMinScore,
+          tables = embedTablesFor(b), bits = b, probes = embedProbesFor(b),
+          shardRows = embedCountFor(spark, dir) / 3 + 1)
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // SemDeDup (round 11; Abbas et al. 2023): CLUSTER-then-pairwise
     // semantic dedup — the published alternative to q84's LSH banding as
     // the candidate generator (clusters give coherent semantic
@@ -4227,6 +4246,12 @@ object SparkEntry {
       // source of truth), buckets via SUM of sign bits, verification by
       // integer dot (CTE chain shared with q97's clustering replay)
       "q84_embedlsh_portable" ->
+        (s"WITH ${embedLshReplayCtes(embedBits)} " +
+          s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore ORDER BY id_a, id_b LIMIT 100"),
+      // round 17: the sharded decomposition returns the IDENTICAL pair
+      // set under the gate fixtures' occupancy (ShardedPairsSpec), so
+      // its oracle is the q84 replay verbatim
+      "q223_sharded_embedlsh" ->
         (s"WITH ${embedLshReplayCtes(embedBits)} " +
           s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore ORDER BY id_a, id_b LIMIT 100"),
       // round 11: SemDeDup — cluster-then-pairwise; the cap mirrors the
