@@ -60,7 +60,9 @@ def main(bench_path, oracle_path, md=False):
     for q in sorted(set(eng) & set(ora)):
         if eng[q] <= 0:
             continue
-        rows.append((eng[q] / ora[q], q, eng[q], ora[q]))
+        # floor the denominator at 1 ms: a sub-ms DuckDB median prints
+        # as 0.000 (q03_literal) and would otherwise divide by zero
+        rows.append((eng[q] / max(ora[q], 0.001), q, eng[q], ora[q]))
     rows.sort(reverse=True)
     over = [r for r in rows if r[0] > 2.0]
     sep = "|" if md else "  "
