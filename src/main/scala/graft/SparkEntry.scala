@@ -2731,6 +2731,28 @@ object SparkEntry {
           shardRows = embedCountFor(spark, dir) / 3 + 1)
         .orderBy("id_a", "id_b").limit(100)
     },
+    // round 17: the persisted sharded runner's INCREMENTAL twin in the
+    // gate — the daily-crawl shape where the EXISTING corpus is past the
+    // per-job broadcast envelope: both sides' signatures materialized
+    // once as shard-partitioned tables, then the Sₑ × Sᵢ cross jobs run
+    // sequentially with per-job map build/destroy. Both sides FORCED to
+    // 2 shards so the gate exercises real cross-shard decomposition
+    // (4 jobs, every (shardₑ, shardᵢ) combination). Pair set provably
+    // identical to q125's monolithic operator under the gate fixtures'
+    // occupancy (ShardedPairsSpec) → oracle = the q125 replay verbatim.
+    "q224_sharded_incremental_embed" -> { (spark, dir) =>
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val b = embedBitsFor(spark, dir)
+      val old = vecs.filter(col("vec_id") < IncrementalSplitId)
+      val inc = vecs.filter(col("vec_id") >= IncrementalSplitId)
+      Similarity.shardedCrossEmbedPairsPersisted(old, inc,
+          "vec_id", "embedding", minScore = EmbedMinScore,
+          tables = embedTablesFor(b), bits = b, probes = embedProbesFor(b),
+          shardRowsExisting = old.count() / 2 + 1,
+          shardRowsIncoming = inc.count() / 2 + 1,
+          workDir = java.nio.file.Files.createTempDirectory("graft_q224").toString)
+        .orderBy("id_a", "id_b").limit(100)
+    },
     // SemDeDup (round 11; Abbas et al. 2023): CLUSTER-then-pairwise
     // semantic dedup — the published alternative to q84's LSH banding as
     // the candidate generator (clusters give coherent semantic
@@ -4254,6 +4276,14 @@ object SparkEntry {
       "q223_sharded_embedlsh" ->
         (s"WITH ${embedLshReplayCtes(embedBits)} " +
           s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore ORDER BY id_a, id_b LIMIT 100"),
+      // round 17: the persisted sharded incremental twin — identical
+      // pair set to q125 under the gate occupancy (ShardedPairsSpec),
+      // so its oracle is the q125 replay verbatim
+      "q224_sharded_incremental_embed" ->
+        (s"WITH ${embedLshReplayCtes(embedBits)} " +
+          s"SELECT id_a, id_b, score FROM v WHERE score >= $EmbedMinScore " +
+          s"AND id_a < $IncrementalSplitId AND id_b >= $IncrementalSplitId " +
+          "ORDER BY id_a, id_b LIMIT 100"),
       // round 11: SemDeDup — cluster-then-pairwise; the cap mirrors the
       // Spark degenerate-cluster guard (TextDedup.DefaultMaxBucketSize),
       // COUNT(DISTINCT id_b) = the greedy keep-lowest-id drop set

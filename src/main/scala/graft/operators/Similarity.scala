@@ -1135,6 +1135,90 @@ object Similarity {
     spark.read.parquet(pairsPath).select("id_a", "id_b", "score")
   }
 
+  /** PERSISTED-SIGNATURE-TABLE sharded INCREMENTAL near-dup (round 17 —
+    * the daily-crawl twin of [[shardedEmbedPairsPersisted]], closing the
+    * past-bound story for the incremental pipeline): an incoming batch
+    * deduped against an existing corpus where EITHER side exceeds the
+    * per-job broadcast envelope. Both sides' quantized vectors and bucket
+    * keys are materialized ONCE as shard-partitioned parquet under
+    * `workDir` (Sₑ = ⌈nₑ/bound⌉ existing shards, Sᵢ = ⌈nᵢ/bound⌉
+    * incoming shards, deterministic id-hash sharding), then the Sₑ × Sᵢ
+    * CROSS jobs run SEQUENTIALLY — each reads back exactly its two
+    * shards (partition-pruned scans), builds its packed combined verify
+    * map at JOB time, fused-verifies its raw candidates, writes its
+    * pair slice, and destroys the broadcast before the next job starts.
+    * A cross pair (a ∈ existing, b ∈ incoming) lands in EXACTLY the
+    * (shard(a), shard(b)) job, so coverage is exact; no within-side
+    * pairs are ever generated (the q125 contract), and no global
+    * candidate exchange or global distinct forms.
+    *
+    * Cap semantics (same one-sided delta as the symmetric sharded
+    * runners, documented honestly): the combined-occupancy cap fires on
+    * PER-JOB occupancy (one existing shard + one incoming shard), so a
+    * key over the monolithic combined cap can stay under it inside a
+    * job — the sharded form then emits EXTRA exact-verified true pairs.
+    * Recall is one-sided UP; on corpora whose occupancy sits under the
+    * cap (DriftGuard pins the gate fixtures' full-corpus occupancy
+    * there, which upper-bounds every job's) the pair set is IDENTICAL
+    * to [[portableCrossEmbedPairs]] — ShardedPairsSpec pins exact set
+    * equality at forced Sₑ = Sᵢ = 2.
+    *
+    * `shardRowsExisting` / `shardRowsIncoming` force per-side shard
+    * bounds (a deployment legitimately runs a huge-corpus × small-batch
+    * asymmetry — Sₑ large, Sᵢ = 1); both default to
+    * `broadcastVerifyMaxRows(dim) / 2` so any job's combined map fits
+    * the monolithic broadcast regime's envelope. EAGER: jobs run at
+    * call time; the driver holds ONE job's map at a time and the plan
+    * tree is O(1) in Sₑ·Sᵢ. Output: (id_a ∈ existing, id_b ∈ incoming,
+    * score BIGINT) — directional, like [[portableCrossEmbedPairs]]. */
+  def shardedCrossEmbedPairsPersisted(existing: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, minScore: Long,
+      tables: Int = 8, bits: Int = 6, dim: Int = 64,
+      seed: Long = 11L, scale: Int = 10000,
+      maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+      probes: Int = 0, shardRowsExisting: Long = -1L,
+      shardRowsIncoming: Long = -1L, workDir: String): DataFrame = {
+    val spark = existing.sparkSession
+    val defaultBound = broadcastVerifyMaxRows(dim) / 2
+    val boundE = if (shardRowsExisting > 0) shardRowsExisting else defaultBound
+    val boundI = if (shardRowsIncoming > 0) shardRowsIncoming else defaultBound
+    val sE = math.max(1, math.ceil(existing.count().toDouble / boundE).toInt)
+    val sI = math.max(1, math.ceil(incoming.count().toDouble / boundI).toInt)
+    val planes = portableHyperplanes(dim, tables, bits, seed)
+    val pairsPath = s"$workDir/pairs"
+    // materialize pass: ONE quantize+signature scan per side, both
+    // tables partitioned by the side's deterministic id-hash shard
+    def materialize(side: DataFrame, s: Int, tag: String): (DataFrame, DataFrame) = {
+      val quantPath = s"$workDir/quantized_$tag"
+      val keysPath = s"$workDir/keys_$tag"
+      portableQuantized(side, idCol, vecCol, scale)
+        .withColumn("__shard", pmod(xxhash64(col(idCol)), lit(s.toLong)))
+        .write.mode("overwrite").partitionBy("__shard").parquet(quantPath)
+      val qt = spark.read.parquet(quantPath)
+      portableBucketKeys(qt, idCol, planes, carry = Seq("__shard"))
+        .write.mode("overwrite").partitionBy("__shard").parquet(keysPath)
+      (qt, spark.read.parquet(keysPath))
+    }
+    val (qtE, ktE) = materialize(existing, sE, "existing")
+    val (qtI, ktI) = materialize(incoming, sI, "incoming")
+    def qShard(qt: DataFrame, i: Int) =
+      qt.filter(col("__shard") === i).select(col(idCol), col("__qv"))
+    def kShard(kt: DataFrame, i: Int) = kt.filter(col("__shard") === i)
+      .select(col(idCol), col("__t"), col("__bkt"))
+    for (i <- 0 until sE; j <- 0 until sI) {
+      val cands = crossCandidatesRaw(kShard(ktE, i), kShard(ktI, j), idCol,
+        maxBucketSize, probes)
+      // UNTRACKED broadcast, destroyed per job (the symmetric runner's
+      // discipline) — the job's write is the last reference
+      val bc = spark.sparkContext.broadcast(
+        packedVerifyMap(Seq(qShard(qtE, i), qShard(qtI, j))))
+      fusedVerify(cands, bc, minScore)
+        .write.mode("overwrite").parquet(s"$pairsPath/job=${i}_$j")
+      bc.destroy()
+    }
+    spark.read.parquet(pairsPath).select("id_a", "id_b", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH candidates (full-signature
     * collision in any table) verified by exact cosine ≥ threshold.
     * Output: (id_a, id_b, sim), id_a < id_b.

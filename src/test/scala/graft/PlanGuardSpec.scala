@@ -30,7 +30,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q203_release_manifest", // writes + reloads the JSONL shards at build
     "q204_stream_gate_ensemble", // runs the gate stream to completion at build
     "q206_stream_release", // gate stream + per-batch shard writes at build
-    "q208_stream_semdedup") // runs the assignment stream to completion at build (q126 shape)
+    "q208_stream_semdedup", // runs the assignment stream to completion at build (q126 shape)
+    "q224_sharded_incremental_embed") // persisted sharded runner: materialize + jobs write at build
 
   // Intentional broadcast cross joins: a tiny side against the corpus —
   // BNL with a broadcast build IS the linear-scan plan, not a quadratic

@@ -74,6 +74,40 @@ class ShardedPairsSpec extends AnyFunSuite {
       s"home-only table-mode != monolithic: only-table=${(tblHome -- monoHome).take(3)}")
   }
 
+  test("shardedCrossEmbedPairsPersisted (round 17) equals the monolithic cross operator at forced Se=Si=2") {
+    // the incremental twin (q224): every (shardE, shardI) job combination
+    // must reproduce portableCrossEmbedPairs' directional pair set
+    // exactly on the under-cap fixture, at both candidate points
+    val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
+    val split = SparkEntry.IncrementalSplitId
+    val old = emb.filter(org.apache.spark.sql.functions.col("vec_id") < split)
+    val inc = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= split)
+    val (nOld, nInc) = (old.count(), inc.count())
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_sharded_cross").toString
+    val monoProbed = found(Similarity.portableCrossEmbedPairs(old, inc,
+      "vec_id", "embedding", minScore = SparkEntry.EmbedMinScore,
+      tables = 2, bits = 6, probes = 6))
+    val tblProbed = found(Similarity.shardedCrossEmbedPairsPersisted(old, inc,
+      "vec_id", "embedding", minScore = SparkEntry.EmbedMinScore,
+      tables = 2, bits = 6, probes = 6,
+      shardRowsExisting = nOld / 2 + 1, shardRowsIncoming = nInc / 2 + 1,
+      workDir = tmp()))
+    assert(monoProbed.nonEmpty, "cross fixture degenerated: no pairs")
+    assert(tblProbed == monoProbed,
+      s"cross table-mode != monolithic: only-table=${(tblProbed -- monoProbed).take(3)}, " +
+        s"only-mono=${(monoProbed -- tblProbed).take(3)}")
+    val monoHome = found(Similarity.portableCrossEmbedPairs(old, inc,
+      "vec_id", "embedding", minScore = SparkEntry.EmbedMinScore,
+      tables = 4, bits = 6))
+    val tblHome = found(Similarity.shardedCrossEmbedPairsPersisted(old, inc,
+      "vec_id", "embedding", minScore = SparkEntry.EmbedMinScore,
+      tables = 4, bits = 6,
+      shardRowsExisting = nOld / 2 + 1, shardRowsIncoming = nInc / 2 + 1,
+      workDir = tmp()))
+    assert(tblHome == monoHome,
+      s"home-only cross table-mode != monolithic: only-table=${(tblHome -- monoHome).take(3)}")
+  }
+
   test("shardedEmbedPairs past InlineShardCap fails fast toward the persisted runner") {
     val emb = Tables.table(spark, TestSpark.sf01, "embeddings")
     val e = intercept[IllegalArgumentException] {
