@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.RegimeProbe [factor] [dir] [stages]
   *   stages ⊆ {build, map, broadcast, shuffle, sharded, sharded-auto,
-  *   persisted, cc} (default {build, map, broadcast, shuffle}; the
+  *   persisted, cc, cross, ann} (default {build, map, broadcast, shuffle}; the
   *   sharded/persisted/cc stages back the past-bound receipts and run
   *   only when named — they need a factor whose corpus crosses the
   *   bound to be meaningful).
@@ -188,6 +188,58 @@ object RegimeProbe {
         s"heap-pool peak ${peakMb()} MB")
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // round-17 q224 receipt: COUNT-IDENTITY cross-validation of the
+    // incremental sharded runner at scale. Split the fixture by id
+    // RANGE (the daily-crawl shape; an id-HASH split would collapse
+    // onto the runners' own xxhash64 shard assignment — a parity split
+    // leaves half the shards empty) and check the exact decomposition
+    //   pairs(all) = within(old) + within(new) + cross(old, new)
+    // with every term produced by a SHIPPED persisted runner — each
+    // pair lands in exactly one term, so on the under-cap fixture the
+    // sums must match bit-exactly. Receipts wall + count per term.
+    if (stages("cross")) {
+      val splitId = (factor / 2) * 10000000L
+      val old = emb.filter(col("vec_id") < splitId)
+      val inc = emb.filter(col("vec_id") >= splitId)
+      val (nOld, nInc) = (old.count(), inc.count())
+      println(s"[regime] cross split at $splitId: existing=$nOld incoming=$nInc")
+      def timed(label: String)(f: => Long): Long = {
+        System.gc(); resetPeaks()
+        val t0 = System.nanoTime()
+        val c = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[regime] $label: $sec%.1f s, $c pairs, heap-pool peak ${peakMb()} MB")
+        c
+      }
+      val total = timed("cross stage: symmetric all (persisted S=4)") {
+        Similarity.shardedEmbedPairsPersisted(emb, "vec_id", "embedding",
+          minScore = graft.SparkEntry.EmbedMinScore,
+          tables = tables, bits = bits, probes = bits,
+          shardRows = n / 4 + 1, workDir = s"$dir/cross_all").count()
+      }
+      val wOld = timed("cross stage: within existing (persisted S=2)") {
+        Similarity.shardedEmbedPairsPersisted(old, "vec_id", "embedding",
+          minScore = graft.SparkEntry.EmbedMinScore,
+          tables = tables, bits = bits, probes = bits,
+          shardRows = nOld / 2 + 1, workDir = s"$dir/cross_old").count()
+      }
+      val wInc = timed("cross stage: within incoming (persisted S=2)") {
+        Similarity.shardedEmbedPairsPersisted(inc, "vec_id", "embedding",
+          minScore = graft.SparkEntry.EmbedMinScore,
+          tables = tables, bits = bits, probes = bits,
+          shardRows = nInc / 2 + 1, workDir = s"$dir/cross_inc").count()
+      }
+      val cross = timed("cross stage: cross (persisted Se=2 x Si=2)") {
+        Similarity.shardedCrossEmbedPairsPersisted(old, inc,
+          "vec_id", "embedding", minScore = graft.SparkEntry.EmbedMinScore,
+          tables = tables, bits = bits, probes = bits,
+          shardRowsExisting = nOld / 2 + 1, shardRowsIncoming = nInc / 2 + 1,
+          workDir = s"$dir/cross_x").count()
+      }
+      val ok = wOld + wInc + cross == total
+      println(s"[regime] cross identity: $wOld + $wInc + $cross = ${wOld + wInc + cross} " +
+        s"vs symmetric $total -> ${if (ok) "EXACT" else "MISMATCH"}")
     }
     // default sizing (bound/2 shards — what a past-bound caller runs)
     if (stages("sharded-auto")) runSharded(
