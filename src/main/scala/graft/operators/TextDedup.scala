@@ -742,7 +742,8 @@ object TextDedup {
     *     count is fused into the pass, not a second job (which also makes
     *     an every-round convergence check free, so no every-2nd-round
     *     staleness is needed). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          contractionMinEdges: Long = CcContractionMinEdges): DataFrame = {
     val sym = Checkpoints.cut(
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -754,18 +755,86 @@ object TextDedup {
       sym.select(col("src").as("id")).distinct()
         .withColumn("cluster", col("id")),
       eager = true)
-    // Round-15 NEGATIVE receipt (ProfileQ97, min-of-reps): a round-1
-    // graph CONTRACTION (quotient by the first hash-min labels, iterate
-    // on the contracted edge set) was built, spec-pinned exact, and
-    // measured a LOSS at every scale — +0.4 s at 18k pairs, neutral at
-    // 2.9M symmetric edges (4.60 vs 4.77 s), 11.88 vs 9.70 s at 32M —
-    // because hash-min + pointer jumping converges in a handful of
-    // rounds on dense near-dup graphs, so rounds × |E| never dominates
-    // the contraction's own two full-edge passes + distinct. The flat
-    // loop stays; the A/B harness is graft.tools.ProfileQ97.
-    val out = hashMinLoop(sym, labels0, maxIter)
+    // ADAPTIVE regime switch (round 17). The round-15 A/B measured the
+    // round-1 contraction as a LOSS at small scale (+0.4 s at 18k pairs,
+    // neutral at 2.9M symmetric edges, 11.88 vs 9.70 s at 32M — re-run
+    // per round since, always inside variance at ≤32M), because hash-min
+    // + pointer jumping converges in a handful of rounds there and the
+    // contraction's own two full-edge label joins + distinct cost more
+    // than the rounds they save. Round 17 extended the A/B to the
+    // 615.9M-pair / 1.23B-symmetric-edge fixture and the verdict FLIPS:
+    // contraction 590.1 s vs flat 978.1 s (1.66×), with the 74.9M-pair /
+    // 150M-edge point already winning 65.6 vs 84.2 s — past the
+    // crossover each flat
+    // round exchanges the FULL edge multiset, while the contraction pays
+    // that price once and iterates on a quotient graph orders of
+    // magnitude smaller. The count below is a cheap scan of the
+    // already-materialized checkpoint (labels0's eager cut computed it);
+    // both branches produce identical labels (min reachable id —
+    // CcContractionSpec pins per-vertex equality), so the switch is
+    // invisible to every caller and oracle.
+    val symEdges = sym.count()
+    val out = if (symEdges < contractionMinEdges) hashMinLoop(sym, labels0, maxIter)
+              else contractedCc(sym, labels0, maxIter)
     Checkpoints.free(sym)
     out
+  }
+
+  /** Symmetric-edge count at which [[connectedComponents]] switches from
+    * the flat hash-min loop to the round-1 contraction prelude. Measured
+    * crossover (ProfileQ97 at-scale mode, BASELINE.md round 17): flat
+    * wins/washes through 32M symmetric edges, contraction wins at 150M
+    * (factor-70 fixture, 65.6 vs 84.2 s) and by 1.66× at 1.23B; 100M
+    * sits safely past the wash zone on the winning side's shoulder. */
+  val CcContractionMinEdges: Long = 100000000L
+
+  /** Round-1 contraction CC (shipped round 17 for the past-crossover
+    * regime; the former ProfileQ97 experiment): one hash-min +
+    * pointer-jumping round over the full symmetric edge set, quotient
+    * the graph by those first labels (edges whose endpoints already
+    * share a label drop out), run the flat loop on the — orders of
+    * magnitude smaller — contracted graph, and compose the two label
+    * maps. Exact by the min-label argument: round-1 labels are a
+    * vertex→representative map whose representatives' components in the
+    * quotient graph are isomorphic to the original components, and
+    * min-composition preserves the global minimum (per-vertex equality
+    * vs the flat loop pinned by CcContractionSpec). `lastCcRounds`
+    * counts the full-graph round plus the quotient rounds. */
+  private[graft] def contractedCc(sym: DataFrame, labels0: DataFrame,
+                                  maxIter: Int): DataFrame = {
+    val (labels1, changed1) = ccRound(sym, labels0)
+    if (changed1 == 0) {
+      lastCcRounds = 1
+      labels1.select("id", "cluster")
+    } else {
+      val contracted = Checkpoints.cut(
+        sym.join(labels1.select(col("id").as("__sa"), col("cluster").as("__ca")),
+            sym("src") === col("__sa"))
+          .join(labels1.select(col("id").as("__sb"), col("cluster").as("__cb")),
+            sym("dst") === col("__sb"))
+          .filter(col("__ca") =!= col("__cb"))
+          .select(col("__ca").as("src"), col("__cb").as("dst"))
+          .distinct(),
+        eager = false)
+      val compLabels0 = Checkpoints.cut(
+        contracted.select(col("src").as("id")).distinct()
+          .withColumn("cluster", col("id")),
+        eager = true)
+      val comp = hashMinLoop(contracted, compLabels0, maxIter)
+      val quotientRounds = lastCcRounds
+      Checkpoints.free(contracted)
+      val composed = labels1.as("l")
+        .join(comp.select(col("id").as("__ci"), col("cluster").as("__cc")),
+          col("l.cluster") === col("__ci"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("__cc"), col("l.cluster")).as("cluster"))
+      val out = Checkpoints.cut(composed, eager = true)
+      // composed's analyzed plan holds labels1's and comp's checkpointed
+      // RDDs — freeing through it releases both generations at once
+      Checkpoints.free(composed)
+      lastCcRounds = 1 + quotientRounds
+      out
+    }
   }
 
   /** One hash-min + pointer-jumping round: returns the new (checkpointed,

@@ -4,22 +4,35 @@ import graft.operators.{Checkpoints, Similarity, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A/B profile of the q97 clustering stage (dev tool backing the
-  * round-15 contraction receipt): materializes the q84 verified pair set
-  * once to parquet, then times the SHIPPED flat hash-min loop against a
-  * round-1 graph-CONTRACTION variant (quotient by the first labels,
-  * iterate on the contracted edge set — exact by the min-label argument,
-  * pinned against union-find while it was shipped) over `reps` runs,
-  * reporting min and median (the host is noisy-neighbor contended, so
-  * min-of-reps is the calibrated comparator — the bench_expected rule).
+/** A/B profile of the q97 clustering stage (dev tool backing the CC
+  * regime receipts): materializes the q84 verified pair set once to
+  * parquet, then times BOTH branches of the shipped adaptive
+  * `connectedComponents` — the flat hash-min loop and the round-1
+  * contraction (each forced via the threshold parameter) — over `reps`
+  * runs, reporting min and median (the host is noisy-neighbor
+  * contended, so min-of-reps is the calibrated comparator — the
+  * bench_expected rule).
   *
-  * VERDICT (round 15, why the contraction is NOT shipped): +0.4 s at 18k
-  * pairs, neutral at 2.9M symmetric edges (min 4.60 vs 4.77 s), a LOSS
-  * at 32M (11.88 vs 9.70 s) — hash-min + pointer jumping converges in a
-  * handful of rounds on dense near-dup graphs, so rounds × |E| never
-  * outgrows the contraction's own two full-edge passes + distinct.
+  * VERDICT HISTORY: round 15 measured the contraction as a loss at
+  * small scale (+0.4 s at 18k pairs, neutral at 2.9M symmetric edges,
+  * 11.88 vs 9.70 s at 32M) and reverted it; rounds 16/17 re-ran the
+  * small-scale A/B per round (always within variance at ≤32M). Round 17
+  * extended the A/B past the crossover with this harness's at-scale
+  * mode and the verdict FLIPPED — contraction 65.6 vs 84.2 s at 150M
+  * symmetric edges, 590.1 vs 978.1 s at 1.23B — so the operator now
+  * switches adaptively at `TextDedup.CcContractionMinEdges` (100M).
+  * The per-round duty of this harness is unchanged: re-check the
+  * SMALL-scale wash still holds (the flat branch must stay the winner
+  * under the threshold).
   *
-  * Usage: runMain graft.tools.ProfileQ97 [dir] [reps] */
+  * Usage: runMain graft.tools.ProfileQ97 [dir] [reps] [pairsPath]
+  * The optional pairsPath reuses an EXISTING pair table (e.g. the
+  * RegimeProbe cross/cc stages' persisted output) instead of building
+  * one — the at-scale mode; it additionally applies the cc stage's two
+  * deployment knobs (dedupPartitionsFor sizing on the symmetric edge
+  * estimate + a reliable checkpoint dir), without which a 600M-pair
+  * A/B OOMs at session defaults. The historical per-round A/B
+  * (no 3rd arg) keeps the original protocol/conditions. */
 object ProfileQ97 {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_scale10x"
@@ -32,7 +45,8 @@ object ProfileQ97 {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.IntDot.register(spark)
 
-    val pairsPath = s"$dir/__profq97_pairs.parquet"
+    val pairsPath =
+      if (args.length > 2) args(2) else s"$dir/__profq97_pairs.parquet"
     if (!new java.io.File(pairsPath).exists()) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
@@ -43,8 +57,15 @@ object ProfileQ97 {
           probes = bits, corpusRowsHint = n)
         .select("id_a", "id_b").write.mode("overwrite").parquet(pairsPath)
     }
-    val pairs = spark.read.parquet(pairsPath)
-    println(s"[profq97] pair set: ${pairs.count()} rows")
+    val pairs = spark.read.parquet(pairsPath).select("id_a", "id_b")
+    val nPairs = pairs.count()
+    println(s"[profq97] pair set: $nPairs rows")
+    if (args.length > 2) {
+      spark.sparkContext.setCheckpointDir(s"$dir/__profq97_ckpt")
+      val symParts = Similarity.dedupPartitionsFor(2L * nPairs, cpus.toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", symParts)
+      println(s"[profq97] at-scale mode: symmetric-edge estimate ${2L * nPairs} -> $symParts partitions, reliable ckpt dir")
+    }
 
     def bench(label: String)(f: => DataFrame): Unit = {
       val times = (1 to reps).map { _ =>
@@ -58,53 +79,17 @@ object ProfileQ97 {
       println(f"[profq97] $label: min ${ts.head}%.2f s  median ${ts(reps / 2)}%.2f s  (labels=${times.head._2})")
     }
 
+    // both branches of the SHIPPED adaptive operator, forced via the
+    // threshold parameter (round 17 — the contraction moved from this
+    // profiler's experiment block into TextDedup.contractedCc when the
+    // at-scale A/B flipped the r15 verdict; per-vertex equality of the
+    // two branches is CcContractionSpec's pin, this harness measures)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    bench("SHIPPED flat hash-min loop CC") {
-      TextDedup.connectedComponents(edges)
+    bench("flat hash-min loop CC (forced)") {
+      TextDedup.connectedComponents(edges, contractionMinEdges = Long.MaxValue)
     }
-    // the round-15 contraction EXPERIMENT, kept here (not in the
-    // operator) so the negative receipt stays reproducible: one round
-    // over the full edge set, quotient, iterate on the contracted graph,
-    // compose labels
-    bench("EXPERIMENT round-1 contraction CC") {
-      val sym = Checkpoints.cut(
-        edges.select(col("src"), col("dst"))
-          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct(),
-        eager = false)
-      val labels0 = Checkpoints.cut(
-        sym.select(col("src").as("id")).distinct().withColumn("cluster", col("id")),
-        eager = true)
-      val (labels1, changed1) = TextDedup.ccRound(sym, labels0)
-      if (changed1 == 0) {
-        Checkpoints.free(sym)
-        labels1.select("id", "cluster")
-      } else {
-        val contracted = Checkpoints.cut(
-          sym.join(labels1.select(col("id").as("__sa"), col("cluster").as("__ca")),
-              sym("src") === col("__sa"))
-            .join(labels1.select(col("id").as("__sb"), col("cluster").as("__cb")),
-              sym("dst") === col("__sb"))
-            .filter(col("__ca") =!= col("__cb"))
-            .select(col("__ca").as("src"), col("__cb").as("dst"))
-            .distinct(),
-          eager = false)
-        val compLabels0 = Checkpoints.cut(
-          contracted.select(col("src").as("id")).distinct()
-            .withColumn("cluster", col("id")),
-          eager = true)
-        val comp = TextDedup.hashMinLoop(contracted, compLabels0, 24)
-        Checkpoints.free(sym)
-        Checkpoints.free(contracted)
-        val composed = labels1.as("l")
-          .join(comp.select(col("id").as("__ci"), col("cluster").as("__cc")),
-            col("l.cluster") === col("__ci"), "left")
-          .select(col("l.id").as("id"),
-            coalesce(col("__cc"), col("l.cluster")).as("cluster"))
-        val out = Checkpoints.cut(composed, eager = true)
-        Checkpoints.free(composed)
-        out
-      }
+    bench("round-1 contraction CC (forced)") {
+      TextDedup.connectedComponents(edges, contractionMinEdges = 0L)
     }
     spark.stop()
   }
