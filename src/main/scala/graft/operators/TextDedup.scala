@@ -743,41 +743,109 @@ object TextDedup {
     *     an every-round convergence check free, so no every-2nd-round
     *     staleness is needed). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          contractionMinEdges: Long = CcContractionMinEdges): DataFrame = {
+                          contractionMinEdges: Long = CcContractionMinEdges,
+                          localMaxEdges: Long = CcLocalMaxEdges): DataFrame = {
     val sym = Checkpoints.cut(
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(),
       eager = false)
-    // materializing the labels checkpoint computes `sym`'s lazy checkpoint
-    // in the same job — one setup job for both cuts
-    val labels0 = Checkpoints.cut(
-      sym.select(col("src").as("id")).distinct()
-        .withColumn("cluster", col("id")),
-      eager = true)
-    // ADAPTIVE regime switch (round 17). The round-15 A/B measured the
-    // round-1 contraction as a LOSS at small scale (+0.4 s at 18k pairs,
-    // neutral at 2.9M symmetric edges, 11.88 vs 9.70 s at 32M — re-run
-    // per round since, always inside variance at ≤32M), because hash-min
-    // + pointer jumping converges in a handful of rounds there and the
-    // contraction's own two full-edge label joins + distinct cost more
-    // than the rounds they save. Round 17 extended the A/B to the
-    // 615.9M-pair / 1.23B-symmetric-edge fixture and the verdict FLIPS:
-    // contraction 590.1 s vs flat 978.1 s (1.66×), with the 74.9M-pair /
-    // 150M-edge point already winning 65.6 vs 84.2 s — past the
-    // crossover each flat
-    // round exchanges the FULL edge multiset, while the contraction pays
-    // that price once and iterates on a quotient graph orders of
-    // magnitude smaller. The count below is a cheap scan of the
-    // already-materialized checkpoint (labels0's eager cut computed it);
-    // both branches produce identical labels (min reachable id —
-    // CcContractionSpec pins per-vertex equality), so the switch is
-    // invisible to every caller and oracle.
+    // THREE-regime adaptive switch (local added in the r17 optimization
+    // round; contraction shipped earlier in r17). The count is the one
+    // setup job — it materializes `sym`'s lazy checkpoint, so every
+    // branch below reads the cut, never the upstream pair pipeline.
+    //
+    //   1. symEdges ≤ localMaxEdges: DRIVER-LOCAL union-find over the
+    //      collected edge list. The distributed loop pays one Spark job
+    //      per hash-min round (plus AQE stage jobs) — pure scheduler
+    //      latency when the edge set is a few thousand rows (q131's
+    //      whole entry was 41 jobs, ~1.5 s of it this loop, for a 5-row
+    //      answer). Same regime family as the broadcast-verify maps:
+    //      decide on a measured size, collect under a documented driver
+    //      envelope, stay distributed past it.
+    //   2. symEdges < contractionMinEdges: flat hash-min + pointer
+    //      jumping. The round-15 A/B measured the round-1 contraction as
+    //      a LOSS at small scale (+0.4 s at 18k pairs, neutral at 2.9M
+    //      symmetric edges, 11.88 vs 9.70 s at 32M — re-run per round
+    //      since, always inside variance at ≤32M): each contraction pass
+    //      pays two full-edge label joins + a distinct that the saved
+    //      rounds don't repay below the crossover.
+    //   3. past contractionMinEdges: round-1 contraction. The r17 A/B at
+    //      the 615.9M-pair / 1.23B-symmetric-edge fixture flips the
+    //      verdict: contraction 590.1 s vs flat 978.1 s (1.66×), 150M
+    //      edges already winning 65.6 vs 84.2 s — past the crossover
+    //      each flat round exchanges the FULL edge multiset while the
+    //      contraction iterates on a quotient graph orders of magnitude
+    //      smaller.
+    //
+    // All three branches produce identical labels (min reachable id —
+    // CcContractionSpec pins per-vertex equality across the forced
+    // regimes), so the switch is invisible to every caller and oracle.
     val symEdges = sym.count()
-    val out = if (symEdges < contractionMinEdges) hashMinLoop(sym, labels0, maxIter)
-              else contractedCc(sym, labels0, maxIter)
+    val out =
+      if (symEdges <= localMaxEdges) localCc(sym)
+      else {
+        val labels0 = Checkpoints.cut(
+          sym.select(col("src").as("id")).distinct()
+            .withColumn("cluster", col("id")),
+          eager = true)
+        if (symEdges < contractionMinEdges) hashMinLoop(sym, labels0, maxIter)
+        else contractedCc(sym, labels0, maxIter)
+      }
     Checkpoints.free(sym)
     out
+  }
+
+  /** Symmetric-edge count at or below which [[connectedComponents]] runs
+    * the driver-local regime. Envelope at the bound: one collect() of the
+    * already-checkpointed (src, dst) rows (2M × ~80 B of Row overhead ≈
+    * 160 MB transient) plus a Long→Long parent map over V ≤ 2·E vertices
+    * (open-addressed LongMap, ≤ ~128 MB at load ≥ 0.25) — the same
+    * driver-memory class as the broadcast-verify maps
+    * (`Similarity.broadcastVerifyMaxRows`), and freed when the labels
+    * frame is parallelized back out. Past the bound nothing is collected
+    * and the distributed regimes run unchanged. */
+  val CcLocalMaxEdges: Long = 2000000L
+
+  /** Driver-local union-find over a (small, already-cut) symmetric edge
+    * set — [[connectedComponents]] regime 1. Union-by-min-root with full
+    * path compression: attaching the larger root under the smaller makes
+    * each final root its component's minimum id, the exact label the
+    * distributed branches compute. The result is parallelized back out
+    * (sorted by id — deterministic), so downstream equi-joins see a
+    * size-known small relation and plan broadcast joins instead of the
+    * sort-merge exchanges the checkpointed label table used to force. */
+  private[graft] def localCc(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var y = x0
+      while (parent(y) != r) { val n = parent(y); parent(y) = r; y = n }
+      r
+    }
+    sym.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    lastCcRounds = 0 // diagnostic: no distributed rounds ran
+    val ids = parent.keysIterator.toArray
+    java.util.Arrays.sort(ids)
+    val rows = ids.map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      ids.length / 65536 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)
   }
 
   /** Symmetric-edge count at which [[connectedComponents]] switches from

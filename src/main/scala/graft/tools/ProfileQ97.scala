@@ -84,12 +84,17 @@ object ProfileQ97 {
     // profiler's experiment block into TextDedup.contractedCc when the
     // at-scale A/B flipped the r15 verdict; per-vertex equality of the
     // two branches is CcContractionSpec's pin, this harness measures)
+    // localMaxEdges = 0 in both arms: this is the flat-vs-contraction
+    // A/B — the r17-optimization driver-local regime would otherwise
+    // swallow sub-2M-edge fixtures and measure neither branch
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     bench("flat hash-min loop CC (forced)") {
-      TextDedup.connectedComponents(edges, contractionMinEdges = Long.MaxValue)
+      TextDedup.connectedComponents(edges, contractionMinEdges = Long.MaxValue,
+        localMaxEdges = 0L)
     }
     bench("round-1 contraction CC (forced)") {
-      TextDedup.connectedComponents(edges, contractionMinEdges = 0L)
+      TextDedup.connectedComponents(edges, contractionMinEdges = 0L,
+        localMaxEdges = 0L)
     }
     spark.stop()
   }

@@ -18,12 +18,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class CcContractionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // localMaxEdges = 0 keeps these helpers on the DISTRIBUTED branches the
+  // spec exists to compare (the r17-optimization driver-local regime would
+  // otherwise swallow every small fixture); the local regime gets its own
+  // forced-equality test below.
   private def labels(edges: DataFrame, threshold: Long): Map[Long, Long] =
-    TextDedup.connectedComponents(edges, contractionMinEdges = threshold)
+    TextDedup.connectedComponents(edges, contractionMinEdges = threshold,
+        localMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def flat(edges: DataFrame) = labels(edges, Long.MaxValue)
   private def contracted(edges: DataFrame) = labels(edges, 0L)
+  private def local(edges: DataFrame): Map[Long, Long] =
+    TextDedup.connectedComponents(edges, localMaxEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("contraction branch equals flat branch on a planted multi-shape graph") {
     import spark.implicits._
@@ -35,6 +43,36 @@ class CcContractionSpec extends AnyFunSuite {
     val c = contracted(edges)
     assert(c == f, s"branches diverged: only-contracted=${c.toSet -- f.toSet}")
     assert(c(4L) == 1L && c(13L) == 10L)
+    val l = local(edges)
+    assert(l == f, s"local regime diverged: only-local=${l.toSet -- f.toSet}")
+  }
+
+  test("driver-local regime equals the flat branch and union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53L)
+    for (trial <- 1 to 2) {
+      val chain = (0 until 80).map(i => (trial * 10000L + i, trial * 10000L + i + 1))
+      val randEdges = (0 until 150).map { _ =>
+        (trial * 10000L + rng.nextInt(1200), trial * 10000L + rng.nextInt(1200))
+      }.filter { case (a, b) => a != b }
+      val all = chain ++ randEdges
+      val df = all.toDF("src", "dst")
+      val l = local(df)
+      assert(l == flat(df), s"trial $trial: local regime diverged from flat")
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      all.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expect = parent.keys.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m) }
+      assert(l == expect, s"trial $trial: local regime diverged from union-find")
+    }
+  }
+
+  test("driver-local regime handles the empty edge set") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(TextDedup.connectedComponents(empty).collect().isEmpty)
   }
 
   test("contraction branch equals flat branch and union-find on random graphs") {

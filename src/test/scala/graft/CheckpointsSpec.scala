@@ -47,10 +47,13 @@ class CheckpointsSpec extends AnyFunSuite {
   test("connectedComponents under a reliable checkpoint dir matches the local-mode labels") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 9L)).toDF("src", "dst")
-    val expected = TextDedup.connectedComponents(edges)
+    // localMaxEdges = 0: this test exists to exercise the reliable
+    // CHECKPOINT path, which only the distributed loop takes
+    val expected = TextDedup.connectedComponents(edges, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toSet
     val reliable = withCheckpointDir { _ =>
-      TextDedup.connectedComponents(edges).as[(Long, Long)].collect().toSet
+      TextDedup.connectedComponents(edges, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toSet
     }
     assert(reliable === expected)
     assert(expected === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L), (10L, 9L)))
@@ -65,7 +68,9 @@ class CheckpointsSpec extends AnyFunSuite {
     val sc = spark.sparkContext
     val edges = (1L until 101L).map(i => (i, i + 1)).toDF("src", "dst")
     val before = sc.getPersistentRDDs.size
-    val labels = TextDedup.connectedComponents(edges)
+    // localMaxEdges = 0: the per-round checkpoint discipline under test
+    // belongs to the distributed loop
+    val labels = TextDedup.connectedComponents(edges, localMaxEdges = 0L)
     assert(labels.as[(Long, Long)].collect().forall(_._2 == 1L))
     val after = sc.getPersistentRDDs.size
     // only the final labels generation may stay persisted

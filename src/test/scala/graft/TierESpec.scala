@@ -881,8 +881,13 @@ class TierESpec extends AnyFunSuite {
     // vertex 30 has a self-contained pair with 31
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
       (10L, 12L), (12L, 13L), (20L, 21L), (31L, 30L)).toDF("src", "dst")
+    // default params take the driver-local regime at this size; assert it
+    // AND the forced-distributed loop both match the scalar reference
     val got = TextDedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotDist = TextDedup.connectedComponents(edges, localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gotDist, "local and distributed CC regimes diverged")
     // scalar reference: union-find
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
@@ -915,7 +920,10 @@ class TierESpec extends AnyFunSuite {
         (trial * 10000L + rng.nextInt(2000), trial * 10000L + rng.nextInt(2000))
       }.filter { case (a, b) => a != b }
       val all = chain ++ cliques ++ randEdges
-      val got = TextDedup.connectedComponents(all.toDF("src", "dst"))
+      // localMaxEdges = 0 forces the distributed loop — the regime this
+      // test exists to exercise (the local regime is union-find itself,
+      // pinned separately in CcContractionSpec)
+      val got = TextDedup.connectedComponents(all.toDF("src", "dst"), localMaxEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
