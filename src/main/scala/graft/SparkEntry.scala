@@ -3018,7 +3018,8 @@ object SparkEntry {
     "q216_stream_simhash" -> { (spark, dir) =>
       val docs = Tables.table(spark, dir, "documents")
       val staticChunks = TextDedup.portableSimhashChunkKeys(
-        docs.filter(col("doc_id") < IncrementalSplitId), "doc_id", "text")
+        docs.filter(col("doc_id") < IncrementalSplitId), "doc_id", "text",
+        cutSigs = true) // static side is referenced twice per trigger
       val stream = graft.streaming.StreamOps.docsSource(spark, dir, docs.schema)
         .filter(col("doc_id") >= IncrementalSplitId)
       val streamChunks = TextDedup.portableSimhashChunkKeys(stream, "doc_id", "text")

@@ -805,9 +805,24 @@ object Multimodal {
       s"${TextDedup.SimhashChunks} chunks with $intact intact only guarantee " +
         s"hamming <= ${TextDedup.SimhashChunks - intact}")
     val chunkBits = 64 / TextDedup.SimhashChunks
-    def keys(df: DataFrame) = TextDedup.simhashComboKeys(
-      df.select(col(idCol), col(hashCol).cast("long").as("__sim")), chunkBits, intact)
-    TextDedup.simhashCrossEmitPairs(keys(existing), keys(incoming),
+    // cut the (id, sig) frame before the combo explode when the side is
+    // referenced twice downstream (occupancy aggregate + probe side of
+    // simhashCrossEmitPairs): the upstream here is the full perceptual
+    // pipeline (decode -> resize -> dHash), the family's dominant cost —
+    // the q82 N-references rule at the same sig-level placement as
+    // portableSimhashChunkKeys(cutSigs). Streaming sides (q218's
+    // per-trigger batch) cannot be checkpointed and are referenced once
+    // under combinedCap = false anyway.
+    def keys(df: DataFrame, twiceReferenced: Boolean) = {
+      val sigs0 = df.select(col(idCol), col(hashCol).cast("long").as("__sim"))
+      val sigs =
+        if (twiceReferenced && !df.isStreaming) Checkpoints.cut(sigs0, eager = false)
+        else sigs0
+      TextDedup.simhashComboKeys(sigs, chunkBits, intact)
+    }
+    TextDedup.simhashCrossEmitPairs(
+      keys(existing, twiceReferenced = true),
+      keys(incoming, twiceReferenced = combinedCap),
       chunkBits, maxHamming, maxBucketSize, combinedCap, intact)
   }
 

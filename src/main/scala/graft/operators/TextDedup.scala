@@ -104,18 +104,24 @@ object TextDedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64,
                         bands: Int = 16,
-                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    candidatesFromSig(signatureFrame(df, idCol, textCol, shingleN, numHashes),
+      idCol, numHashes, bands, maxBucketSize)
+
+  /** The post-signature half of [[minhashCandidates]] (factored in the
+    * r17 optimization round so [[nearDupPairs]] can feed it a signature
+    * derived from its already-cut verification frame): band keys, ONE
+    * shuffle of compact (band, key, id) triples, bucket members collected
+    * per key, degenerate buckets (> maxBucketSize) dropped before pair
+    * generation, pairs by double explode. (A self-join formulation
+    * recomputes the whole signature subtree per join side — measured 2×
+    * slower at sf0.1 — and a Window-count cap adds a sort; this shape
+    * does neither.) */
+  private def candidatesFromSig(sig: DataFrame, idCol: String, numHashes: Int,
+                                bands: Int, maxBucketSize: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = signatureFrame(df, idCol, textCol, shingleN, numHashes)
-    val banded = sig
+    sig
       .select(col(idCol), posexplode(bandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__key")))
-    // Single-pass bucketing: ONE shuffle of compact (band, key, id) triples,
-    // bucket members collected per key, degenerate buckets (> maxBucketSize)
-    // dropped before pair generation, pairs produced by a double explode.
-    // (A self-join formulation recomputes the whole signature subtree per
-    // join side — measured 2× slower at sf0.1 — and a Window-count cap adds
-    // a sort; this shape does neither.)
-    banded
       .groupBy("__band", "__key").agg(collect_list(col(idCol)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
@@ -690,11 +696,20 @@ object TextDedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 3,
                    numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    // ONE shingle-hash pass (r17 optimization round; previously three —
+    // the signature stage hashed the text and each verification join
+    // side re-ran it): the distinct hash-set frame is cut once and feeds
+    // BOTH the minhash signature (min over a distinct set ≡ min over the
+    // multiset, element-wise — the permutation hashes are per-element)
+    // and the two verification joins.
+    val sh = Checkpoints.cut(
+      df.select(col(idCol),
+        array_distinct(shingleHashes(df, col(textCol), shingleN)).as("__sh")),
+      eager = false)
+    val sig = sh.select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val cands = candidatesFromSig(sig, idCol, numHashes, bands, DefaultMaxBucketSize)
     // verification joins the distinct shingle-HASH sets: set arithmetic on
     // longs, same Jaccard modulo negligible 64-bit collision probability
-    val sh = df.select(
-      col(idCol), array_distinct(shingleHashes(df, col(textCol), shingleN)).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
@@ -1111,13 +1126,24 @@ object TextDedup {
     * banding — the EXACT keys `portableSimhashPairs` buckets on, factored
     * out so the occupancy audit below can never drift from the generator. */
   private[graft] def portableSimhashChunkKeys(df: DataFrame, idCol: String,
-                                       textCol: String): DataFrame = {
+                                       textCol: String,
+                                       cutSigs: Boolean = false): DataFrame = {
     // token hashes materialized first: the 32 bit-folds of
     // portableSimhash32 each reference the array (CollapseProject note on
     // signatureFrame); per-token md5 via the fused PortableShingleHash
     val th = df.select(col(idCol),
       array_distinct(portableShingleHashes(col(textCol), 1)).as("__th"))
-    val sigs = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
+    val sigs0 = th.select(col(idCol), portableSimhash32(col("__th")).as("__sim"))
+    // cutSigs (r17 optimization round): the CROSS generators reference
+    // each chunk stream twice (simhashCrossEmitPairs' occupancy
+    // aggregate + probe side), and without a cut each reference re-runs
+    // the per-token md5 + 32 bit-folds above — the dominant cost. Cut at
+    // the (id, __sim) level (n rows; the 56-combo explode below is cheap
+    // arithmetic and re-runs per reference). Streaming frames cannot be
+    // checkpointed and are batch-sized by definition — skipped.
+    val sigs =
+      if (cutSigs && !df.isStreaming) Checkpoints.cut(sigs0, eager = false)
+      else sigs0
     // combo key = the 5 chunk values PACKED into one 20-bit long (round
     // 10 — the production simhashPairs packing applied to the portable
     // twin: the ProfileQ83 receipt put ~0.45 s of q83's 2.1 s in building
@@ -1221,6 +1247,14 @@ object TextDedup {
     val idOld = chunksOld.columns.filterNot(_.startsWith("__")).head
     val idNew = chunksNew.columns.filterNot(_.startsWith("__")).head
     val mask = (1L << chunkBits) - 1
+    // Each side is referenced TWICE below (the occupancy aggregate and
+    // its probe/build role) — callers whose signature upstream is
+    // expensive (per-token md5 + bit-folds for text, decode + resize +
+    // dHash for media) cut the (id, __sim) frame BEFORE the combo
+    // explode (r17 optimization round; the cut carries n rows, not 56n
+    // exploded key rows, and the re-run per reference is then only the
+    // cheap combo arithmetic — the q82 rule's materialize-the-md5-pass /
+    // re-derive-the-casts split).
     val occSrc =
       if (combinedCap) chunksOld.select("__combo", "__ckey")
         .unionAll(chunksNew.select("__combo", "__ckey"))
@@ -1263,8 +1297,8 @@ object TextDedup {
     require(maxHamming <= SimhashChunks - SimhashIntact,
       s"$SimhashChunks chunks with $SimhashIntact intact only guarantee hamming <= ${SimhashChunks - SimhashIntact}")
     simhashCrossEmitPairs(
-      portableSimhashChunkKeys(existing, idCol, textCol),
-      portableSimhashChunkKeys(incoming, idCol, textCol),
+      portableSimhashChunkKeys(existing, idCol, textCol, cutSigs = true),
+      portableSimhashChunkKeys(incoming, idCol, textCol, cutSigs = combinedCap),
       32 / SimhashChunks, maxHamming, maxBucketSize, combinedCap)
   }
 
