@@ -124,13 +124,22 @@ object Corpus {
         "ORDER BY total_cents DESC, store LIMIT 100"),
 
     // Q16 — top-3-per-group via ROW_NUMBER, the error_query.sql query done
-    // right (prompts.py:86,113-118; error_query.sql:1-15)
+    // right (prompts.py:86,113-118; error_query.sql:1-15). r17
+    // optimization: the (suppkey, custkey) aggregate has ~450k groups at
+    // sf0.1, and summing DECIMAL(18,2) through it was the entry's
+    // dominant cost — sum BIGINT cents per row instead (the CLAUDE.md
+    // money rule's per-row form): CAST(dec(18,2) * 100 AS BIGINT) is
+    // exact (scale-2 value × 100 is integral), ×100 commutes over SUM,
+    // and the window ordering on the cents sum is the same order, so the
+    // output is bit-identical in both engines (DuckDB's HUGEINT sum
+    // CAST-wrapped, the q99/q100 convention; measured 1.77 → 1.47 s
+    // median, SqlAb).
     DeclaredQuery("q16_topn_window",
       "SELECT store_id, customer_id, total_spent_cents FROM (" +
         "SELECT l.l_suppkey AS store_id, o.o_custkey AS customer_id, " +
-        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_spent_cents, " +
+        "CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_spent_cents, " +
         "ROW_NUMBER() OVER (PARTITION BY l.l_suppkey " +
-        "ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) DESC, o.o_custkey) AS rn " +
+        "ORDER BY SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) DESC, o.o_custkey) AS rn " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
         "GROUP BY l.l_suppkey, o.o_custkey) ranked WHERE rn <= 3 " +
         "ORDER BY store_id, total_spent_cents DESC, customer_id LIMIT 100"),
