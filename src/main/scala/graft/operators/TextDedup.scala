@@ -549,7 +549,7 @@ object TextDedup {
     * audits the EXACT buckets `portablePairStats` pairs on. */
   private def portableBanded(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, numHashes: Int, bands: Int,
-                             seed: Long): (DataFrame, DataFrame) = {
+                             seed: Long, cutSig: Boolean = false): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val coeffs = affineCoeffs(numHashes, seed)
     // __hs materialized in its own projection: affineSignature references
@@ -578,8 +578,19 @@ object TextDedup {
     // the most expensive plan in the round-5 corpus (9.9 s driver-side).
     // The hash sets are joined back for surviving candidate pairs only,
     // exactly as nearDupPairs verifies minhashCandidates.
-    val sig = base.select(col(idCol),
+    // cutSig (r17 optimization round): the CROSS/streaming consumers
+    // reference `banded` twice (occupancy aggregate + probe side), and
+    // each reference otherwise re-runs the 64-permutation affine
+    // signature from the cut base. Cut at the (id, __sig) level — n rows,
+    // before the bands× explode — so re-runs per reference are only the
+    // cheap slice/join arithmetic. Single-reference consumers
+    // (portablePairStats' one groupBy pass) keep the default and pay no
+    // extra materialization. Streaming frames cannot be checkpointed.
+    val sig0 = base.select(col(idCol),
       affineSignature(col("__hs"), coeffs).as("__sig"))
+    val sig =
+      if (cutSig && !df.isStreaming) Checkpoints.cut(sig0, eager = false)
+      else sig0
     val banded = sig.select(col(idCol),
       posexplode(array((0 until bands).map(b =>
         array_join(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), "-")): _*))
@@ -617,7 +628,10 @@ object TextDedup {
                           numHashes: Int = PortableNumHashes,
                           bands: Int = PortableBands,
                           seed: Long = 7L): (DataFrame, DataFrame) =
-    portableBanded(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    // cutSig: the streaming consumers (StreamOps.dedupAgainstCorpus —
+    // q126/q198) reference the banded index twice per micro-batch
+    portableBanded(df, idCol, textCol, shingleN, numHashes, bands, seed,
+      cutSig = true)
 
   /** Incremental near-dup: candidate pairs between an EXISTING corpus and
     * an INCOMING batch — the daily-crawl shape, where recomputing all
@@ -643,8 +657,10 @@ object TextDedup {
                              bands: Int = PortableBands,
                              seed: Long = 7L,
                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (baseOld, bandedOld) = portableBanded(existing, idCol, textCol, shingleN, numHashes, bands, seed)
-    val (baseNew, bandedNew) = portableBanded(incoming, idCol, textCol, shingleN, numHashes, bands, seed)
+    // cutSig: each side's banded stream is referenced twice below
+    // (combined-occupancy aggregate + its join side)
+    val (baseOld, bandedOld) = portableBanded(existing, idCol, textCol, shingleN, numHashes, bands, seed, cutSig = true)
+    val (baseNew, bandedNew) = portableBanded(incoming, idCol, textCol, shingleN, numHashes, bands, seed, cutSig = true)
     // keys eligible for cross pairs: present on BOTH sides, combined
     // occupancy within the cap (counts are metadata-sized aggregates —
     // the guard never touches ids or payloads)
