@@ -363,6 +363,18 @@ object SparkEntry {
     * pixel replay; the current corpus is entirely ASCII, so this is a
     * regen guard, not a filter). The ASCII semi-join runs BEFORE any
     * decode so non-replayable rows never cost codec work. */
+  /** Materialize a synthesized media frame once (r17 optimization round):
+    * the perceptual pair/search entries derive BOTH a direct branch and a
+    * resize/transcode-variant branch from the same synthesized rows, and
+    * without a cut each branch re-runs the codec ENCODE pipeline (the
+    * before-plans show the documents scan + encode subtree twice under
+    * the union). localCheckpoint keeps the blobs executor-local — no
+    * payload crosses an exchange, the same discipline as the q82 md5
+    * cut; the Bench inter-entry unpersist releases the blocks. */
+  private def cutMedia(ds: Dataset[Multimodal.MediaRow]): Dataset[Multimodal.MediaRow] =
+    Checkpoints.cut(ds.toDF(), eager = false)
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+
   private def phashAsciiImages(spark: SparkSession,
                                dir: String): Dataset[Multimodal.MediaRow] = {
     val media = Multimodal.syntheticMedia(spark, dir) // registers documents
@@ -2846,7 +2858,7 @@ object SparkEntry {
     // offset, and mirrors banding + cap + min-combo — hash-checking
     // decode → resize → re-encode → decode → dHash → banding end to end.
     "q210_phash_pairs" -> { (spark, dir) =>
-      val imgs = phashAsciiImages(spark, dir)
+      val imgs = cutMedia(phashAsciiImages(spark, dir))
       val variants = Multimodal.resizeMedia(imgs, 18, 16)
         .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
           org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
@@ -2878,7 +2890,7 @@ object SparkEntry {
     // with the shared SimHash combination machinery. The q210 recipe on
     // the audio modality.
     "q213_ahash_pairs" -> { (spark, dir) =>
-      val aud = ahashAsciiAudio(spark, dir)
+      val aud = cutMedia(ahashAsciiAudio(spark, dir))
       val variants = Multimodal.transcodeWav16(aud)
         .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
           org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
@@ -2893,7 +2905,7 @@ object SparkEntry {
     // with exact pigeonhole completeness — the ham-≤3 radius measured
     // 0.72 noise-pair recall (Multimodal.VhashIntact scaladoc).
     "q214_vhash_pairs" -> { (spark, dir) =>
-      val vid = vhashAsciiVideo(spark, dir)
+      val vid = cutMedia(vhashAsciiVideo(spark, dir))
       val variants = Multimodal.resizeVideo(vid, 18, 16)
         .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
           org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
@@ -2910,7 +2922,7 @@ object SparkEntry {
     // top-1 is its original at hamming 0. Extends the similarity-search
     // tier (q44/q45/q53) to the media modalities.
     "q219_phash_topk" -> { (spark, dir) =>
-      val imgs = phashAsciiImages(spark, dir)
+      val imgs = cutMedia(phashAsciiImages(spark, dir))
       val corpus = Multimodal.phashFeatures(imgs)
       val queries = Multimodal.phashFeatures(
           Multimodal.resizeMedia(imgs, 18, 16)
@@ -3036,7 +3048,7 @@ object SparkEntry {
     // twin, sharing the text machinery's cross generator. Oracle = the
     // q210 replay restricted to cross pairs.
     "q217_incremental_phash" -> { (spark, dir) =>
-      val imgs = phashAsciiImages(spark, dir)
+      val imgs = cutMedia(phashAsciiImages(spark, dir))
       val variants = Multimodal.resizeMedia(imgs, 18, 16)
         .map(r => r.copy(media_id = r.media_id + PhashVariantOffset))(
           org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
