@@ -920,8 +920,18 @@ object Similarity {
     val planes = portableHyperplanes(dim, tables, bits, seed)
     val qOld = portableQuantized(existing, idCol, vecCol, scale)
     val qNew = portableQuantized(incoming, idCol, vecCol, scale)
-    val bOld = portableBucketKeys(qOld, idCol, planes)
-    val bNew = portableBucketKeys(qNew, idCol, planes)
+    // Cut each side's bucket-key stream once (r17 optimization round —
+    // the q82 N-references rule at the same level portableEmbedPairs
+    // cuts its probed `keys`): crossCandidatesRaw references each side
+    // 2× (home-only: occupancy + join) or 3× (probed: occupancy + home
+    // + probe stream), and every reference otherwise re-runs the
+    // tables×-dot signature pass. Quantize stays un-cut — re-deriving
+    // __qv on the verify side is the documented cheap floor-cast pass.
+    // (The persisted sharded runner bypasses this path on purpose: its
+    // jobs read keys from shard-partitioned parquet, already
+    // materialized once.)
+    val bOld = Checkpoints.cut(portableBucketKeys(qOld, idCol, planes), eager = false)
+    val bNew = Checkpoints.cut(portableBucketKeys(qNew, idCol, planes), eager = false)
     val candsRaw = crossCandidatesRaw(bOld, bNew, idCol, maxBucketSize, probes)
     // dedup commutes with exact verification (the q84 two-regime rule),
     // so both branches return the identical pair SET: the default
