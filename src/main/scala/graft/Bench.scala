@@ -37,6 +37,16 @@ object Bench {
     // one untimed action: JVM/codegen/scheduler warmup is session init,
     // not query cost — without it the alphabetically-first query pays it
     spark.sql("SELECT COUNT(*) FROM region").collect()
+    // 1-minute system load average, printed before and after the pass
+    // (r17 judge request): the r16/r17 driver artifacts were contention-
+    // inflated with no way to adjudicate it from the artifact itself —
+    // these lines put the host state INSIDE the artifact. Also embedded
+    // as load0/load1 fields of the final compact line, which is the only
+    // part guaranteed to survive the driver's 2000-char stdout tail.
+    def sysLoad: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val load0 = sysLoad
+    println(s"""{"metric":"load","value":$load0,"unit":"loadavg1m","at":"before_pass"}""")
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -132,6 +142,8 @@ object Bench {
         }
       }
     }
+    val load1 = sysLoad
+    println(s"""{"metric":"load","value":$load1,"unit":"loadavg1m","at":"after_pass"}""")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -154,7 +166,8 @@ object Bench {
         if (v < 0) "-1" else Math.round(v / divisor).toString
       }.mkString("[", ",", "]")
       val tot = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      s"""{"metric":"total","value":$tot,"unit":"sec","reps":$reps,"qv_unit":"$unit","qv":$inner,"sf":"$sfDir"}"""
+      def l(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      s"""{"metric":"total","value":$tot,"unit":"sec","reps":$reps,"load0":${l(load0)},"load1":${l(load1)},"qv_unit":"$unit","qv":$inner,"sf":"$sfDir"}"""
     }
     val centi = compact(0.01, "centisec")
     // graceful degradation if the corpus ever outgrows even the array

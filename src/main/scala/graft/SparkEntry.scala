@@ -659,14 +659,27 @@ object SparkEntry {
     * round-trip check. */
   private[graft] def gateDecisions(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.table(spark, dir, "documents")
-    val span = TextDedup.spanRemovalStats(d, "doc_id", "text")
+    graft.functions.PortableShingleHash.register(spark)
+    // ONE tokenize pass feeds all three gates (r18): span occurrences,
+    // the LM bigram keys and the NB token stream each derived split(text)
+    // independently before — three full scan+split passes for one entry.
+    // The token frame is cut once (executor-local, (id, lang, tokens) —
+    // the same bytes the text scan carried) and every gate reads it.
+    val toks = Checkpoints.cut(
+      d.select(col("doc_id"), col("lang"),
+        TextDedup.tokens(col("text")).as("__t")), eager = false)
+    val span = TextDedup.spanRemovalStatsToks(toks, "doc_id", "__t")
       .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
-    val ppl = pplScoresAll(spark, dir)
+    val st = Checkpoints.cut(lmKeyStreamToks(toks, "__t"), eager = false)
+    val c2 = st.groupBy("k").agg(count(lit(1)).as("c2"))
+    val c1 = st.groupBy("k1").agg(count(lit(1)).as("c1"))
+    val ppl = pplAgg(st.join(c2, Seq("k")).join(c1, Seq("k1")))
       .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
       .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
-    val nb = nbScoresAll(spark, dir)
+    val nb = NaiveBayes.scoreToks(toks, trainSplitNbModel(spark, dir), "doc_id", "__t")
+      .join(toks.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
-    composeGates(d.select("doc_id", "lang"), span, ppl, nb)
+    composeGates(toks.select("doc_id", "lang"), span, ppl, nb)
   }
 
   /** The ONE composition tail for batch (gateDecisions) and streaming
@@ -707,15 +720,21 @@ object SparkEntry {
     * with the same left-join + coalesce unscored-fails-its-gate rule. */
   private def gateBatchDecisions(b: DataFrame, spans: DataFrame, c2: DataFrame,
                                  c1: DataFrame, m: NaiveBayes.NbModel): DataFrame = {
-    val span = TextDedup.spanRemovalStatsAgainstIndex(b, spans, "doc_id", "text")
+    // the batch-local form of gateDecisions' shared token frame (r18):
+    // inside foreachBatch `b` is a plain batch frame, so the cut is legal
+    // — one tokenize of the micro-batch instead of three per trigger
+    val bt = Checkpoints.cut(
+      b.select(col("doc_id"), col("lang"),
+        TextDedup.tokens(col("text")).as("__t")), eager = false)
+    val span = TextDedup.spanRemovalStatsAgainstIndexToks(bt, spans, "doc_id", "__t")
       .select(col("doc_id"), (col("kept_bp") >= SpanKeepBp).cast("long").as("g_span"))
-    val ppl = pplAgg(lmKeyStream(b).join(c2, Seq("k")).join(c1, Seq("k1")))
+    val ppl = pplAgg(lmKeyStreamToks(bt, "__t").join(c2, Seq("k")).join(c1, Seq("k1")))
       .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
       .select(col("doc_id"), (col("ppl_bp") <= PplGateBp).cast("long").as("g_ppl"))
-    val nb = NaiveBayes.score(b, m, "doc_id", "text")
-      .join(b.select("doc_id", "lang"), Seq("doc_id"))
+    val nb = NaiveBayes.scoreToks(bt, m, "doc_id", "__t")
+      .join(bt.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
-    composeGates(b.select("doc_id", "lang"), span, ppl, nb)
+    composeGates(bt.select("doc_id", "lang"), span, ppl, nb)
   }
 
   /** q203/q206's pinned reload schema — the production ingest path reads
@@ -948,7 +967,13 @@ object SparkEntry {
     * profile, ProfileQ162). slice keeps the n−1 prefix positions, which
     * is exactly the width-2 array's length. */
   private def lmKeyStream(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("t")).filter(size(col("t")) >= 2)
+    lmKeyStreamToks(d.select(col("doc_id"), split(col("text"), " ").as("t")), "t")
+
+  /** [[lmKeyStream]] over a PRE-TOKENIZED frame (doc_id, tokCol array) —
+    * the gate-ensemble form (r18: one tokenize pass for span/ppl/NB). */
+  private def lmKeyStreamToks(d: org.apache.spark.sql.DataFrame,
+                              tokCol: String): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), col(tokCol).as("t")).filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         call_function("portable_shingle_hash", col("t"), lit(2)).as("h2"),
         expr("slice(portable_shingle_hash(t, 1), 1, size(t) - 1)").as("h1p"))

@@ -178,11 +178,18 @@ object NaiveBayes {
     * cross join — labelStats is label-cardinality-bounded, the q44/q53
     * broadcast-cross size contract (PlanGuardSpec allowlist). The doc×
     * label window partitions on the high-cardinality doc id. */
-  def score(docs: DataFrame, m: NbModel, idCol: String, textCol: String): DataFrame = {
+  def score(docs: DataFrame, m: NbModel, idCol: String, textCol: String): DataFrame =
+    scoreToks(docs.select(col(idCol), TextDedup.tokens(col(textCol)).as("__stk")),
+      m, idCol, "__stk")
+
+  /** [[score]] over a PRE-TOKENIZED frame (idCol, tokCol array) — the
+    * gate-ensemble form (r18): one tokenize pass shared by span/ppl/NB.
+    * Same contract (zero-in-vocab documents emit no row). */
+  def scoreToks(docs: DataFrame, m: NbModel, idCol: String, tokCol: String): DataFrame = {
     // (id, tok, cnt): referenced twice (base term + rebates) and derived
     // from the full tokenize+explode — cut once, lazily (q82 rule)
     val dtok = Checkpoints.cut(
-      docs.select(col(idCol).as("__id"), explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      docs.select(col(idCol).as("__id"), explode(col(tokCol)).as("__tok"))
         .join(broadcast(m.vocab), "__tok")
         .groupBy("__id", "__tok").agg(count(lit(1)).as("__cnt")),
       eager = false)

@@ -806,12 +806,20 @@ object Similarity {
       .filter(col("score") >= minScore)
       .distinct()
 
+  /** `eagerJob` (r18, the r16-ADVICE deferred-map item): run this call as
+    * ONE bounded job — materialize the (tiny) verified pair output
+    * eagerly and destroy the call's verify-map broadcast + cut-key blocks
+    * before returning, so a sharded runner holding many such calls keeps
+    * exactly ONE job's map alive at a time instead of all of them (the
+    * persisted runner's per-job discipline without the parquet
+    * round-trip). Pair set identical (ShardedPairsSpec). */
   def portableEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minScore: Long, tables: Int = 8, bits: Int = 6,
                          dim: Int = 64, seed: Long = 11L,
                          scale: Int = 10000,
                          maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
-                         probes: Int = 0, corpusRowsHint: Long = -1L): DataFrame = {
+                         probes: Int = 0, corpusRowsHint: Long = -1L,
+                         eagerJob: Boolean = false): DataFrame = {
     require(probes <= bits,
       s"probes ($probes) beyond the $bits-bit signature flip bits no bucket key carries")
     val planes = portableHyperplanes(dim, tables, bits, seed)
@@ -834,8 +842,20 @@ object Similarity {
         .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
         .filter(col("score") >= minScore)
     }
+    // eagerJob: materialize the (survivor-sized) verified output now and
+    // release the call's transient state before returning — the sharded
+    // runner's one-map-alive-at-a-time discipline
+    def finishJob(out: DataFrame, release: () => Unit): DataFrame =
+      if (!eagerJob) out
+      else {
+        val cut = Checkpoints.cut(out, eager = true)
+        release()
+        cut
+      }
     if (probes <= 0)
-      verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false)
+      finishJob(
+        verify(homeOnlyPairs(keys, idCol, maxBucketSize), useBroadcast = false),
+        () => ())
     else {
       if (corpusRowsHint >= 0 && corpusRowsHint <= broadcastVerifyMaxRows(dim)) {
         // broadcast regime (rebuilt round 15): verify the duplicates
@@ -865,12 +885,16 @@ object Similarity {
         // finished entries don't pin ~100 MB maps for the session.
         // the broadcast handle is baked into the expression instance
         // directly (IntDotLookup.column) — no session-global registry
-        // mutation, no analysis-ordering invariant (round-15 advice)
-        val bc = Broadcasts.track(
-          corpus.sparkSession.sparkContext.broadcast(packedVerifyMap(Seq(q))))
-        fusedVerify(
-          probedRawPairs(cutKeys, idCol, maxBucketSize, probes, broadcastHome = true),
-          bc, minScore)
+        // mutation, no analysis-ordering invariant (round-15 advice).
+        // eagerJob destroys it itself before returning (the output is
+        // materialized first), so it is deliberately NOT tracked there.
+        val bc = corpus.sparkSession.sparkContext.broadcast(packedVerifyMap(Seq(q)))
+        if (!eagerJob) Broadcasts.track(bc)
+        finishJob(
+          fusedVerify(
+            probedRawPairs(cutKeys, idCol, maxBucketSize, probes, broadcastHome = true),
+            bc, minScore),
+          () => { bc.destroy(); Checkpoints.free(cutKeys) })
       } else {
         // shuffle regime: the pre-verify distinct is load-bearing (it
         // minimizes the payload-carrying join intermediate) and its
@@ -886,9 +910,11 @@ object Similarity {
         val parts = dedupPartitionsFor(
           estimatedRawCandidates(cutKeys, probes, maxBucketSize),
           corpus.sparkSession.sessionState.conf.numShufflePartitions)
-        verify(probedRawPairs(cutKeys, idCol, maxBucketSize, probes)
-          .repartition(parts, col("id_a"), col("id_b")).distinct(),
-          useBroadcast = false)
+        finishJob(
+          verify(probedRawPairs(cutKeys, idCol, maxBucketSize, probes)
+            .repartition(parts, col("id_a"), col("id_b")).distinct(),
+            useBroadcast = false),
+          () => Checkpoints.free(cutKeys))
       }
     }
   }
@@ -916,7 +942,8 @@ object Similarity {
                               scale: Int = 10000,
                               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                               probes: Int = 0,
-                              combinedRowsHint: Long = -1L): DataFrame = {
+                              combinedRowsHint: Long = -1L,
+                              eagerJob: Boolean = false): DataFrame = {
     val planes = portableHyperplanes(dim, tables, bits, seed)
     val qOld = portableQuantized(existing, idCol, vecCol, scale)
     val qNew = portableQuantized(incoming, idCol, vecCol, scale)
@@ -938,17 +965,29 @@ object Similarity {
     // dedups candidates first (minimizes the payload-join intermediate);
     // the hinted branch verifies raw candidates map-side through ONE
     // combined broadcast map and dedups the (tiny) survivor set.
+    // eagerJob (r18): one-map-alive-at-a-time — see portableEmbedPairs
+    def finishJob(out: DataFrame, release: () => Unit): DataFrame =
+      if (!eagerJob) out
+      else {
+        val cut = Checkpoints.cut(out, eager = true)
+        release()
+        cut
+      }
     if (combinedRowsHint >= 0 && combinedRowsHint <= broadcastVerifyMaxRows(dim)) {
-      val bc = Broadcasts.track(existing.sparkSession.sparkContext.broadcast(
+      val bc = existing.sparkSession.sparkContext.broadcast(
         packedVerifyMap(Seq(qOld.select(col(idCol), col("__qv")),
-          qNew.select(col(idCol), col("__qv"))))))
-      fusedVerify(candsRaw, bc, minScore)
+          qNew.select(col(idCol), col("__qv")))))
+      if (!eagerJob) Broadcasts.track(bc)
+      finishJob(fusedVerify(candsRaw, bc, minScore),
+        () => { bc.destroy(); Checkpoints.free(bOld); Checkpoints.free(bNew) })
     } else
-      candsRaw.distinct()
-        .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
-        .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
-        .filter(col("score") >= minScore)
+      finishJob(
+        candsRaw.distinct()
+          .join(qOld.select(col(idCol).as("id_a"), col("__qv").as("__va")), Seq("id_a"))
+          .join(qNew.select(col(idCol).as("id_b"), col("__qv").as("__vb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), intDot(col("__va"), col("__vb")).as("score"))
+          .filter(col("score") >= minScore),
+        () => { Checkpoints.free(bOld); Checkpoints.free(bNew) })
   }
 
   /** RAW cross-side candidate pairs of two bucketed key streams — the
@@ -1020,15 +1059,16 @@ object Similarity {
     * gate fixtures there) the pair set is IDENTICAL — ShardedPairsSpec
     * asserts exact set equality at a forced S=3.
     *
-    * DRIVER ENVELOPE (r16 ADVICE, documented honestly): this inline
-    * form builds every job's verify map at CALL time (the hinted
-    * pipelines broadcast eagerly) and unions S(S+1)/2 frames into one
-    * plan tree, so the driver transiently holds O(S² · shardRows) map
-    * rows — fine at the measured S ≤ 4 (one 8 GB JVM at S=4/400k,
-    * BASELINE.md r16), quadratic beyond. S is CAPPED at
-    * [[InlineShardCap]]; past it use [[shardedEmbedPairsPersisted]],
-    * which holds ONE job's map at a time and whose plan tree is O(1)
-    * in S. */
+    * DRIVER ENVELOPE (r16 ADVICE item, closed in r18): jobs run
+    * SEQUENTIALLY at call time in `eagerJob` mode — each builds its
+    * verify map, materializes its survivor-sized output, and destroys
+    * the map before the next job starts, so the driver holds ONE job's
+    * map (≤ 2 shards) at a time — the persisted runner's discipline
+    * without the parquet round-trip. The returned union is over
+    * already-materialized pair slices (O(survivors) blocks, O(S²)
+    * only in plan-node count). S stays CAPPED at [[InlineShardCap]]
+    * (plan-tree sanity + the measured receipt range); past it use
+    * [[shardedEmbedPairsPersisted]], whose plan tree is O(1) in S. */
   def shardedEmbedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                         minScore: Long, tables: Int = 8, bits: Int = 6,
                         dim: Int = 64, seed: Long = 11L, scale: Int = 10000,
@@ -1053,13 +1093,20 @@ object Similarity {
         "jobs sequentially from a persisted signature table")
     val shards = (0 until s).map(i =>
       corpus.filter(pmod(xxhash64(col(idCol)), lit(s)) === i))
+    // eagerJob (r18, the r16-ADVICE deferred-map item): each of the
+    // S(S+1)/2 jobs materializes its survivor-sized output and destroys
+    // its verify-map broadcast + cut-key blocks before the next job
+    // builds — the driver now holds ONE job's map at a time (the
+    // persisted runner's discipline without the parquet round-trip)
+    // instead of all maps eagerly for the union plan's lifetime.
     val within = shards.map(sh =>
       portableEmbedPairs(sh, idCol, vecCol, minScore, tables, bits,
-        dim, seed, scale, maxBucketSize, probes, corpusRowsHint = bound))
+        dim, seed, scale, maxBucketSize, probes, corpusRowsHint = bound,
+        eagerJob = true))
     val cross = for (i <- 0 until s; j <- (i + 1) until s) yield
       portableCrossEmbedPairs(shards(i), shards(j), idCol, vecCol, minScore,
           tables, bits, dim, seed, scale, maxBucketSize, probes,
-          combinedRowsHint = 2 * bound)
+          combinedRowsHint = 2 * bound, eagerJob = true)
         // the cross form's (existing, incoming) orientation is shard
         // order, not id order — normalize to the symmetric contract
         .select(least(col("id_a"), col("id_b")).as("id_a"),

@@ -306,16 +306,23 @@ object TextDedup {
     * cover positions past the document's end in the removal accounting).
     * Mirrored as `len(t) >= k` in the q173/q174 DuckDB texts. */
   private def spanOccurrences(df: DataFrame, idCol: String, textCol: String,
-                              k: Int): DataFrame = {
+                              k: Int): DataFrame =
+    spanOccurrencesToks(
+      df.select(col(idCol), tokens(col(textCol)).as("__t")), idCol, "__t", k)
+
+  /** [[spanOccurrences]] over a PRE-TOKENIZED frame (idCol, tokCol array)
+    * — the form the gate-ensemble entries feed from their shared token
+    * frame (r18: one tokenize pass for span/ppl/NB instead of three). */
+  private[graft] def spanOccurrencesToks(df: DataFrame, idCol: String,
+                                         tokCol: String, k: Int): DataFrame = {
     // register on the FRAME's session, not the thread's active one: with
     // two sessions in a JVM (newSession() clones a separate function
     // registry) the active session can differ from the one that will
     // analyze this plan, and the call would fail UNRESOLVED_ROUTINE
     graft.functions.PortableShingleHash.register(df.sparkSession)
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= k)
+    df.filter(size(col(tokCol)) >= k)
       .select(col(idCol),
-        posexplode(call_function("portable_shingle_hash", col("__t"), lit(k)))
+        posexplode(call_function("portable_shingle_hash", col(tokCol), lit(k)))
           .as(Seq("__pos", "__h")))
   }
 
@@ -381,21 +388,27 @@ object TextDedup {
 
   /** Shared removal tail: non-canonical occurrences of shared spans →
     * coverage explode ×k → distinct-position count per doc → stats for
-    * every document of `docs` (zero-removal docs included). `spans` =
-    * (h, __n, __canon) with n ≥ 2 already filtered. */
-  private def spanRemovalTail(docs: DataFrame, occ: DataFrame, spans: DataFrame,
-                              idCol: String, textCol: String, k: Int): DataFrame = {
+    * every document of `docLens` (zero-removal docs included). `spans` =
+    * (h, __n, __canon) with n ≥ 2 already filtered; `docLens` =
+    * (idCol, n_tokens) — callers derive it from text or a shared token
+    * frame. */
+  private def spanRemovalTail(docLens: DataFrame, occ: DataFrame, spans: DataFrame,
+                              idCol: String, k: Int): DataFrame = {
     val removedPerDoc = occ.join(spans.select("__h", "__canon"), Seq("__h"))
       .filter(col(idCol) * SpanPosPack + col("__pos") =!= col("__canon"))
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__p"))
       .groupBy(idCol).agg(countDistinct(col("__p")).as("__nr"))
-    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    docLens
       .join(removedPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("__nr"), lit(0L)).as("n_removed"))
       .withColumn("kept_bp",
         expr("(n_tokens - n_removed) * 10000 DIV n_tokens"))
   }
+
+  /** (idCol, n_tokens) from raw text — the tail's doc-length frame. */
+  private def docLensOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
 
   /** Per-batch span scoring against a PRECOMPUTED shared-span table
     * (`spanIndex(corpus).filter(n ≥ 2)`, lineage-cut by the caller) —
@@ -405,8 +418,18 @@ object TextDedup {
   def spanRemovalStatsAgainstIndex(docs: DataFrame, spans: DataFrame,
                                    idCol: String, textCol: String,
                                    k: Int = SpanK): DataFrame =
-    spanRemovalTail(docs, spanOccurrences(docs, idCol, textCol, k),
-      spans, idCol, textCol, k)
+    spanRemovalTail(docLensOf(docs, idCol, textCol),
+      spanOccurrences(docs, idCol, textCol, k), spans, idCol, k)
+
+  /** [[spanRemovalStatsAgainstIndex]] over a PRE-TOKENIZED frame — the
+    * streaming gate ensemble's per-batch form (one tokenize pass shared
+    * by span/ppl/NB; the caller lineage-cuts the token frame). */
+  def spanRemovalStatsAgainstIndexToks(docs: DataFrame, spans: DataFrame,
+                                       idCol: String, tokCol: String,
+                                       k: Int = SpanK): DataFrame =
+    spanRemovalTail(
+      docs.select(col(idCol), size(col(tokCol)).cast("long").as("n_tokens")),
+      spanOccurrencesToks(docs, idCol, tokCol, k), spans, idCol, k)
 
   /** Incremental span removal: stats for an INCOMING batch against an
     * EXISTING corpus — the daily-crawl form of `spanRemovalStats` (cf.
@@ -433,7 +456,7 @@ object TextDedup {
       .groupBy("__h")
       .agg(sum("__n").as("__n"), min("__canon").as("__canon"))
       .filter(col("__n") >= 2)
-    spanRemovalTail(incoming, occNew, merged, idCol, textCol, k)
+    spanRemovalTail(docLensOf(incoming, idCol, textCol), occNew, merged, idCol, k)
   }
 
   /** Exact-substring span REMOVAL stats (Lee et al. 2021's dedup
@@ -451,16 +474,26 @@ object TextDedup {
     * Linear end to end; the ×k fan-out applies only to duplicated
     * spans, which dedup's premise says are the minority. */
   def spanRemovalStats(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = SpanK): DataFrame = {
+                       k: Int = SpanK): DataFrame =
+    spanRemovalStatsToks(
+      df.select(col(idCol), tokens(col(textCol)).as("__t")), idCol, "__t", k)
+
+  /** [[spanRemovalStats]] over a PRE-TOKENIZED frame (idCol, tokCol
+    * array) — the gate-ensemble form (r18): q201/q203 tokenize the
+    * corpus ONCE and feed the same cut token frame to all three gates. */
+  def spanRemovalStatsToks(df: DataFrame, idCol: String, tokCol: String,
+                           k: Int = SpanK): DataFrame = {
     // occ feeds BOTH the span aggregate and the removal join — cut the
     // md5 window-hash pass once instead of recomputing it per reference
     // (the q82 lineage-cut rule; the occurrence stream is 3 longs/row)
-    val occ = Checkpoints.cut(spanOccurrences(df, idCol, textCol, k), eager = false)
+    val occ = Checkpoints.cut(spanOccurrencesToks(df, idCol, tokCol, k), eager = false)
     val spans = occ.groupBy("__h")
       .agg(count(lit(1)).as("__n"),
         min(col(idCol) * SpanPosPack + col("__pos")).as("__canon"))
       .filter(col("__n") >= 2)
-    spanRemovalTail(df, occ, spans, idCol, textCol, k)
+    spanRemovalTail(
+      df.select(col(idCol), size(col(tokCol)).cast("long").as("n_tokens")),
+      occ, spans, idCol, k)
   }
 
   /** Parameters shared by `portablePairStats` and the q82 DuckDB oracle

@@ -166,6 +166,35 @@ class SinksSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("gate ensemble: shared-token-frame decisions equal the per-gate text-form composition (r18)") {
+    // r18 optimization: gateDecisions tokenizes ONCE and feeds all three
+    // gates from a cut (doc_id, lang, tokens) frame. This pins its output
+    // row-for-row against the pre-r18 composition — each gate computed
+    // independently from raw text via the operators the standalone
+    // entries (q174/q170/q188) hash-prove.
+    val dir = TestSpark.sf01
+    val d = Tables.table(spark, dir, "documents")
+    val span = operators.TextDedup.spanRemovalStats(d, "doc_id", "text")
+      .select(col("doc_id"), (col("kept_bp") >= SparkEntry.SpanKeepBp).cast("long").as("g_span"))
+    val ppl = SparkEntry.pplScoresAll(spark, dir)
+      .withColumn("ppl_bp", expr("(bits_total * 10000) DIV n_bigrams"))
+      .select(col("doc_id"), (col("ppl_bp") <= SparkEntry.PplGateBp).cast("long").as("g_ppl"))
+    val nb = SparkEntry.nbScoresAll(spark, dir)
+      .select(col("doc_id"), (col("pred_label") === col("lang")).cast("long").as("g_nb"))
+    val want = d.select("doc_id", "lang")
+      .join(span, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("g_span"), lit(0L)) + coalesce(col("g_ppl"), lit(0L))
+          + coalesce(col("g_nb"), lit(0L))).as("n_gates"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = SparkEntry.gateDecisions(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"shared-token gateDecisions diverged: ${(got -- want).take(3)} extra, ${(want -- got).take(3)} missing")
+  }
+
   test("orc sink/source round-trips exactly, with predicate pushdown in the scan") {
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
